@@ -1,0 +1,612 @@
+"""
+TPU-native wMEC/PedMEC solver core.
+
+The reference (src/pedigreedptable.cpp:15-406) solves weighted Minimum Error
+Correction by a column-wise DP over bipartitions of the active reads x
+transmission vectors, enumerating the 2^k bipartitions of each column with
+Gray codes so each bipartition's cost is an O(1) incremental update.
+
+That trick is a scalar-CPU optimization.  On TPU we instead compute the cost
+of ALL 2^k bipartitions of a column at once with a bit-matrix matmul on the
+MXU:
+
+    cost_partition[p][a](B) = wbase[t,p,a] + sum_s bit_s(B) * wdiff[s,t,p,a]
+                            = wbase + (Bits @ wdiff)[B]
+
+where Bits is the static (2^K, K) matrix of bipartition bit patterns.  The
+column scan (sequential in the number of variants, like the reference) runs
+under ``jax.lax.scan``; everything else is vectorized over the full state
+space.
+
+Slot layout: instead of re-indexing active reads per column (the reference's
+ColumnIndexingScheme), each read is assigned a persistent *slot* in [0, K)
+for its active lifetime.  Projection between columns ("forward projection"
+in the reference) becomes an in-place min-fold over the bits of dying slots
+(static-shape reshapes inside the scan body).  State entries are constant
+along inactive-slot bits, so backtrace lookups work directly at padded
+indices.
+
+Bit-exact parity with the reference's tie-breaking is preserved by carrying
+an explicit tie-break key: the reference iterates bipartitions in Gray-code
+order and keeps the first strict minimum, which equals "argmin by
+(cost, gray_rank)" where gray_rank(B) is the inverse Gray code of the
+bipartition index in *active-read-rank* bit order.  We compute gray_rank for
+all padded slot-space indices with a second small matmul plus a XOR prefix.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.genotype import Genotype
+from ..core.pedigree_model import Pedigree, PedigreePartitions
+from ..core.readset import ReadSet
+
+# "Infinity" cost sentinel.  Chosen so that INF + INF still fits in int32
+# (the reference uses uint32 max with explicit overflow guards,
+# pedigreedptable.cpp:262-290).
+INF = 1 << 29
+
+
+class MendelianConflictError(RuntimeError):
+    def __init__(self):
+        super().__init__("Error: Mendelian conflict")
+
+
+@dataclass
+class PackedProblem:
+    """A wMEC/PedMEC instance packed into dense per-column arrays."""
+
+    n_cols: int
+    K: int  # number of slots (= max coverage)
+    T: int  # number of transmission configurations (4^#trios)
+    P: int  # number of founder partitions (2*(#individuals - #trios))
+    n_reads: int
+    positions: np.ndarray  # (C,) genomic positions
+    active: np.ndarray  # (C, K) bool
+    slot_read: np.ndarray  # (C, K) int32, read index or -1
+    allele: np.ndarray  # (C, K) int8  (0/1; 2=blank/inactive)
+    weight: np.ndarray  # (C, K) int32 phred
+    rank: np.ndarray  # (C, K) int8, rank among active reads (read-id order), -1
+    die_prev: np.ndarray  # (C, K) bool: slots that died after column c-1
+    rc: np.ndarray  # (C,) int32 recombination cost
+    wdiff: np.ndarray  # (C, K, T, P, 2) int32
+    wbase: np.ndarray  # (C, T, P, 2) int32
+    acost: np.ndarray  # (C, T, 2^P) int32 (INF = incompatible assignment)
+    read_slot: np.ndarray  # (R,) int32 slot of each read (-1 if never active)
+    read_first_col: np.ndarray  # (R,) int32 first active column (-1)
+    h2p: np.ndarray  # (T, I, 2) int32 haplotype -> partition map
+    read_source: np.ndarray  # (R,) int32 individual index per read
+
+
+def pack_problem(
+    readset: ReadSet,
+    recombcost: Sequence[int],
+    pedigree: Pedigree,
+    distrust_genotypes: bool = False,
+    positions: Optional[Sequence[int]] = None,
+) -> PackedProblem:
+    """Convert a ReadSet + Pedigree into dense arrays for the device DP.
+
+    Mirrors the column semantics of src/columniterator.cpp:10-169 (active
+    read tracking, blank entries) and the per-column data consumed by
+    src/pedigreecolumncostcomputer.cpp:14-114.
+    """
+    readset.reassign_read_ids()
+    n_reads = len(readset)
+    if positions is None:
+        cols = readset.get_positions()
+    else:
+        cols = list(positions)
+    C = len(cols)
+    pos_to_col = {p: i for i, p in enumerate(cols)}
+
+    n_ind = len(pedigree)
+    n_trios = pedigree.triple_count
+    T = 4 ** n_trios
+    P = 2 * (n_ind - n_trios) if n_ind else 2
+
+    # read -> individual index
+    read_source = np.zeros(n_reads, dtype=np.int32)
+    for i, read in enumerate(readset):
+        read_source[i] = pedigree.id_to_index(read.sample_id)
+
+    # Per-read active column ranges; all first/last positions must be columns
+    # (asserted by the reference's ColumnIterator constructor).
+    first_col = np.full(n_reads, -1, dtype=np.int32)
+    last_col = np.full(n_reads, -1, dtype=np.int32)
+    for i, read in enumerate(readset):
+        if len(read) == 0:
+            continue
+        fp, lp = read.first_position(), read.last_position()
+        if fp not in pos_to_col or lp not in pos_to_col:
+            raise ValueError(
+                "ColumnIterator: read end positions must be contained in the "
+                "column position set"
+            )
+        first_col[i] = pos_to_col[fp]
+        last_col[i] = pos_to_col[lp]
+
+    # Slot assignment: greedy lowest-free-slot over activation order.
+    import heapq
+
+    events_start: List[List[int]] = [[] for _ in range(C)]
+    for i in range(n_reads):
+        if first_col[i] >= 0:
+            events_start[first_col[i]].append(i)
+
+    read_slot = np.full(n_reads, -1, dtype=np.int32)
+    free_slots: List[int] = []
+    next_slot = 0
+    active_until = {}  # slot -> last col
+    K = 0
+    for c in range(C):
+        # free slots of reads that died before this column
+        for s in [s for s, lc in active_until.items() if lc < c]:
+            heapq.heappush(free_slots, s)
+            del active_until[s]
+        for i in events_start[c]:  # activation order = read id order
+            if free_slots:
+                s = heapq.heappop(free_slots)
+            else:
+                s = next_slot
+                next_slot += 1
+            read_slot[i] = s
+            active_until[s] = last_col[i]
+        K = max(K, len(active_until))
+    K = max(next_slot, 1)
+
+    active = np.zeros((C, K), dtype=bool)
+    slot_read = np.full((C, K), -1, dtype=np.int32)
+    allele = np.full((C, K), 2, dtype=np.int8)
+    weight = np.zeros((C, K), dtype=np.int32)
+    rank = np.full((C, K), -1, dtype=np.int8)
+    die = np.zeros((C, K), dtype=bool)  # slot dies AFTER column c
+
+    # Per-read entry maps
+    for i, read in enumerate(readset):
+        if first_col[i] < 0:
+            continue
+        s = read_slot[i]
+        active[first_col[i] : last_col[i] + 1, s] = True
+        slot_read[first_col[i] : last_col[i] + 1, s] = i
+        die[last_col[i], s] = True
+        for v in read:
+            c = pos_to_col.get(v.position)
+            if c is not None and first_col[i] <= c <= last_col[i]:
+                allele[c, s] = v.allele
+                weight[c, s] = v.quality
+
+    # rank among active reads in read-id order
+    for c in range(C):
+        slots = np.nonzero(active[c])[0]
+        order = slots[np.argsort(slot_read[c, slots], kind="stable")]
+        for r, s in enumerate(order):
+            rank[c, s] = r
+
+    die_prev = np.zeros((C, K), dtype=bool)
+    if C > 1:
+        die_prev[1:] = die[:-1]
+
+    # Transmission-dependent partition maps
+    h2p = np.zeros((T, max(n_ind, 1), 2), dtype=np.int32)
+    for t in range(T):
+        pp = PedigreePartitions(pedigree, t)
+        for i in range(n_ind):
+            h2p[t, i, 0] = pp.haplotype_to_partition(i, 0)
+            h2p[t, i, 1] = pp.haplotype_to_partition(i, 1)
+
+    # Column cost weights.
+    # c_s(a) = weight if allele in {0,1} and allele != a else 0
+    # (pedigreecolumncostcomputer.cpp:53-76: a REF entry adds its phred to
+    # cost_partition[p][1], an ALT entry to cost_partition[p][0]).
+    contra = np.zeros((C, K, 2), dtype=np.int32)
+    is_ref = allele == 0
+    is_alt = allele == 1
+    contra[:, :, 0] = np.where(is_alt, weight, 0)
+    contra[:, :, 1] = np.where(is_ref, weight, 0)
+
+    ind_of_slot = np.where(slot_read >= 0, read_source[np.maximum(slot_read, 0)], 0)
+    # partition index per (column, slot, transmission, bit)
+    p_of_bit0 = h2p[:, :, 0][np.arange(T)[:, None, None], ind_of_slot[None]]  # (T,C,K)
+    p_of_bit1 = h2p[:, :, 1][np.arange(T)[:, None, None], ind_of_slot[None]]
+    # one-hot over partitions
+    sel0 = (p_of_bit0[..., None] == np.arange(P)[None, None, None, :])  # (T,C,K,P)
+    sel1 = (p_of_bit1[..., None] == np.arange(P)[None, None, None, :])
+    # wbase[c,t,p,a] = sum_s sel0 * c_s(a); wdiff = (sel1 - sel0) * c_s(a)
+    wbase = np.einsum("tckp,cka->ctpa", sel0.astype(np.int64), contra.astype(np.int64))
+    wdiff = (
+        (sel1.astype(np.int64) - sel0.astype(np.int64)).transpose(1, 2, 0, 3)[
+            ..., None
+        ]
+        * contra[:, :, None, None, :].astype(np.int64)
+    )  # (C,K,T,P,2)
+
+    # Genotype-compatible allele assignments per (column, transmission):
+    # acost[c,t,i] = sum of (truncated) GL costs, or INF if incompatible
+    # (pedigreecolumncostcomputer.cpp:25-49).
+    nA = 1 << P
+    acost = np.zeros((C, T, nA), dtype=np.int64)
+    assign_idx = np.arange(nA)
+    for t in range(T):
+        for ind in range(n_ind):
+            part0 = h2p[t, ind, 0]
+            part1 = h2p[t, ind, 1]
+            a0 = (assign_idx >> part0) & 1  # (nA,)
+            a1 = (assign_idx >> part1) & 1
+            gt_of_assign = a0 + a1  # canonical diploid biallelic index
+            if distrust_genotypes:
+                gl_cols = np.zeros((C, 3), dtype=np.int64)
+                for c in range(C):
+                    gls = pedigree.get_genotype_likelihoods(ind, c)
+                    if gls is None:
+                        raise RuntimeError(
+                            "genotype likelihoods required with distrust_genotypes"
+                        )
+                    # unsigned-int truncation per addition, as in the C++
+                    for g in range(3):
+                        gl_cols[c, g] = int(gls.as_vector()[g])
+                acost[:, t, :] += gl_cols[:, gt_of_assign]
+            else:
+                gt_idx = np.full(C, -1, dtype=np.int64)
+                for c in range(C):
+                    gt = pedigree.get_genotype(ind, c)
+                    if gt.get_ploidy() == 2 and not gt.is_none():
+                        alleles = gt.as_vector()
+                        if all(a in (0, 1) for a in alleles):
+                            gt_idx[c] = sum(alleles)
+                ok = gt_of_assign[None, :] == gt_idx[:, None]  # (C, nA)
+                acost[:, t, :] += np.where(ok, 0, np.int64(INF) * 4)
+    acost = np.minimum(acost, INF).astype(np.int32)
+
+    if C > 0:
+        # Mendelian conflict check: a column where no (t, assignment) is
+        # compatible (pedigreedptable.cpp:301-303)
+        if bool(np.any(np.all(acost >= INF, axis=(1, 2)))):
+            raise MendelianConflictError()
+
+    rc = np.asarray(list(recombcost), dtype=np.int32)
+    if C > 0 and len(rc) < C:
+        raise ValueError("recombcost shorter than number of columns")
+
+    return PackedProblem(
+        n_cols=C,
+        K=K,
+        T=T,
+        P=P,
+        n_reads=n_reads,
+        positions=np.asarray(cols, dtype=np.int64),
+        active=active,
+        slot_read=slot_read,
+        allele=allele,
+        weight=weight,
+        rank=rank,
+        die_prev=die_prev,
+        rc=rc[:C] if C > 0 else rc,
+        wdiff=wdiff.astype(np.int32),
+        wbase=wbase.astype(np.int32),
+        acost=acost,
+        read_slot=read_slot,
+        read_first_col=first_col,
+        h2p=h2p,
+        read_source=read_source,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Device-side DP
+# ---------------------------------------------------------------------------
+
+
+def _bits_matrix(K: int) -> np.ndarray:
+    """Static (2^K, K) matrix of bipartition bit patterns."""
+    idx = np.arange(1 << K, dtype=np.uint32)
+    return ((idx[:, None] >> np.arange(K)[None, :]) & 1).astype(np.float32)
+
+
+def _assign_bits(P: int) -> np.ndarray:
+    idx = np.arange(1 << P, dtype=np.uint32)
+    return ((idx[:, None] >> np.arange(P)[None, :]) & 1).astype(np.int32)
+
+
+def _popcount_matrix(T: int) -> np.ndarray:
+    i = np.arange(T)
+    x = i[:, None] ^ i[None, :]
+    pc = np.zeros_like(x)
+    while np.any(x):
+        pc += x & 1
+        x >>= 1
+    return pc.astype(np.int32)
+
+
+def _inverse_gray(n: jnp.ndarray, K: int) -> jnp.ndarray:
+    """Inverse Gray code (rank of bipartition in Gray iteration order)."""
+    shift = 1
+    while shift < max(K, 1):
+        n = n ^ (n >> shift)
+        shift <<= 1
+    return n
+
+
+@partial(jax.jit, static_argnames=("K", "T", "P"))
+def _forward_scan(
+    K: int,
+    T: int,
+    P: int,
+    wdiff,  # (C, K, T*P*2) float32
+    wbase,  # (C, T, P, 2) int32
+    rankw,  # (C, K) float32  (2^rank or 0)
+    acost,  # (C, T, 2^P) int32
+    die_prev,  # (C, K) bool
+    rc,  # (C,) int32
+):
+    """Forward pass.  Returns per-column backtrace arrays and final state."""
+    S = 1 << K
+    nA = 1 << P
+    bits = jnp.asarray(_bits_matrix(K))  # (S, K) f32
+    abits = jnp.asarray(_assign_bits(P))  # (nA, P) i32
+    pcmat_np = _popcount_matrix(T)
+    max_pc = max(int(pcmat_np.max()), 1)
+    pcmat = jnp.asarray(pcmat_np)  # (T, T) i32
+    idx_base = jnp.arange(S, dtype=jnp.int32)
+
+    def col_cost(wdiff_c, wbase_c, acost_c):
+        # f: (S, T*P*2) exact in f32 (values < 2^24)
+        f = jnp.dot(bits, wdiff_c, preferred_element_type=jnp.float32)
+        cp = f.astype(jnp.int32).reshape(S, T, P, 2) + wbase_c[None]  # (S,T,P,2)
+        s0 = jnp.sum(cp[..., 0], axis=-1)  # (S, T)
+        d = (cp[..., 1] - cp[..., 0]).astype(jnp.float32)  # (S, T, P)
+        # per-assignment partition cost: (S, T, nA)
+        pa = jnp.einsum(
+            "stp,ap->sta", d, abits.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+        total = s0[:, :, None] + pa + acost_c[None]  # (S, T, nA)
+        total = jnp.minimum(total, INF)
+        return jnp.min(total, axis=-1)  # (S, T)
+
+    def step(carry, xs):
+        dp_prev, jmin_prev, key_prev = carry
+        wdiff_c, wbase_c, rankw_c, acost_c, die_c, rc_c = xs
+
+        # ---- fold dying bits of the previous column (forward projection,
+        # pedigreedptable.cpp:316-326) with Gray-order tie-breaking ----
+        cost = dp_prev
+        key = jnp.broadcast_to(key_prev[:, None], (S, T))
+        idx = jnp.broadcast_to(idx_base[:, None], (S, T))
+        jmin = jmin_prev
+        for p in range(K):
+            hi = 1 << (K - 1 - p)
+            lo = 1 << p if p > 0 else 1
+            # view (hi_dims, 2, lo_dims) over bit p
+            def fold(arr):
+                return arr.reshape((1 << (K - 1 - p)), 2, (1 << p), T)
+
+            c_v = fold(cost)
+            k_v = fold(key)
+            i_v = fold(idx)
+            j_v = fold(jmin)
+            a_c, b_c = c_v[:, 0], c_v[:, 1]
+            a_k, b_k = k_v[:, 0], k_v[:, 1]
+            take_b = (b_c < a_c) | ((b_c == a_c) & (b_k < a_k))
+            w_c = jnp.where(take_b, b_c, a_c)
+            w_k = jnp.where(take_b, b_k, a_k)
+            w_i = jnp.where(take_b, i_v[:, 1], i_v[:, 0])
+            w_j = jnp.where(take_b, j_v[:, 1], j_v[:, 0])
+
+            def both(w, orig):
+                return jnp.where(
+                    die_c[p],
+                    jnp.broadcast_to(w[:, None], orig.shape).reshape(S, T),
+                    orig.reshape(S, T),
+                ).reshape(S, T)
+
+            cost = both(w_c, c_v)
+            key = both(w_k, k_v)
+            idx = both(w_i, i_v)
+            jmin = both(w_j, j_v)
+
+        proj_cost, proj_idx, proj_jmin = cost, idx, jmin
+
+        # ---- transmission min-plus (pedigreedptable.cpp:262-300) ----
+        # clamp rc so pcmat * rc cannot overflow int32 (pcmat max is static)
+        rc_safe = jnp.minimum(rc_c, INF // max_pc)
+        recomb = jnp.minimum(pcmat * rc_safe, INF)
+        trans_term = proj_cost[:, None, :] + recomb[None]  # (S, T_i, T_j)
+        trans_term = jnp.minimum(trans_term, INF)
+        trans_min = jnp.min(trans_term, axis=-1)  # (S, T)
+        jmin_new = jnp.argmin(trans_term, axis=-1).astype(jnp.int32)
+
+        # ---- current column cost over all bipartitions ----
+        cc = col_cost(wdiff_c, wbase_c, acost_c)  # (S, T)
+        dp = jnp.minimum(cc + trans_min, INF)
+
+        # ---- tie-break key for this column ----
+        r = jnp.dot(bits, rankw_c[:, None], preferred_element_type=jnp.float32)
+        key_new = _inverse_gray(r[:, 0].astype(jnp.int32), K)
+
+        return (dp, jmin_new, key_new), (proj_idx, proj_jmin)
+
+    S0 = (
+        jnp.zeros((S, T), dtype=jnp.int32),
+        jnp.zeros((S, T), dtype=jnp.int32),
+        jnp.zeros((S,), dtype=jnp.int32),
+    )
+    xs = (wdiff, wbase, rankw, acost, die_prev, rc)
+    (dp_last, jmin_last, key_last), (proj_idx, proj_jmin) = jax.lax.scan(
+        step, S0, xs
+    )
+    return dp_last, jmin_last, key_last, proj_idx, proj_jmin
+
+
+@dataclass
+class DPResult:
+    optimal_cost: int
+    index_path: np.ndarray  # (C,) slot-space bipartition index per column
+    trans_path: np.ndarray  # (C,) transmission value per column
+
+
+def run_dp(packed: PackedProblem) -> Optional[DPResult]:
+    """Run the forward scan + backtrace.  Returns None for empty problems."""
+    C, K, T, P = packed.n_cols, packed.K, packed.T, packed.P
+    if C == 0:
+        return None
+    S = 1 << K
+
+    rankw = np.where(
+        packed.rank >= 0, (1 << np.maximum(packed.rank, 0).astype(np.int64)), 0
+    ).astype(np.float32)
+    wdiff = packed.wdiff.reshape(C, K, T * P * 2).astype(np.float32)
+
+    dp_last, jmin_last, key_last, proj_idx, proj_jmin = _forward_scan(
+        K,
+        T,
+        P,
+        jnp.asarray(wdiff),
+        jnp.asarray(packed.wbase),
+        jnp.asarray(rankw),
+        jnp.asarray(packed.acost),
+        jnp.asarray(packed.die_prev),
+        jnp.asarray(packed.rc),
+    )
+    dp_last = np.asarray(dp_last)
+    jmin_last = np.asarray(jmin_last)
+    key_last = np.asarray(key_last)
+    proj_idx = np.asarray(proj_idx)
+    proj_jmin = np.asarray(proj_jmin)
+
+    # ---- final optimum: first strict minimum in (gray order, transmission)
+    # iteration (pedigreedptable.cpp:308-315), with a numeric-index tiebreak
+    # to select the zero-padded representative among inactive-bit duplicates.
+    m = dp_last.min()
+    cand = dp_last == m
+    key2 = np.where(cand, key_last[:, None].astype(np.int64), np.iinfo(np.int64).max)
+    km = key2.min()
+    cand &= key2 == km
+    # among remaining: smallest transmission, then smallest index
+    ti = np.nonzero(cand)
+    order = np.lexsort((ti[0], ti[1]))  # sort by trans, then index
+    opt_idx = int(ti[0][order[0]])
+    opt_trans = int(ti[1][order[0]])
+    optimal_cost = int(m)
+
+    # ---- backtrace (pedigreedptable.cpp:137-173) ----
+    index_path = np.zeros(C, dtype=np.int64)
+    trans_path = np.zeros(C, dtype=np.int64)
+    v_idx, v_trans = opt_idx, opt_trans
+    prev_trans = int(jmin_last[opt_idx, opt_trans])
+    index_path[C - 1] = v_idx
+    trans_path[C - 1] = v_trans
+    for i in range(C - 1, 0, -1):
+        # backtrace tables of column i-1 were emitted at scan step i
+        v_idx = int(proj_idx[i, v_idx, prev_trans])
+        v_trans = prev_trans
+        prev_trans = int(proj_jmin[i, v_idx, v_trans])
+        index_path[i - 1] = v_idx
+        trans_path[i - 1] = v_trans
+    return DPResult(optimal_cost, index_path, trans_path)
+
+
+# ---------------------------------------------------------------------------
+# Output extraction (host, numpy)
+# ---------------------------------------------------------------------------
+
+
+def extract_partitioning(packed: PackedProblem, result: Optional[DPResult]) -> List[int]:
+    """Per-read partition (0 or 1).
+
+    The C++ marks reads with bit==0 as ``true`` (pedigreedptable.cpp:391-406)
+    and the Cython wrapper inverts that back (core.pyx:410-416:
+    ``0 if x else 1``), so the exposed value equals the bipartition bit; reads
+    never active in any column default to 1.
+    """
+    out = [1] * packed.n_reads
+    if result is None:
+        return out
+    for r in range(packed.n_reads):
+        s = packed.read_slot[r]
+        c = packed.read_first_col[r]
+        if s < 0 or c < 0:
+            continue
+        out[r] = (int(result.index_path[c]) >> int(s)) & 1
+    return out
+
+
+def extract_alleles(
+    packed: PackedProblem, result: DPResult, pedigree: Pedigree
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-column, per-individual optimal alleles + qualities.
+
+    Replicates PedigreeColumnCostComputer::get_alleles
+    (pedigreecolumncostcomputer.cpp:117-175) at the traced-back optimum,
+    including its exact tie handling: the LAST assignment attaining the
+    minimum cost wins (``cost <= best_cost``), the reported quality is the
+    gap for haplotype 1, and an allele becomes EQUAL_SCORES (3) when its
+    haplotype's two allele costs tie.
+
+    Returns (allele0, allele1, quality) of shape (C, n_individuals).
+    """
+    C, K, T, P = packed.n_cols, packed.K, packed.T, packed.P
+    n_ind = len(pedigree)
+    nA = 1 << P
+
+    b = (
+        (result.index_path[:, None] >> np.arange(K)[None, :]) & 1
+    ).astype(np.int64)  # (C, K)
+    t_sel = result.trans_path  # (C,)
+    # cost_partition[c, p, a] at the optimum
+    wdiff_sel = packed.wdiff[np.arange(C), :, t_sel]  # (C, K, P, 2)
+    wbase_sel = packed.wbase[np.arange(C), t_sel]  # (C, P, 2)
+    cp = wbase_sel + np.einsum("ck,ckpa->cpa", b, wdiff_sel.astype(np.int64))
+
+    assign_idx = np.arange(nA)
+    abits = ((assign_idx[:, None] >> np.arange(P)[None, :]) & 1).astype(np.int64)
+    acost_sel = packed.acost[np.arange(C), t_sel].astype(np.int64)  # (C, nA)
+    # total[c, a] = acost + sum_p cp[c, p, bit_p(a)]
+    cp0 = cp[:, :, 0]  # (C, P)
+    cp1 = cp[:, :, 1]
+    total = (
+        acost_sel
+        + cp0.sum(axis=1)[:, None]
+        + (cp1 - cp0) @ abits.T  # (C, nA)
+    )
+    total = np.minimum(total, INF)
+
+    compatible = acost_sel < INF  # (C, nA)
+    total_masked = np.where(compatible, total, np.int64(1) << 60)
+    best_cost = total_masked.min(axis=1)  # (C,)
+    if np.any(best_cost >= INF):
+        raise MendelianConflictError()
+    # last argmin among compatible assignments ("cost <= best_cost")
+    is_best = total_masked == best_cost[:, None]
+    last_best = nA - 1 - np.argmax(is_best[:, ::-1], axis=1)  # (C,)
+
+    allele0 = np.zeros((C, n_ind), dtype=np.int64)
+    allele1 = np.zeros((C, n_ind), dtype=np.int64)
+    quality = np.zeros((C, n_ind), dtype=np.int64)
+    for ind in range(n_ind):
+        part0 = packed.h2p[t_sel, ind, 0]  # (C,)
+        part1 = packed.h2p[t_sel, ind, 1]
+        a0_of_assign = (assign_idx[None, :] >> part0[:, None]) & 1  # (C, nA)
+        a1_of_assign = (assign_idx[None, :] >> part1[:, None]) & 1
+        a0 = a0_of_assign[np.arange(C), last_best]
+        a1 = a1_of_assign[np.arange(C), last_best]
+        # best cost for forcing each haplotype to each allele
+        big = np.int64(1) << 60
+        bc = np.where(compatible, total, big)
+        bcfa00 = np.where(a0_of_assign == 0, bc, big).min(axis=1)
+        bcfa01 = np.where(a0_of_assign == 1, bc, big).min(axis=1)
+        bcfa10 = np.where(a1_of_assign == 0, bc, big).min(axis=1)
+        bcfa11 = np.where(a1_of_assign == 1, bc, big).min(axis=1)
+        q0 = np.abs(bcfa00 - bcfa01)
+        q1 = np.abs(bcfa10 - bcfa11)
+        # reference quirk: quality is overwritten by the haplotype-1 value
+        quality[:, ind] = q1
+        allele0[:, ind] = np.where(q0 == 0, 3, a0)
+        allele1[:, ind] = np.where(q1 == 0, 3, a1)
+    return allele0, allele1, quality

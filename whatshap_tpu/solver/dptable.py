@@ -1,0 +1,84 @@
+"""
+PedigreeDPTable: exact wMEC/PedMEC solver with the reference API.
+
+API parity with whatshap.core.PedigreeDPTable (core.pyx:364-416, backed by
+src/pedigreedptable.cpp): construct from (ReadSet, recombcost, Pedigree,
+distrust_genotypes, positions); query get_super_reads(),
+get_optimal_cost(), get_optimal_partitioning().
+
+The compute path is TPU-native: the column DP runs as a JAX scan over the
+full bipartition x transmission state space (see whatshap_tpu.ops.wmec).
+"""
+
+from typing import List, Optional, Sequence, Tuple
+
+from ..core.pedigree_model import Pedigree
+from ..core.readset import Read, ReadSet
+from ..ops import wmec
+
+
+class PedigreeDPTable:
+    def __init__(
+        self,
+        readset: ReadSet,
+        recombcost: Sequence[int],
+        pedigree: Pedigree,
+        distrust_genotypes: bool = False,
+        positions: Optional[Sequence[int]] = None,
+    ):
+        self._readset = readset
+        self._pedigree = pedigree
+        self._packed = wmec.pack_problem(
+            readset, recombcost, pedigree, distrust_genotypes, positions
+        )
+        self._result = wmec.run_dp(self._packed)
+
+    def get_optimal_cost(self) -> int:
+        if self._result is None:
+            return 0
+        return self._result.optimal_cost
+
+    def get_optimal_partitioning(self) -> List[bool]:
+        return wmec.extract_partitioning(self._packed, self._result)
+
+    def get_super_reads(self) -> Tuple[List[Tuple[ReadSet, ReadSet]], List[int]]:
+        """Per individual, a pair of superreads; plus the transmission vector.
+
+        Mirrors PedigreeDPTable::get_super_reads
+        (pedigreedptable.cpp:344-388) and its Cython wrapper
+        (core.pyx:397-414): returns ([readset_per_individual], transmission
+        vector), where each per-individual ReadSet holds the two haplotype
+        superreads.
+        """
+        n_ind = len(self._pedigree)
+        superreads = [
+            (
+                Read(f"superread_0_{i}", -1, -1, self._pedigree.index_to_id(i)),
+                Read(f"superread_1_{i}", -1, -1, self._pedigree.index_to_id(i)),
+            )
+            for i in range(n_ind)
+        ]
+        transmission_vector: List[int] = []
+
+        if self._result is not None:
+            allele0, allele1, quality = wmec.extract_alleles(
+                self._packed, self._result, self._pedigree
+            )
+            positions = self._packed.positions
+            for c in range(self._packed.n_cols):
+                for i in range(n_ind):
+                    superreads[i][0].add_variant(
+                        int(positions[c]), int(allele0[c, i]), int(quality[c, i])
+                    )
+                    superreads[i][1].add_variant(
+                        int(positions[c]), int(allele1[c, i]), int(quality[c, i])
+                    )
+                transmission_vector.append(int(self._result.trans_path[c]))
+
+        output: List[ReadSet] = []
+        for i in range(n_ind):
+            rs = ReadSet()
+            rs.add(superreads[i][0])
+            rs.add(superreads[i][1])
+            output.append(rs)
+        return output, transmission_vector
