@@ -211,7 +211,10 @@ def pack_problem(
     contra[:, :, 0] = np.where(is_alt, weight, 0)
     contra[:, :, 1] = np.where(is_ref, weight, 0)
 
-    ind_of_slot = np.where(slot_read >= 0, read_source[np.maximum(slot_read, 0)], 0)
+    if n_reads > 0:
+        ind_of_slot = np.where(slot_read >= 0, read_source[np.maximum(slot_read, 0)], 0)
+    else:
+        ind_of_slot = np.zeros((C, K), dtype=np.int32)
     # partition index per (column, slot, transmission, bit)
     p_of_bit0 = h2p[:, :, 0][np.arange(T)[:, None, None], ind_of_slot[None]]  # (T,C,K)
     p_of_bit1 = h2p[:, :, 1][np.arange(T)[:, None, None], ind_of_slot[None]]
@@ -272,7 +275,12 @@ def pack_problem(
 
     rc = np.asarray(list(recombcost), dtype=np.int32)
     if C > 0 and len(rc) < C:
-        raise ValueError("recombcost shorter than number of columns")
+        # The reference indexes recombcost[column] without a bounds check
+        # (pedigreedptable.cpp:287): reading past the end is UB there.  We
+        # instead pad with a prohibitive cost, which keeps the transmission
+        # vector constant across the unspecified tail — the behavior the
+        # reference tests rely on.
+        rc = np.concatenate([rc, np.full(C - len(rc), INF, dtype=np.int32)])
 
     return PackedProblem(
         n_cols=C,
