@@ -341,8 +341,7 @@ def _inverse_gray(n: jnp.ndarray, K: int) -> jnp.ndarray:
     return n
 
 
-@partial(jax.jit, static_argnames=("K", "T", "P"))
-def _forward_scan(
+def _forward_scan_impl(
     K: int,
     T: int,
     P: int,
@@ -352,6 +351,8 @@ def _forward_scan(
     acost,  # (C, T, 2^P) int32
     die_prev,  # (C, K) bool
     rc,  # (C,) int32
+    carry0=None,
+    emit_bt: bool = True,
 ):
     """Forward pass.  Returns per-column backtrace arrays and final state."""
     S = 1 << K
@@ -364,16 +365,22 @@ def _forward_scan(
     idx_base = jnp.arange(S, dtype=jnp.int32)
 
     def col_cost(wdiff_c, wbase_c, acost_c):
-        # f: (S, T*P*2) exact in f32 (values < 2^24)
-        f = jnp.dot(bits, wdiff_c, preferred_element_type=jnp.float32)
+        # f: (S, T*P*2).  NOTE: TPU matmuls default to one-pass bf16, which
+        # is inexact for integer weights > 256 — HIGHEST forces the 3-pass
+        # scheme, exact for integers < 2^24.
+        f = jnp.dot(
+            bits,
+            wdiff_c,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         cp = f.astype(jnp.int32).reshape(S, T, P, 2) + wbase_c[None]  # (S,T,P,2)
         s0 = jnp.sum(cp[..., 0], axis=-1)  # (S, T)
-        d = (cp[..., 1] - cp[..., 0]).astype(jnp.float32)  # (S, T, P)
-        # per-assignment partition cost: (S, T, nA)
-        pa = jnp.einsum(
-            "stp,ap->sta", d, abits.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)
+        d = cp[..., 1] - cp[..., 0]  # (S, T, P) int32
+        # per-assignment partition cost, exact int32 (P is tiny: unrolled)
+        pa = jnp.zeros((S, T, nA), dtype=jnp.int32)
+        for p in range(P):
+            pa = pa + jnp.where(abits[None, None, :, p] == 1, d[:, :, p : p + 1], 0)
         total = s0[:, :, None] + pa + acost_c[None]  # (S, T, nA)
         total = jnp.minimum(total, INF)
         return jnp.min(total, axis=-1)  # (S, T)
@@ -435,21 +442,51 @@ def _forward_scan(
         dp = jnp.minimum(cc + trans_min, INF)
 
         # ---- tie-break key for this column ----
+        # rank weights are powers of two (bf16-exact products; f32-exact
+        # accumulation below 2^24), so default matmul precision is safe here
         r = jnp.dot(bits, rankw_c[:, None], preferred_element_type=jnp.float32)
         key_new = _inverse_gray(r[:, 0].astype(jnp.int32), K)
 
-        return (dp, jmin_new, key_new), (proj_idx, proj_jmin)
+        emit = (proj_idx, proj_jmin) if emit_bt else None
+        return (dp, jmin_new, key_new), emit
 
-    S0 = (
-        jnp.zeros((S, T), dtype=jnp.int32),
-        jnp.zeros((S, T), dtype=jnp.int32),
-        jnp.zeros((S,), dtype=jnp.int32),
-    )
+    if carry0 is None:
+        carry0 = (
+            jnp.zeros((S, T), dtype=jnp.int32),
+            jnp.zeros((S, T), dtype=jnp.int32),
+            jnp.zeros((S,), dtype=jnp.int32),
+        )
     xs = (wdiff, wbase, rankw, acost, die_prev, rc)
-    (dp_last, jmin_last, key_last), (proj_idx, proj_jmin) = jax.lax.scan(
-        step, S0, xs
-    )
-    return dp_last, jmin_last, key_last, proj_idx, proj_jmin
+    carry, emitted = jax.lax.scan(step, carry0, xs)
+    dp_last, jmin_last, key_last = carry
+    if emit_bt:
+        proj_idx, proj_jmin = emitted
+        return dp_last, jmin_last, key_last, proj_idx, proj_jmin
+    return dp_last, jmin_last, key_last
+
+
+@partial(jax.jit, static_argnames=("K", "T", "P"))
+def _forward_scan(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc):
+    """Single-block forward pass with full backtrace emission."""
+    return _forward_scan_impl(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc)
+
+
+@partial(jax.jit, static_argnames=("K", "T", "P"))
+def forward_cost_batched(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc):
+    """Batched (leading block axis) forward pass, final costs only.
+
+    This is the scale-out workhorse: thousands of independent phase blocks,
+    padded to a common (C, K) bucket, run as one vmapped scan; the block axis
+    shards data-parallel over a device mesh.
+    """
+
+    def one(wd, wb, rw, ac, dp_, rc_):
+        dp_last, jmin_last, key_last = _forward_scan_impl(
+            K, T, P, wd, wb, rw, ac, dp_, rc_, emit_bt=False
+        )
+        return dp_last, jmin_last, key_last
+
+    return jax.vmap(one)(wdiff, wbase, rankw, acost, die_prev, rc)
 
 
 @dataclass
@@ -459,34 +496,56 @@ class DPResult:
     trans_path: np.ndarray  # (C,) transmission value per column
 
 
-def run_dp(packed: PackedProblem) -> Optional[DPResult]:
-    """Run the forward scan + backtrace.  Returns None for empty problems."""
+def _next_pow2(n: int, lo: int = 8) -> int:
+    v = lo
+    while v < n:
+        v <<= 1
+    return v
+
+
+def run_dp(packed: PackedProblem, backend: str = "auto") -> Optional[DPResult]:
+    """Run the forward scan + backtrace.  Returns None for empty problems.
+
+    backend: "auto" | "jax" | "numpy".  The numpy mirror is exact and faster
+    than a jit compile for tiny state spaces; the jax path pads the column
+    count to power-of-two buckets so jit caches are reused across blocks.
+    """
     C, K, T, P = packed.n_cols, packed.K, packed.T, packed.P
     if C == 0:
         return None
     S = 1 << K
 
-    rankw = np.where(
-        packed.rank >= 0, (1 << np.maximum(packed.rank, 0).astype(np.int64)), 0
-    ).astype(np.float32)
-    wdiff = packed.wdiff.reshape(C, K, T * P * 2).astype(np.float32)
+    if backend == "auto":
+        backend = "numpy" if C * S * T <= (1 << 22) else "jax"
 
-    dp_last, jmin_last, key_last, proj_idx, proj_jmin = _forward_scan(
-        K,
-        T,
-        P,
-        jnp.asarray(wdiff),
-        jnp.asarray(packed.wbase),
-        jnp.asarray(rankw),
-        jnp.asarray(packed.acost),
-        jnp.asarray(packed.die_prev),
-        jnp.asarray(packed.rc),
-    )
+    if backend == "numpy":
+        from . import wmec_numpy
+
+        dp_last, jmin_last, key_last, proj_idx, proj_jmin = wmec_numpy.forward_scan_numpy(
+            packed
+        )
+    else:
+        from ..parallel.blocks import pad_block
+
+        c_pad = _next_pow2(C)
+        padded = pad_block(packed, c_pad)
+        dp_last, jmin_last, key_last, proj_idx, proj_jmin = _forward_scan(
+            K,
+            T,
+            P,
+            jnp.asarray(padded.wdiff),
+            jnp.asarray(padded.wbase),
+            jnp.asarray(padded.rankw),
+            jnp.asarray(padded.acost),
+            jnp.asarray(padded.die_prev),
+            jnp.asarray(padded.rc),
+        )
     dp_last = np.asarray(dp_last)
     jmin_last = np.asarray(jmin_last)
     key_last = np.asarray(key_last)
     proj_idx = np.asarray(proj_idx)
     proj_jmin = np.asarray(proj_jmin)
+    C_run = proj_idx.shape[0]  # C, or the padded column count on the jax path
 
     # ---- final optimum: first strict minimum in (gray order, transmission)
     # iteration (pedigreedptable.cpp:308-315), with a numeric-index tiebreak
@@ -504,20 +563,22 @@ def run_dp(packed: PackedProblem) -> Optional[DPResult]:
     optimal_cost = int(m)
 
     # ---- backtrace (pedigreedptable.cpp:137-173) ----
-    index_path = np.zeros(C, dtype=np.int64)
-    trans_path = np.zeros(C, dtype=np.int64)
+    # On the jax path the walk starts in the padded tail, where projection
+    # tables are identities — semantics match the unpadded walk exactly.
+    index_path = np.zeros(C_run, dtype=np.int64)
+    trans_path = np.zeros(C_run, dtype=np.int64)
     v_idx, v_trans = opt_idx, opt_trans
     prev_trans = int(jmin_last[opt_idx, opt_trans])
-    index_path[C - 1] = v_idx
-    trans_path[C - 1] = v_trans
-    for i in range(C - 1, 0, -1):
+    index_path[C_run - 1] = v_idx
+    trans_path[C_run - 1] = v_trans
+    for i in range(C_run - 1, 0, -1):
         # backtrace tables of column i-1 were emitted at scan step i
         v_idx = int(proj_idx[i, v_idx, prev_trans])
         v_trans = prev_trans
         prev_trans = int(proj_jmin[i, v_idx, v_trans])
         index_path[i - 1] = v_idx
         trans_path[i - 1] = v_trans
-    return DPResult(optimal_cost, index_path, trans_path)
+    return DPResult(optimal_cost, index_path[:C], trans_path[:C])
 
 
 # ---------------------------------------------------------------------------
