@@ -1,0 +1,73 @@
+"""
+ctypes loader for the native host kernels (native/alignlib.cpp).
+
+Builds the shared library on first use with g++ (cached next to the
+sources); falls back cleanly if no compiler is available — callers check for
+``lib is None`` and use the Python implementations.
+"""
+
+import ctypes
+import os
+import subprocess
+import tempfile
+from pathlib import Path
+
+_NATIVE_DIR = Path(__file__).parent.parent / "native"
+_SO_PATH = _NATIVE_DIR / "_alignlib.so"
+
+
+class _NativeLib:
+    def __init__(self, cdll):
+        self._lib = cdll
+        self._lib.wh_edit_distance.restype = ctypes.c_int
+        self._lib.wh_edit_distance.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        self._lib.wh_edit_distance_affine_gap.restype = ctypes.c_int
+        self._lib.wh_edit_distance_affine_gap.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+
+    def edit_distance(self, s: bytes, t: bytes, maxdiff: int = -1) -> int:
+        return self._lib.wh_edit_distance(s, len(s), t, len(t), maxdiff)
+
+    def edit_distance_affine_gap(self, q, r, mismatch_cost, gap_start, gap_extend):
+        arr = (ctypes.c_int * len(mismatch_cost))(*mismatch_cost)
+        return self._lib.wh_edit_distance_affine_gap(
+            q, len(q), r, len(r), arr, gap_start, gap_extend
+        )
+
+
+def _build() -> bool:
+    src = _NATIVE_DIR / "alignlib.cpp"
+    if not src.exists():
+        return False
+    if _SO_PATH.exists() and _SO_PATH.stat().st_mtime >= src.stat().st_mtime:
+        return True
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", str(_SO_PATH), str(src)],
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+lib = None
+if _build():
+    try:
+        lib = _NativeLib(ctypes.CDLL(str(_SO_PATH)))
+    except OSError:
+        lib = None
