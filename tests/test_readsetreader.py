@@ -173,8 +173,8 @@ ALLELE_DETECTION_CASES = [
 @pytest.mark.parametrize("bam,reference,expected", ALLELE_DETECTION_CASES)
 def test_allele_detection(bam, reference, expected):
     detected = _detected_alleles(bam, f"{BIALLELIC}.vcf", reference)
-    for name, exp in expected.items():
-        assert detected[name] == exp
+    for name, alleles in detected.items():
+        assert alleles == expected[name]
 
 
 @pytest.mark.parametrize("reference", [None, FASTA])
@@ -193,8 +193,8 @@ def test_allele_detection_05(reference):
         "Read50": [(208, 1)],
     }
     detected = _detected_alleles(f"{BIALLELIC}.05.bam", f"{BIALLELIC}.vcf", reference)
-    for name, exp in expected.items():
-        assert detected[name] == exp
+    for name, alleles in detected.items():
+        assert alleles == expected[name]
 
 
 @pytest.mark.parametrize("reference", [None, FASTA])
@@ -208,5 +208,5 @@ def test_allele_detection_multiallelic(reference):
     detected = _detected_alleles(
         f"{MULTIALLELIC}.01.bam", f"{MULTIALLELIC}.vcf", reference, mav=True
     )
-    for name, exp in expected.items():
-        assert detected[name] == exp
+    for name, alleles in detected.items():
+        assert alleles == expected[name]
