@@ -457,7 +457,8 @@ class AlignmentFile:
             self._mode = "bam"
             self._read_bam_header(path)
         elif magic2 == b"CR":
-            raise NotImplementedError(
+            # surfaces as a CommandLineError via open_readset_reader
+            raise OSError(
                 "CRAM input is not supported by whatshap_tpu yet; please convert "
                 "to BAM (samtools view -b)"
             )
@@ -670,3 +671,29 @@ class AlignmentFile:
     def write(self, seg: AlignedSegment) -> None:
         assert self._writer is not None
         self._writer.write(encode_bam_record(seg))
+
+
+def sam_to_bam(sam_path: str, bam_path: str) -> None:
+    """Convert a SAM text file to BAM (replacement for `samtools view -b`)."""
+    src = AlignmentFile(sam_path)
+    out = AlignmentFile(bam_path, "wb", header=src.header)
+    for seg in src:
+        out.write(seg)
+    out.close()
+
+
+def build_minimal_index(bam_path: str) -> None:
+    """Write a structurally valid (empty) .bai next to the BAM.
+
+    Our fetch() scans and filters, using the index only as an existence
+    check (mirroring htslib's requirement that indexed access needs an
+    index); a real BAI builder can be layered in for seek-based fetch.
+    """
+    bam = AlignmentFile(bam_path)
+    n_ref = len(bam.header.references)
+    with open(str(bam_path) + ".bai", "wb") as f:
+        f.write(b"BAI\x01")
+        f.write(struct.pack("<i", n_ref))
+        for _ in range(n_ref):
+            f.write(struct.pack("<i", 0))  # n_bin
+            f.write(struct.pack("<i", 0))  # n_intv

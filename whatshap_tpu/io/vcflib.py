@@ -23,7 +23,9 @@ from .bgzf import BGZFWriter, is_gzip
 MISSING = "."
 
 
-class VcfFormatError(Exception):
+class VcfFormatError(ValueError):
+    # subclass of ValueError so header-repair code can treat malformed
+    # records like htslib/pysam parse errors
     pass
 
 
@@ -338,9 +340,8 @@ class VariantRecordSample:
 
 def _format_value(v) -> str:
     if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(round(v, 6))
+        # match htslib's %g formatting
+        return f"{v:g}"
     return str(v)
 
 
@@ -444,6 +445,12 @@ class VariantRecord:
         fields = line.rstrip("\n").split("\t")
         if len(fields) < 8:
             raise VcfFormatError(f"VCF record with fewer than 8 fields: {line!r}")
+        if header.samples and len(fields) < 10:
+            raise VcfFormatError(
+                f"VCF record with missing sample columns: {line!r}"
+            )
+        if len(fields) > 8 and (" " in fields[8] or not fields[8]):
+            raise VcfFormatError(f"Malformed FORMAT column: {fields[8]!r}")
         rec = cls(header)
         rec.chrom = fields[0]
         rec.pos = int(fields[1])

@@ -1,0 +1,252 @@
+"""
+Read selection (coverage downsampling): iterative greedy slices with a
+priority queue under a max-coverage constraint, plus bridging reads that
+connect phase-block components.
+
+Behavior parity with whatshap/readselect.pyx, including its exact scoring
+scheme (new - gaps, total - gaps, min quality), score-update rule, and
+set/queue iteration patterns (these determine tie outcomes and hence the
+exact selected read set).
+"""
+
+import logging
+from collections import defaultdict
+
+from .coverage import CovMonitor
+from .graph import ComponentFinder
+from .priorityqueue import PriorityQueue
+
+logger = logging.getLogger(__name__)
+
+
+def _construct_indexes(readset, preferred_source_ids=None):
+    """Return (positions, vcf index map, variant->reads map, preferred reads)."""
+    positions = readset.get_positions()
+    vcf_indices = {position: index for index, position in enumerate(positions)}
+    variant_to_reads_map = defaultdict(list)
+    preferred_reads = set()
+    for index, read in enumerate(readset):
+        if preferred_source_ids is not None:
+            if read.source_id in preferred_source_ids:
+                preferred_reads.add(index)
+        for variant in read:
+            variant_index = vcf_indices[variant.position]
+            variant_to_reads_map[variant_index].append(index)
+    return positions, vcf_indices, variant_to_reads_map, preferred_reads
+
+
+def _update_score_for_reads(former_score, readset, index, newly_covered_positions):
+    """Score update after a read has been selected (readselect.pyx:37-53).
+
+    NOTE: the reference decrements the first score component for every
+    variant of the read that is NOT among the newly covered positions;
+    replicated as-is since it shapes the selection outcome.
+    """
+    first_score, second_score, quality = former_score
+    read = readset[index]
+    for i in range(len(read)):
+        if read._positions[i] not in newly_covered_positions:
+            first_score -= 1
+    return (first_score, second_score, quality)
+
+
+def _compute_score_for_read(readset, index, vcf_indices):
+    """Initial score (new - gaps, total - gaps, min quality)
+    (readselect.pyx:55-91)."""
+    read = readset[index]
+    min_quality = -1
+    good_score = 0
+    covered_variants = []
+    for i in range(len(read)):
+        quality = read._qualities[i]
+        pos = read._positions[i]
+        if i == 0:
+            min_quality = quality
+        else:
+            min_quality = min(min_quality, quality)
+        variant_covered = vcf_indices.get(pos)
+        if variant_covered is not None:
+            covered_variants.append(variant_covered)
+            good_score += 1
+    bad_score = 0
+    span = covered_variants[-1] - covered_variants[0] + 1
+    if len(covered_variants) != span:
+        bad_score = span - len(covered_variants)
+    return (good_score - bad_score, good_score - bad_score, min_quality)
+
+
+def _construct_priorityqueue(readset, read_indices, vcf_indices):
+    pq = PriorityQueue()
+    for index in read_indices:
+        computed_score = _compute_score_for_read(readset, index, vcf_indices)
+        pq.c_push(computed_score, index)
+    return pq
+
+
+def _slice_read_selection(pq, coverages, max_cov, readset, vcf_indices, variant_to_reads_map):
+    """Extract one slice: greedily pop reads, respecting the coverage cap
+    (readselect.pyx:107-167)."""
+    already_covered_variants = set()
+    reads_in_slice = set()
+    reads_violating_coverage = set()
+    while not pq.c_is_empty():
+        variants_covered_by_this_read = set()
+        max_score, max_item = pq.c_pop()
+        extracted_read = readset[max_item]
+        covers_new_variant = False
+        for i in range(len(extracted_read)):
+            pos = extracted_read._positions[i]
+            if pos in already_covered_variants:
+                continue
+            covers_new_variant = True
+            variants_covered_by_this_read.add(pos)
+        begin = vcf_indices.get(extracted_read._positions[0])
+        end = vcf_indices.get(extracted_read._positions[-1]) + 1
+        if coverages.max_coverage_in_range(begin, end) >= max_cov:
+            reads_violating_coverage.add(max_item)
+        elif covers_new_variant:
+            coverages.add_read(begin, end)
+            reads_in_slice.add(max_item)
+            reads_whose_score_has_to_be_updated = set()
+            for pos in variants_covered_by_this_read:
+                already_covered_variants.add(pos)
+                reads_whose_score_has_to_be_updated.update(
+                    variant_to_reads_map[vcf_indices.get(pos)]
+                )
+            selected_read_set = set(reads_in_slice)
+            d_set = reads_whose_score_has_to_be_updated.difference(selected_read_set)
+            for element in d_set:
+                oldscore = pq.c_get_score_by_item(element)
+                if oldscore is not None:
+                    newscore = _update_score_for_reads(
+                        oldscore, readset, element, variants_covered_by_this_read
+                    )
+                    pq.c_change_score(element, newscore)
+    return reads_in_slice, reads_violating_coverage
+
+
+def _format_read_source_stats(readset, indices):
+    if len(indices) == 0:
+        return "n/a"
+    source_id_counts = defaultdict(int)
+    for i in indices:
+        source_id_counts[readset[i].source_id] += 1
+    return ", ".join(f"{sid}:{count}" for sid, count in source_id_counts.items())
+
+
+def _readselection_helper(
+    coverages,
+    max_cov,
+    readset,
+    vcf_indices,
+    variant_to_reads_map,
+    selected_reads,
+    undecided_reads,
+    positions,
+    bridging,
+):
+    loop = 0
+    while len(undecided_reads) > 0:
+        pq = _construct_priorityqueue(readset, undecided_reads, vcf_indices)
+        reads_in_slice, reads_violating_coverage = _slice_read_selection(
+            pq, coverages, max_cov, readset, vcf_indices, variant_to_reads_map
+        )
+        selected_reads.update(reads_in_slice)
+        undecided_reads -= reads_in_slice
+        undecided_reads -= reads_violating_coverage
+
+        # Component finder over the reads just selected
+        component_finder = ComponentFinder(positions)
+        for read_index in reads_in_slice:
+            read = readset[read_index]
+            for i in range(1, len(read)):
+                component_finder.merge(read._positions[0], read._positions[i])
+
+        bridging_reads = set()
+        if bridging:
+            pq = _construct_priorityqueue(readset, undecided_reads, vcf_indices)
+            while not pq.is_empty():
+                score, read_index = pq.pop()
+                read = readset[read_index]
+                covered_blocks = set()
+                for i in range(len(read)):
+                    covered_blocks.add(component_finder.find(read._positions[i]))
+
+                begin = vcf_indices.get(read._positions[0])
+                end = vcf_indices.get(read._positions[-1]) + 1
+                if coverages.max_coverage_in_range(begin, end) >= max_cov:
+                    undecided_reads.remove(read_index)
+                    continue
+                if len(covered_blocks) < 2:
+                    continue
+                bridging_reads.add(read_index)
+                selected_reads.add(read_index)
+                coverages.add_read(begin, end)
+                undecided_reads.remove(read_index)
+                for i in range(1, len(read)):
+                    component_finder.merge(read._positions[0], read._positions[i])
+        loop += 1
+        logger.debug(
+            "... iteration %d: selected %d reads (source: %s) to cover positions and "
+            "%d reads (source: %s) for bridging; %d reads left undecided",
+            loop,
+            len(reads_in_slice),
+            _format_read_source_stats(readset, reads_in_slice),
+            len(bridging_reads),
+            _format_read_source_stats(readset, bridging_reads),
+            len(undecided_reads),
+        )
+    return selected_reads
+
+
+def readselection(readset, max_cov, preferred_source_ids=None, bridging=True):
+    """Select read indices not violating the maximum coverage; preferred
+    source ids (phased-VCF pseudo-reads) are selected first."""
+    positions, vcf_indices, variant_to_reads_map, preferred_reads = _construct_indexes(
+        readset, preferred_source_ids
+    )
+
+    logger.debug(
+        "Running read selection for %d reads covering %d variants (bridging %s)",
+        len(readset),
+        len(positions),
+        "ON" if bridging else "OFF",
+    )
+
+    coverages = CovMonitor(len(positions))
+    selected_reads = set()
+
+    for r in readset:
+        if not len(r) >= 2:
+            print(r)
+            raise ValueError("readselection expects reads that cover at least two variants")
+
+    undecided_reads = set(range(len(readset)))
+
+    if len(preferred_reads) > 0:
+        selected_preferred_reads = _readselection_helper(
+            coverages,
+            max_cov,
+            readset,
+            vcf_indices,
+            variant_to_reads_map,
+            selected_reads,
+            preferred_reads,
+            positions,
+            bridging,
+        )
+        selected_reads.update(selected_preferred_reads)
+        undecided_reads -= preferred_reads
+
+    selected_reads = _readselection_helper(
+        coverages,
+        max_cov,
+        readset,
+        vcf_indices,
+        variant_to_reads_map,
+        selected_reads,
+        undecided_reads,
+        positions,
+        bridging,
+    )
+    return selected_reads
