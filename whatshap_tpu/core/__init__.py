@@ -27,6 +27,11 @@ from .variant import Variant
 # Solvers live in whatshap_tpu.solver but are re-exported here for parity
 # with `from whatshap.core import PedigreeDPTable`.
 from ..solver.dptable import PedigreeDPTable  # noqa: E402
+from ..solver.genotyping import (  # noqa: E402
+    GenotypeDPTable,
+    GenotypeDistribution,
+    compute_genotypes,
+)
 
 __all__ = [
     "Genotype",
@@ -47,4 +52,7 @@ __all__ = [
     "PedigreePartitions",
     "Variant",
     "PedigreeDPTable",
+    "GenotypeDPTable",
+    "GenotypeDistribution",
+    "compute_genotypes",
 ]

@@ -269,6 +269,9 @@ class VariantRecordSample:
     def keys(self):
         return [k for k in self._record.format if k in self._values or k == "GT"]
 
+    def __iter__(self):
+        return iter(self.keys())
+
     def __contains__(self, key) -> bool:
         return key in self._values
 

@@ -90,6 +90,7 @@ def pack_problem(
     pedigree: Pedigree,
     distrust_genotypes: bool = False,
     positions: Optional[Sequence[int]] = None,
+    check_conflicts: bool = True,
 ) -> PackedProblem:
     """Convert a ReadSet + Pedigree into dense arrays for the device DP.
 
@@ -267,7 +268,7 @@ def pack_problem(
                 acost[:, t, :] += np.where(ok, 0, np.int64(INF) * 4)
     acost = np.minimum(acost, INF).astype(np.int32)
 
-    if C > 0:
+    if C > 0 and check_conflicts:
         # Mendelian conflict check: a column where no (t, assignment) is
         # compatible (pedigreedptable.cpp:301-303)
         if bool(np.any(np.all(acost >= INF, axis=(1, 2)))):
