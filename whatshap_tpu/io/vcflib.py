@@ -202,7 +202,20 @@ class VariantHeader:
 
     def text(self) -> str:
         out = []
-        for kind, v in self._lines:
+        # htslib always declares the PASS filter right after ##fileformat
+        if "PASS" not in self.filters:
+            lines = list(self._lines)
+            pass_line = (
+                "filter",
+                '##FILTER=<ID=PASS,Description="All filters passed">',
+            )
+            if lines and lines[0][0] == "raw" and str(lines[0][1]).startswith("##fileformat"):
+                lines.insert(1, pass_line)
+            else:
+                lines.insert(0, pass_line)
+        else:
+            lines = self._lines
+        for kind, v in lines:
             if kind == "raw":
                 out.append(v)
             elif kind == "contig":
