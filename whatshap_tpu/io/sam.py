@@ -20,6 +20,16 @@ from .bgzf import BGZFReader, BGZFWriter
 
 BAM_MAGIC = b"BAM\x01"
 
+
+def __getattr__(name):
+    # convenience: expose the VCF layer under this module too, so code
+    # written against a single pysam-like namespace keeps working
+    if name == "VariantFile":
+        from .vcflib import VariantFile
+
+        return VariantFile
+    raise AttributeError(name)
+
 CIGAR_OPS = "MIDNSHP=X"
 CIGAR_OP_CODE = {c: i for i, c in enumerate(CIGAR_OPS)}
 # ops that consume reference positions
@@ -67,6 +77,12 @@ class AlignedSegment:
         self.header = header
 
     # --- flags ----------------------------------------------------------
+    def _set_flag_bit(self, bit: int, value: bool) -> None:
+        if value:
+            self.flag |= bit
+        else:
+            self.flag &= ~bit
+
     @property
     def is_paired(self) -> bool:
         return bool(self.flag & 1)
@@ -107,9 +123,17 @@ class AlignedSegment:
     def is_duplicate(self) -> bool:
         return bool(self.flag & 1024)
 
+    @is_duplicate.setter
+    def is_duplicate(self, value: bool) -> None:
+        self._set_flag_bit(1024, value)
+
     @property
     def is_supplementary(self) -> bool:
         return bool(self.flag & 2048)
+
+    @is_supplementary.setter
+    def is_supplementary(self, value: bool) -> None:
+        self._set_flag_bit(2048, value)
 
     # --- derived --------------------------------------------------------
     @property
@@ -216,6 +240,12 @@ class AlignmentHeader:
                 {"SN": n, "LN": str(l)} for n, l in zip(self.references, self.lengths)
             ]
         return out
+
+    def get(self, key, default=None):
+        return self.to_dict().get(key, default)
+
+    def __contains__(self, key):
+        return key in self.to_dict()
 
     @classmethod
     def from_dict(cls, d: Dict[str, object]) -> "AlignmentHeader":
@@ -437,6 +467,7 @@ class AlignmentFile:
         template: Optional["AlignmentFile"] = None,
         reference_filename: Optional[str] = None,
         threads: int = 1,
+        require_index: bool = False,
     ):
         self._path = os.fspath(path) if not hasattr(path, "read") else path
         self._writer = None
@@ -448,6 +479,8 @@ class AlignmentFile:
             self._open_write(self._path)
             return
         self._open_read(self._path, reference_filename)
+        if require_index and not self._has_index():
+            raise OSError(f"index for alignment file {self._path} not found")
 
     # -- reading ---------------------------------------------------------
     def _open_read(self, path, reference_filename) -> None:
@@ -608,22 +641,35 @@ class AlignmentFile:
         reference=None,
         end=None,
         multiple_iterators: bool = False,
+        until_eof: bool = False,
     ) -> Iterator[AlignedSegment]:
         if contig is None and reference is not None:
             contig = reference
         if stop is None and end is not None:
             stop = end
+        if until_eof:
+            return self._iter_all()
         if not self._has_index():
             raise ValueError(f"fetch requires an index for {self._path}")
+        if contig == "*":
+            # htslib convention: only reads without coordinates
+            def gen_unplaced():
+                for seg in self._iter_all():
+                    if seg.reference_id < 0:
+                        yield seg
+
+            return gen_unplaced()
         ref_id = self.header.get_reference_id(contig) if contig is not None else None
 
         def gen():
             for seg in self._iter_all():
-                if seg.is_unmapped and contig is not None:
+                if contig is None and seg.is_unmapped:
+                    # plain fetch(): all mapped reads
                     continue
                 if ref_id is not None and seg.reference_id != ref_id:
                     continue
                 if contig is not None:
+                    # placed-but-unmapped reads are part of region queries
                     s = seg.reference_start
                     e = seg.reference_end if seg.reference_end is not None else s + 1
                     if stop is not None and s >= stop:
@@ -680,6 +726,24 @@ def sam_to_bam(sam_path: str, bam_path: str) -> None:
     for seg in src:
         out.write(seg)
     out.close()
+
+
+def index(bam_path: str, catch_stdout: bool = False) -> None:
+    """pysam.index-style helper: create a (minimal) .bai for the BAM."""
+    build_minimal_index(bam_path)
+
+
+def view(sam_path: str, *args, catch_stdout: bool = False) -> None:
+    """pysam.view-style helper supporting the '-b -o OUT IN' conversion."""
+    out = None
+    arglist = list(args)
+    i = 0
+    while i < len(arglist):
+        if arglist[i] == "-o" and i + 1 < len(arglist):
+            out = arglist[i + 1]
+        i += 1
+    assert out is not None, "view() requires -o OUTPUT"
+    sam_to_bam(sam_path, out)
 
 
 def build_minimal_index(bam_path: str) -> None:

@@ -289,12 +289,11 @@ class VariantRecordSample:
         return key in self._values
 
     def get(self, key, default=None):
+        # pysam semantics: the default applies only when the field is absent;
+        # a present-but-missing value (".") yields None
         if key not in self._values:
             return default
-        value = self[key]
-        if value is None:
-            return default
-        return value
+        return self[key]
 
     def __getitem__(self, key):
         raw = self._values.get(key)
@@ -533,7 +532,7 @@ class VariantFile:
         self._records_iter: Optional[Iterator[VariantRecord]] = None
         self._write_handle = None
         self._bgzf_writer = None
-        if mode == "r":
+        if mode in ("r", "rb", "rt"):
             self._open_read(path)
         elif mode == "w":
             assert header is not None
@@ -592,6 +591,18 @@ class VariantFile:
                 return True
         return None
 
+    def _body_contigs(self):
+        """Set of contigs that actually occur in the file body (cached)."""
+        cached = getattr(self, "_body_contigs_cache", None)
+        if cached is None:
+            cached = set()
+            vf = VariantFile(self._path)
+            for rec in vf:
+                cached.add(rec.chrom)
+            vf.close()
+            self._body_contigs_cache = cached
+        return cached
+
     def __iter__(self) -> Iterator[VariantRecord]:
         if self._is_bcf:
             yield from self._bcf
@@ -609,9 +620,9 @@ class VariantFile:
         if self.index is None:
             raise ValueError("fetch requires an index")
         if contig is not None and contig not in self.header.contigs:
-            known = list(self.header.contigs)
-            # match pysam's error text, which callers pattern-match
-            if known:
+            # htslib resolves contigs via the index, not only the header:
+            # only reject if the contig appears nowhere in the file either
+            if contig not in self._body_contigs():
                 raise ValueError(f"invalid contig `{contig}`")
 
         def gen():

@@ -49,6 +49,14 @@ def detect_file_format(path):
     return None
 
 
+def xopen(path, mode: str = "rt"):
+    """Open a file, transparently handling .gz (stand-in for the xopen
+    package used by the reference)."""
+    if str(path).endswith(".gz"):
+        return gzip.open(path, mode)
+    return open(path, mode)
+
+
 def stdout_is_regular_file() -> bool:
     mode = os.fstat(sys.stdout.buffer.fileno()).st_mode
     return stat.S_ISREG(mode)
