@@ -172,6 +172,12 @@ class AlignedSegment:
             return 0
         return len(self.query_sequence)
 
+    def infer_query_length(self) -> Optional[int]:
+        """Query length inferred from the CIGAR (excluding hard clips)."""
+        if not self.cigartuples:
+            return None
+        return sum(l for op, l in self.cigartuples if op in _QUERY_CONSUMING)
+
     @property
     def cigarstring(self) -> Optional[str]:
         if not self.cigartuples:
@@ -181,6 +187,13 @@ class AlignedSegment:
     @property
     def pos(self) -> int:
         return self.reference_start
+
+    @property
+    def qual(self) -> Optional[str]:
+        """Base qualities as a phred+33 string (legacy pysam attribute)."""
+        if self.query_qualities is None:
+            return None
+        return "".join(chr(q + 33) for q in self.query_qualities)
 
     # --- tags -----------------------------------------------------------
     def has_tag(self, tag: str) -> bool:
@@ -197,6 +210,10 @@ class AlignedSegment:
 
     def get_tags(self):
         return list(self.tags.items())
+
+    def opt(self, tag: str):
+        """Legacy pysam alias for get_tag."""
+        return self.tags[tag]
 
     def __repr__(self):
         return (
@@ -468,6 +485,7 @@ class AlignmentFile:
         reference_filename: Optional[str] = None,
         threads: int = 1,
         require_index: bool = False,
+        check_sq: bool = True,
     ):
         self._path = os.fspath(path) if not hasattr(path, "read") else path
         self._writer = None
@@ -717,6 +735,64 @@ class AlignmentFile:
     def write(self, seg: AlignedSegment) -> None:
         assert self._writer is not None
         self._writer.write(encode_bam_record(seg))
+
+
+class FastxRecord:
+    __slots__ = ("name", "comment", "sequence", "quality")
+
+    def __init__(self, name, comment, sequence, quality):
+        self.name = name
+        self.comment = comment
+        self.sequence = sequence
+        self.quality = quality
+
+    def __str__(self) -> str:
+        header = self.name if not self.comment else f"{self.name} {self.comment}"
+        if self.quality is not None:
+            return f"@{header}\n{self.sequence}\n+\n{self.quality}"
+        return f">{header}\n{self.sequence}"
+
+
+class FastxFile:
+    """Minimal FASTQ/FASTA reader (plain or gzipped), pysam-like."""
+
+    def __init__(self, path):
+        import gzip as _gzip
+
+        with open(path, "rb") as f:
+            gz = f.read(2) == b"\x1f\x8b"
+        self._handle = _gzip.open(path, "rt") if gz else open(path, "rt")
+
+    def __iter__(self):
+        first = self._handle.readline()
+        while first:
+            first = first.rstrip("\n")
+            if not first:
+                first = self._handle.readline()
+                continue
+            if first.startswith("@"):
+                seq = self._handle.readline().rstrip("\n")
+                self._handle.readline()  # '+'
+                qual = self._handle.readline().rstrip("\n")
+            elif first.startswith(">"):
+                seq = self._handle.readline().rstrip("\n")
+                qual = None
+            else:
+                raise ValueError(f"Malformed FASTX record: {first!r}")
+            fields = first[1:].split(None, 1)
+            name = fields[0]
+            comment = fields[1] if len(fields) > 1 else None
+            yield FastxRecord(name, comment, seq, qual)
+            first = self._handle.readline()
+
+    def close(self):
+        self._handle.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *args):
+        self.close()
 
 
 def sam_to_bam(sam_path: str, bam_path: str) -> None:

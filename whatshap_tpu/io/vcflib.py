@@ -641,11 +641,15 @@ class VariantFile:
 
     # -- writing ---------------------------------------------------------
     def _open_write(self, path) -> None:
-        if hasattr(path, "write"):
+        try:
+            path = os.fspath(path)
+            is_path = True
+        except TypeError:
+            is_path = False
+        if not is_path:
             self._write_handle = path
             self._owns_handle = False
         else:
-            path = os.fspath(path)
             if str(path).endswith(".gz"):
                 raw = open(path, "wb")
                 self._bgzf_writer = BGZFWriter(raw)

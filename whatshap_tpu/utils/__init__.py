@@ -49,10 +49,13 @@ def detect_file_format(path):
     return None
 
 
-def xopen(path, mode: str = "rt"):
+def xopen(path, mode: str = "rt", **kwargs):
     """Open a file, transparently handling .gz (stand-in for the xopen
-    package used by the reference)."""
+    package used by the reference; extra keyword arguments like threads or
+    compresslevel are accepted and ignored)."""
     if str(path).endswith(".gz"):
+        if mode in ("r", "w", "a"):
+            mode += "t"
         return gzip.open(path, mode)
     return open(path, mode)
 
@@ -112,6 +115,12 @@ class IndexedFastaFile:
 
     def close(self):
         self._handle.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *args):
+        self.close()
 
     def __contains__(self, name) -> bool:
         return name in self._index
