@@ -1,0 +1,214 @@
+"""
+Column-compressed allele matrix for the polyploid pipeline.
+
+Behavior parity with the reference's src/polyphase/allelematrix.{h,cpp} and
+the Cython surface in whatshap/polyphase/solver.pyx (class AlleleMatrix):
+per-read sparse rows over *local* position indices, a sorted global-position
+map, per-position allele depth counts, and interval / sub-matrix extraction.
+"""
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+# starts[] sentinel used by the reference for empty reads (Position is
+# uint32_t there, and it assigns -1)
+_U32_MAX = 0xFFFFFFFF
+
+
+class AlleleMatrix:
+    """Immutable allele matrix (src/polyphase/allelematrix.cpp)."""
+
+    def __init__(self, rs=None):
+        if rs is None:
+            # bare instance (filled by _init_from_lists / __setstate__)
+            self._init_from_lists([], [], [])
+            return
+        # --- from ReadSet (allelematrix.cpp:55-91) ---
+        positions = sorted(rs.get_positions())
+        self.genPos: List[int] = positions
+        self.posIdx: Dict[int, int] = {p: i for i, p in enumerate(positions)}
+        n = len(rs)
+        self.m: List[Dict[int, int]] = [dict() for _ in range(n)]
+        self.starts: List[int] = [0] * n
+        self.ends: List[int] = [0] * n
+        self.globalReadIds: List[int] = list(range(n))
+        self.depths: List[List[int]] = [[] for _ in positions]
+        self.maxAllele = 0
+        for i in range(n):
+            read = rs[i]
+            self.starts[i] = self.posIdx[read[0].position]
+            self.ends[i] = self.posIdx[read[len(read) - 1].position]
+            row = self.m[i]
+            for variant in read:
+                a = variant.allele
+                p = self.posIdx[variant.position]
+                row[p] = a
+                if a >= self.maxAllele:
+                    self.maxAllele = a + 1
+                    for d in self.depths:
+                        d.extend([0] * (self.maxAllele - len(d)))
+                self.depths[p][a] += 1
+
+    def _init_from_lists(
+        self,
+        read_list: Sequence[Dict[int, int]],
+        pos_list: Sequence[int],
+        id_list: Sequence[int],
+    ) -> None:
+        # allelematrix.cpp:10-53 (readList/posList/idList constructor); read
+        # rows are keyed by LOCAL position index here.
+        self.genPos = sorted(pos_list)
+        self.posIdx = {p: i for i, p in enumerate(self.genPos)}
+        n = len(read_list)
+        self.m = [dict() for _ in range(n)]
+        self.starts = [0] * n
+        self.ends = [0] * n
+        self.globalReadIds = list(id_list)
+        self.depths = [[] for _ in self.genPos]
+        self.maxAllele = 0
+        for i, row_in in enumerate(read_list):
+            row = self.m[i]
+            for p, a in row_in.items():
+                row[p] = a
+                if a >= self.maxAllele:
+                    self.maxAllele = a + 1
+                    for d in self.depths:
+                        d.extend([0] * (self.maxAllele - len(d)))
+                # the C++ indexes depths[p] unchecked (UB when a row key is
+                # outside the position list); extend defensively instead
+                while p >= len(self.depths):
+                    self.depths.append([0] * self.maxAllele)
+                self.depths[p][a] += 1
+            if row:
+                keys = sorted(row)
+                self.starts[i] = keys[0]
+                self.ends[i] = keys[-1]
+            else:
+                self.starts[i] = _U32_MAX
+                self.ends[i] = 0
+
+    @classmethod
+    def _from_lists(cls, read_list, pos_list, id_list) -> "AlleleMatrix":
+        am = cls.__new__(cls)
+        am._init_from_lists(read_list, pos_list, id_list)
+        return am
+
+    # --- accessors (solver.pyx AlleleMatrix wrapper) ---
+
+    def size(self) -> int:
+        return len(self.m)
+
+    def __len__(self) -> int:
+        return len(self.m)
+
+    def getNumPositions(self) -> int:
+        return len(self.genPos)
+
+    def getPositions(self) -> List[int]:
+        return list(self.genPos)
+
+    def getMaxNumAllele(self) -> int:
+        return self.maxAllele
+
+    def getAllele(self, readId: int, position: int) -> int:
+        return self.m[readId].get(position, -1)
+
+    def getAlleleGlobal(self, readId: int, genPosition: int) -> int:
+        idx = self.posIdx.get(genPosition)
+        if idx is None:
+            return -1
+        return self.getAllele(readId, idx)
+
+    def getRead(self, readId: int) -> List[Tuple[int, int]]:
+        return sorted(self.m[readId].items())
+
+    def getFirstPos(self, readId: int) -> int:
+        return self.starts[readId]
+
+    def getLastPos(self, readId: int) -> int:
+        return self.ends[readId]
+
+    def getGlobalId(self, readId: int) -> int:
+        return self.globalReadIds[readId]
+
+    def globalToLocal(self, genPosition: int) -> int:
+        idx = self.posIdx.get(genPosition)
+        return _U32_MAX if idx is None else idx
+
+    def localToGlobal(self, position: int) -> int:
+        return self.genPos[position]
+
+    def getAlleleDepths(self, position: int) -> List[int]:
+        return list(self.depths[position])
+
+    # --- extraction (allelematrix.cpp:153-216) ---
+
+    def extractInterval(self, start: int, end: int, removeEmpty: bool = True) -> "AlleleMatrix":
+        newReads: List[Dict[int, int]] = []
+        defPos = set()
+        idList: List[int] = []
+        for i in range(len(self.m)):
+            if removeEmpty and (self.starts[i] >= end or self.ends[i] < start):
+                continue
+            newRead = {}
+            for p, a in self.m[i].items():
+                if start <= p < end:
+                    newRead[p - start] = a
+                    defPos.add(self.localToGlobal(p))
+            idList.append(self.globalReadIds[i])
+            newReads.append(newRead)
+        posList = sorted(defPos)
+        return AlleleMatrix._from_lists(newReads, posList, idList)
+
+    def extractSubMatrix(
+        self,
+        positions: Sequence[int],
+        readIds: Sequence[int],
+        removeEmpty: bool = True,
+    ) -> "AlleleMatrix":
+        newReads: List[Dict[int, int]] = []
+        posList: List[int] = []
+        idList: List[int] = []
+        projPos: Dict[int, int] = {}
+        num_positions = self.getNumPositions()
+        # the reference loop STOPS at the first out-of-range position
+        for i, p in enumerate(positions):
+            if p >= num_positions:
+                break
+            projPos[p] = i
+            posList.append(self.localToGlobal(p))
+        start = _U32_MAX
+        end = 0
+        if len(positions) > 0:
+            start = min(positions)
+            end = max(positions)
+        for i in readIds:
+            if i >= self.size():
+                continue
+            if removeEmpty and (self.starts[i] >= end or self.ends[i] < start):
+                continue
+            newRead = {}
+            for p, a in self.m[i].items():
+                if p in projPos:
+                    newRead[projPos[p]] = a
+            if removeEmpty and not newRead:
+                continue
+            idList.append(self.globalReadIds[i])
+            newReads.append(newRead)
+        posList.sort()
+        return AlleleMatrix._from_lists(newReads, posList, idList)
+
+    # --- iteration / pickling (solver.pyx:84-100) ---
+
+    def __iter__(self):
+        for i in range(self.size()):
+            yield self.getRead(i)
+
+    def __getstate__(self):
+        read_list = [{pos: allele for pos, allele in read} for read in self]
+        pos_list = self.getPositions()
+        id_list = [self.getGlobalId(i) for i in range(len(self))]
+        return read_list, pos_list, id_list
+
+    def __setstate__(self, state):
+        read_list, pos_list, id_list = state
+        self._init_from_lists(read_list, pos_list, id_list)

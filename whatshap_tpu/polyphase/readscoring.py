@@ -1,0 +1,259 @@
+"""
+Read-pair similarity scoring for polyploid phasing.
+
+Behavior parity with src/polyphase/readscoring.{h,cpp}: per-position
+genotype likelihoods from allele depths, precomputed allele-pair likelihood
+tables conditioned on genotype, and a log-likelihood-ratio score per
+overlapping read pair (positive = likely same haplotype).
+"""
+
+import math
+import struct
+from typing import Dict, List, Sequence, Tuple
+
+from ..core.genotype import Genotype
+from .allelematrix import AlleleMatrix
+from .mathutils import log_binom_pmf, log_multinom_pmf, binomial_coefficient
+from .trianglesparse import TriangleSparseMatrix
+
+_DBL_MAX = 1.7976931348623157e308
+_U32_MASK = 0xFFFFFFFF
+
+
+def _f32(v: float) -> float:
+    return struct.unpack("f", struct.pack("f", v))[0]
+
+
+def computeGenotypeLikelihoods(
+    alleleDepth: Sequence[int], ploidy: int, err: float
+) -> Dict[Genotype, float]:
+    # readscoring.cpp:120-196
+    gl: Dict[Genotype, float] = {}
+    numAlleles = len(alleleDepth)
+    numGenotypes = binomial_coefficient(ploidy + numAlleles - 1, numAlleles - 1)
+    weight = 0.0
+    lowest = 0.0
+    alleles = [i for i in range(numAlleles) if alleleDepth[i] > 0]
+    numExAlleles = len(alleles)
+
+    for index in range(numGenotypes):
+        g = Genotype.from_index(index, ploidy)
+        gv = g.as_vector()
+        if any(alleleDepth[a] == 0 for a in gv):
+            continue
+        if numExAlleles == 1:
+            weight += 1
+            gl[g] = 1
+        elif numExAlleles == 2:
+            fracAlt = float(index) / float(ploidy)
+            l = log_binom_pmf(
+                alleleDepth[alleles[0]] + alleleDepth[alleles[1]],
+                alleleDepth[alleles[1]],
+                (1 - fracAlt) * err + fracAlt * (1 - err),
+            )
+            lowest = min(lowest, l)
+            gl[g] = l
+        else:
+            p = []
+            n = []
+            for a in range(numExAlleles):
+                num = sum(1.0 for x in gv if x == alleles[a])
+                freq = num / ploidy
+                p.append(freq * (1 - err * (numExAlleles - 1)) + (1 - freq) * err)
+                n.append(alleleDepth[alleles[a]])
+            l = log_multinom_pmf(n, p)
+            lowest = min(lowest, l)
+            gl[g] = l
+
+    # log-scaled values are exped after shifting by the lowest value
+    underflow = False
+    for g in list(gl):
+        try:
+            l = math.exp(gl[g] - lowest)
+        except OverflowError:
+            l = float("inf")
+        gl[g] = l
+        weight += l
+        if not (l <= _DBL_MAX):
+            underflow = True
+
+    if underflow:
+        return computeGenotypeLikelihoods([d // 2 for d in alleleDepth], ploidy, err)
+    for g in list(gl):
+        gl[g] = gl[g] / weight
+    return gl
+
+
+def _evaluate_genotype_likelihoods(gl: List[Dict[Genotype, float]]) -> float:
+    # readscoring.cpp:107-118 (log of per-position max likelihood, summed)
+    total = 0.0
+    for column in gl:
+        best = 0.0
+        for v in column.values():
+            if v > best:
+                best = v
+        total += math.log(best) if best > 0 else float("-inf")
+    return total
+
+
+def _estimate_allele_error_rate(am: AlleleMatrix, ploidy: int) -> float:
+    # readscoring.cpp:85-105 (grid search over err in [0.01, 0.19])
+    best_err = 0.0
+    best_sum = float("-inf")
+    err = 0.01
+    while err < 0.2:
+        gl = [
+            computeGenotypeLikelihoods(am.getAlleleDepths(i), ploidy, err)
+            for i in range(am.getNumPositions())
+        ]
+        s = _evaluate_genotype_likelihoods(gl)
+        if s > best_sum:
+            best_sum = s
+            best_err = err
+        err += 0.01
+    return best_err
+
+
+def _compute_allele_pair_likelihoods(
+    genos: List[Genotype], numAlleles: int, err: float
+) -> Tuple[List[float], List[float]]:
+    # readscoring.cpp:198-233: apls/apld[g][a1][a2] = P(a1,a2 | g, same/diff hap)
+    numGenos = len(genos)
+    apls = [0.0] * (numAlleles * numAlleles * numGenos)
+    apld = [0.0] * (numAlleles * numAlleles * numGenos)
+    gvs = [g.as_vector() for g in genos]
+    for a1 in range(numAlleles):
+        for a2 in range(a1, numAlleles):
+            for gi in range(numGenos):
+                i1 = numGenos * (numAlleles * a1 + a2) + gi
+                i2 = numGenos * (numAlleles * a2 + a1) + gi
+                lEqual = 0.0
+                lDiff = 0.0
+                gv = gvs[gi]
+                for x1 in range(len(gv)):
+                    l1 = (1 - err) if gv[x1] == a1 else err
+                    for x2 in range(len(gv)):
+                        l = l1 * ((1 - err) if gv[x2] == a2 else err)
+                        if x1 == x2:
+                            lEqual += l
+                        else:
+                            lDiff += l
+                apls[i1] = apls[i2] = lEqual / len(gv)
+                apld[i1] = apld[i2] = lDiff / (len(gv) * (len(gv) - 1))
+    return apls, apld
+
+
+def _compute_log_score_single_pos(
+    allele1: int,
+    allele2: int,
+    numAlleles: int,
+    gl_col: Dict[Genotype, float],
+    gMap: Dict[Genotype, int],
+    apls: List[float],
+    apld: List[float],
+) -> float:
+    # readscoring.cpp:262-281
+    same = 0.0
+    diff = 0.0
+    numGenos = len(gMap)
+    base = numGenos * (allele1 * numAlleles + allele2)
+    for g, p in gl_col.items():
+        i = base + gMap[g]
+        same += p * apls[i]
+        diff += p * apld[i]
+    if same * diff <= 0.0:
+        return 0.0
+    return _f32(math.log(same / diff))
+
+
+def _compute_log_score(
+    am: AlleleMatrix,
+    readId1: int,
+    readId2: int,
+    gl: List[Dict[Genotype, float]],
+    gMap: Dict[Genotype, int],
+    apls: List[float],
+    apld: List[float],
+    minOverlap: int,
+) -> float:
+    # readscoring.cpp:235-260 (merge over sorted sparse rows)
+    ov = 0
+    logScore = 0.0
+    numAlleles = am.getMaxNumAllele()
+    read1 = am.getRead(readId1)
+    read2 = am.getRead(readId2)
+    k = 0
+    l = 0
+    while k < len(read1) and l < len(read2):
+        if read1[k][0] == read2[l][0]:
+            logScore += _compute_log_score_single_pos(
+                read1[k][1], read2[l][1], numAlleles, gl[read1[k][0]], gMap, apls, apld
+            )
+            ov += 1
+            k += 1
+            l += 1
+        elif read1[k][0] < read2[l][0]:
+            k += 1
+        else:
+            l += 1
+    if ov >= minOverlap:
+        return _f32(logScore)
+    return 0.0
+
+
+class ReadScoring:
+    def scoreReadset(
+        self,
+        result: TriangleSparseMatrix,
+        am: AlleleMatrix,
+        minOverlap: int,
+        ploidy: int,
+        err: float,
+    ) -> None:
+        # readscoring.cpp:17-83
+        if ploidy < 2:
+            print("Error: Ploidy < 2!")
+            return
+
+        if err == 0.0:
+            err = _estimate_allele_error_rate(am, ploidy)
+
+        gl: List[Dict[Genotype, float]] = []
+        occ = {}
+        for i in range(am.getNumPositions()):
+            col = computeGenotypeLikelihoods(am.getAlleleDepths(i), ploidy, err)
+            gl.append(col)
+            for g in col:
+                occ[g] = True
+        occGenotypes = list(occ)
+        gMap = {g: i for i, g in enumerate(occGenotypes)}
+        numAlleles = am.getMaxNumAllele()
+        apls, apld = _compute_allele_pair_likelihoods(occGenotypes, numAlleles, err)
+
+        sortedReads = sorted(range(am.size()), key=am.getFirstPos)
+        offset = _f32(-math.log(ploidy * (1.0 - 1.0 / ploidy)))
+
+        nans = 0
+        for i in range(am.size()):
+            # uint32 arithmetic: lastPos - minOverlap + 1 may wrap
+            terminal = (am.getLastPos(sortedReads[i]) - minOverlap + 1) & _U32_MASK
+            for j in range(i + 1, len(sortedReads)):
+                if am.getFirstPos(sortedReads[j]) > terminal:
+                    break
+                score = _compute_log_score(
+                    am, sortedReads[i], sortedReads[j], gl, gMap, apls, apld, minOverlap
+                )
+                if not math.isnan(score):
+                    if score != 0.0:
+                        result.set(sortedReads[i], sortedReads[j], score + offset)
+                else:
+                    nans += 1
+        if nans > 0:
+            print(f"Warning: Found {nans} NaN scores during read scoring!")
+
+
+def scoreReadset(am, minOverlap, ploidy, err=0.0) -> TriangleSparseMatrix:
+    """solver.pyx:136-141 convenience wrapper."""
+    sim = TriangleSparseMatrix()
+    ReadScoring().scoreReadset(sim, am, minOverlap, ploidy, err)
+    return sim
