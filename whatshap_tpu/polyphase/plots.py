@@ -177,15 +177,27 @@ def draw_genetic_clustering_arrangement(clustering, arrangement, num_vars, path)
 
 def create_genetic_plots(
     output,
+    chromosome,
+    sample,
+    ground_truth_reader,
+    varinfo,
     clustering,
-    arrangement,
-    num_vars,
-    plot_clusters,
-    plot_arrangement,
+    haplo_skeletons,
+    haplotypes,
+    phased_positions,
+    parent_coverage,
+    co_parent_coverage,
+    progeny_coverage,
+    param,
 ):
-    if plot_clusters:
-        draw_genetic_clustering(clustering, num_vars, output + ".clusters.pdf")
-    if plot_arrangement and arrangement:
+    """Cluster + arrangement diagnostics for `polyphasegenetic --plot`
+    (signature matches the reference's cli/polyphasegenetic.py call site)."""
+    base = output if isinstance(output, str) else getattr(output, "name", "polyphasegenetic")
+    prefix = f"{base}.{chromosome}.{sample}"
+    num_vars = len(varinfo)
+    node_vars = [[varinfo.node_to_variant(n) for n in clust] for clust in clustering]
+    draw_genetic_clustering(node_vars, num_vars, prefix + ".clusters.pdf")
+    if haplo_skeletons:
         draw_genetic_clustering_arrangement(
-            clustering, arrangement, num_vars, output + ".arrangement.pdf"
+            node_vars, haplo_skeletons, num_vars, prefix + ".arrangement.pdf"
         )
