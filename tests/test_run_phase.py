@@ -41,7 +41,7 @@ bam_files = [
 ]
 
 
-@fixture(params=["whatshap"])
+@fixture(params=["whatshap", "hapchat"])
 def algorithm(request):
     return request.param
 
@@ -135,6 +135,7 @@ def test_requested_sample_not_found(algorithm):
     "algorithm,expected_vcf",
     [
         ("whatshap", "tests/data/pacbio/phased.vcf"),
+        ("hapchat", "tests/data/pacbio/phased_hapchat.vcf"),
     ],
 )
 def test_with_reference(algorithm, expected_vcf, tmpdir):
@@ -773,7 +774,7 @@ def test_quartet2():
 
 @mark.parametrize(
     "algorithm,expected_blocks",
-    [("whatshap", [10, 10, None, 200, 200])],
+    [("whatshap", [10, 10, None, 200, 200]), ("hapchat", [10, 10, 10, 10, 10])],
 )
 def test_phased_blocks(algorithm, expected_blocks, tmp_path):
     outvcf = tmp_path / "output.vcf"
@@ -798,7 +799,7 @@ def test_phased_blocks(algorithm, expected_blocks, tmp_path):
 
 @mark.parametrize(
     "algorithm,expected_block",
-    [("whatshap", [10, 10, None, None, None])],
+    [("whatshap", [10, 10, None, None, None]), ("hapchat", [10, 10, 10, None, None])],
 )
 def test_duplicate_read(algorithm, expected_block, tmp_path):
     outvcf = tmp_path / "output.vcf"

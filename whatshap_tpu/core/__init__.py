@@ -27,6 +27,7 @@ from .variant import Variant
 # Solvers live in whatshap_tpu.solver but are re-exported here for parity
 # with `from whatshap.core import PedigreeDPTable`.
 from ..solver.dptable import PedigreeDPTable  # noqa: E402
+from ..solver.hapchat import HapChatCore  # noqa: E402
 from ..solver.genotyping import (  # noqa: E402
     GenotypeDPTable,
     GenotypeDistribution,
@@ -52,6 +53,7 @@ __all__ = [
     "PedigreePartitions",
     "Variant",
     "PedigreeDPTable",
+    "HapChatCore",
     "GenotypeDPTable",
     "GenotypeDistribution",
     "compute_genotypes",
