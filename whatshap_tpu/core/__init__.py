@@ -28,6 +28,7 @@ from .variant import Variant
 # with `from whatshap.core import PedigreeDPTable`.
 from ..solver.dptable import PedigreeDPTable  # noqa: E402
 from ..solver.hapchat import HapChatCore  # noqa: E402
+from ..solver.heuristic import PedMecHeuristic  # noqa: E402
 from ..solver.genotyping import (  # noqa: E402
     GenotypeDPTable,
     GenotypeDistribution,
@@ -54,6 +55,7 @@ __all__ = [
     "Variant",
     "PedigreeDPTable",
     "HapChatCore",
+    "PedMecHeuristic",
     "GenotypeDPTable",
     "GenotypeDistribution",
     "compute_genotypes",
