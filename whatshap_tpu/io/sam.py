@@ -605,6 +605,124 @@ class AlignmentFile:
                 return
             yield parse_bam_record(data, self.header)
 
+    def _bai_path(self) -> Optional[str]:
+        for cand in (str(self._path) + ".bai",):
+            if os.path.exists(cand):
+                return cand
+        base, bamext = os.path.splitext(str(self._path))
+        if bamext == ".bam" and os.path.exists(base + ".bai"):
+            return base + ".bai"
+        return None
+
+    def _load_bai(self):
+        """Parse the .bai index (SAM spec section 5.2): per reference a
+        bin -> chunk list map plus the 16kb-window linear index. Returns
+        None when unavailable or empty (e.g. our own minimal indexes), in
+        which case fetch() falls back to scanning."""
+        if getattr(self, "_bai", None) is not None:
+            return self._bai if self._bai else None
+        self._bai = ()
+        path = self._bai_path()
+        if path is None:
+            return None
+        with open(path, "rb") as f:
+            data = f.read()
+        if data[:4] != b"BAI\x01":
+            return None
+        off = 4
+        (n_ref,) = struct.unpack_from("<i", data, off)
+        off += 4
+        refs = []
+        total_chunks = 0
+        for _ in range(n_ref):
+            (n_bin,) = struct.unpack_from("<i", data, off)
+            off += 4
+            bins = {}
+            for _ in range(n_bin):
+                bin_no, n_chunk = struct.unpack_from("<Ii", data, off)
+                off += 8
+                chunks = []
+                for _ in range(n_chunk):
+                    cb, ce = struct.unpack_from("<QQ", data, off)
+                    off += 16
+                    chunks.append((cb, ce))
+                if bin_no != 37450:  # skip the metadata pseudo-bin
+                    bins[bin_no] = chunks
+                    total_chunks += len(chunks)
+            (n_intv,) = struct.unpack_from("<i", data, off)
+            off += 4
+            linear = list(struct.unpack_from(f"<{n_intv}Q", data, off))
+            off += 8 * n_intv
+            refs.append((bins, linear))
+        if total_chunks == 0:
+            return None
+        self._bai = refs
+        return refs
+
+    @staticmethod
+    def _reg2bins(beg: int, end: int):
+        """Candidate bins overlapping [beg, end) (SAM spec reg2bins)."""
+        end -= 1
+        yield 0
+        for shift, base in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
+            for k in range(base + (beg >> shift), base + (end >> shift) + 1):
+                yield k
+
+    def _iter_region_indexed(self, ref_id: int, beg: int, endq: int):
+        """Yield records overlapping [beg, endq) using the BAI index:
+        candidate-bin chunks filtered by the linear index, merged, then
+        scanned with early exit (records are coordinate sorted)."""
+        bins, linear = self._bai[ref_id]
+        min_off = 0
+        if linear:
+            win = min(beg >> 14, len(linear) - 1)
+            # some windows can be zero (no reads start there); find the
+            # closest preceding non-zero offset like htslib does
+            while win >= 0 and linear[win] == 0:
+                win -= 1
+            if win >= 0:
+                min_off = linear[win]
+        chunks = []
+        for b in self._reg2bins(beg, endq):
+            for cb, ce in bins.get(b, ()):
+                if ce > min_off:
+                    chunks.append((max(cb, min_off), ce))
+        if not chunks:
+            return
+        chunks.sort()
+        merged = [list(chunks[0])]
+        for cb, ce in chunks[1:]:
+            if cb <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], ce)
+            else:
+                merged.append([cb, ce])
+        r = BGZFReader(self._path)
+        try:
+            for cb, ce in merged:
+                r.seek_virtual(cb)
+                while r.tell_virtual() < ce:
+                    raw = r.read(4)
+                    if len(raw) < 4:
+                        return
+                    (block_size,) = struct.unpack("<i", raw)
+                    data = r.read(block_size)
+                    if len(data) < block_size:
+                        return
+                    seg = parse_bam_record(data, self.header)
+                    if seg.reference_id != ref_id:
+                        if seg.reference_id > ref_id or seg.reference_id < 0:
+                            return
+                        continue
+                    s = seg.reference_start
+                    if s >= endq:
+                        return
+                    e = seg.reference_end if seg.reference_end is not None else s + 1
+                    if e <= beg:
+                        continue
+                    yield seg
+        finally:
+            r.close()
+
     def _parse_sam_line(self, line: str) -> AlignedSegment:
         fields = line.rstrip("\n").split("\t")
         seg = AlignedSegment(self.header)
@@ -678,6 +796,16 @@ class AlignmentFile:
 
             return gen_unplaced()
         ref_id = self.header.get_reference_id(contig) if contig is not None else None
+
+        if contig is not None and ref_id is not None and self._mode == "bam":
+            bai = self._load_bai()
+            if bai is not None and 0 <= ref_id < len(bai):
+                beg = start if start is not None else 0
+                # htslib uses the maximum representable coordinate when no
+                # stop is given (reads may sit beyond the declared contig
+                # length), not the header length
+                endq = stop if stop is not None else (1 << 29)
+                return self._iter_region_indexed(ref_id, beg, endq)
 
         def gen():
             for seg in self._iter_all():
