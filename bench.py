@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """
-Benchmark: variants phased per second per chip on the wMEC column DP.
+Benchmark: variants phased per second per chip on the wMEC solve
+(forward column DP + backtrace, both on device).
 
 Workload: a batch of independent phase blocks (coverage ~15, 2^15-state
 columns), matching the reference's internal default coverage cap
@@ -54,19 +55,24 @@ def build_workload(n_blocks=32, n_cols=512, coverage=14, seed=7):
 
 
 def measure_device(K, T, P, arrays, n_iters=3):
+    """End-to-end batched solve: forward scan + device-side backtrace; only
+    the (B, C) index/transmission paths leave the chip (same deliverable as
+    the reference's DP + backtrace)."""
     import jax
 
     from whatshap_tpu.ops import wmec
 
     device_arrays = [jax.device_put(a) for a in arrays]
-    # compile
-    out = wmec.forward_cost_batched(K, T, P, *device_arrays)
-    jax.block_until_ready(out)
+    # compile + force (block_until_ready is unreliable over the RPC tunnel:
+    # device_get is the only dependable fence, so every timed iteration ends
+    # with a host fetch of the solve outputs)
+    out = wmec.solve_batched(K, T, P, *device_arrays)
+    _ = jax.device_get(out[1])
     times = []
     for _ in range(n_iters):
         t0 = time.perf_counter()
-        out = wmec.forward_cost_batched(K, T, P, *device_arrays)
-        jax.block_until_ready(out)
+        out = wmec.solve_batched(K, T, P, *device_arrays)
+        _ = jax.device_get(out[1])  # bipartition paths, as a client would fetch
         times.append(time.perf_counter() - t0)
     return min(times), out
 

@@ -466,6 +466,71 @@ def _forward_scan_impl(
     return dp_last, jmin_last, key_last
 
 
+def _backtrace_impl(K, T, dp_last, jmin_last, key_last, proj_idx, proj_jmin):
+    """Device-side backtrace: pick the reference's optimum (first strict
+    minimum in (gray order, transmission) iteration; numeric-index tiebreak
+    selects the zero-padded representative) and walk the projection tables
+    with a reverse scan.  Mirrors the host loop in run_dp exactly."""
+    S = 1 << K
+    big = jnp.int32(2**30)
+    m = jnp.min(dp_last)
+    cand = dp_last == m
+    keyb = jnp.where(cand, key_last[:, None], big)
+    km = jnp.min(keyb)
+    cand = cand & (keyb == km)
+    comb = (
+        jnp.arange(T, dtype=jnp.int32)[None, :] * S
+        + jnp.arange(S, dtype=jnp.int32)[:, None]
+    )
+    best = jnp.min(jnp.where(cand, comb, big))
+    opt_trans = best // S
+    opt_idx = best % S
+    prev_trans = jmin_last[opt_idx, opt_trans]
+
+    def step(carry, xs):
+        v_idx, v_trans, prev_t = carry
+        pi, pj = xs
+        nv_idx = pi[v_idx, prev_t]
+        nv_trans = prev_t
+        nprev = pj[nv_idx, nv_trans]
+        return (nv_idx, nv_trans, nprev), (nv_idx, nv_trans)
+
+    _, (idxs, transs) = jax.lax.scan(
+        step,
+        (opt_idx, opt_trans, prev_trans),
+        (proj_idx[1:], proj_jmin[1:]),
+        reverse=True,
+    )
+    index_path = jnp.concatenate([idxs, opt_idx[None]])
+    trans_path = jnp.concatenate([transs, opt_trans[None]])
+    return m, index_path, trans_path
+
+
+@partial(jax.jit, static_argnames=("K", "T", "P"))
+def _solve_scan(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc):
+    """Forward pass + backtrace entirely on device; returns
+    (optimal_cost, index_path (C,), trans_path (C,))."""
+    dp_last, jmin_last, key_last, proj_idx, proj_jmin = _forward_scan_impl(
+        K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, emit_bt=True
+    )
+    return _backtrace_impl(K, T, dp_last, jmin_last, key_last, proj_idx, proj_jmin)
+
+
+@partial(jax.jit, static_argnames=("K", "T", "P"))
+def solve_batched(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc):
+    """Batched end-to-end solve (leading block axis): forward scan plus
+    device-side backtrace per block.  Returns (costs (B,), index paths
+    (B, C), transmission paths (B, C)); only the paths leave the chip."""
+
+    def one(wd, wb, rw, ac, dp_, rc_):
+        dp_last, jmin_last, key_last, pi, pj = _forward_scan_impl(
+            K, T, P, wd, wb, rw, ac, dp_, rc_, emit_bt=True
+        )
+        return _backtrace_impl(K, T, dp_last, jmin_last, key_last, pi, pj)
+
+    return jax.vmap(one)(wdiff, wbase, rankw, acost, die_prev, rc)
+
+
 @partial(jax.jit, static_argnames=("K", "T", "P"))
 def _forward_scan(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc):
     """Single-block forward pass with full backtrace emission."""
@@ -519,18 +584,13 @@ def run_dp(packed: PackedProblem, backend: str = "auto") -> Optional[DPResult]:
     if backend == "auto":
         backend = "numpy" if C * S * T <= (1 << 22) else "jax"
 
-    if backend == "numpy":
-        from . import wmec_numpy
-
-        dp_last, jmin_last, key_last, proj_idx, proj_jmin = wmec_numpy.forward_scan_numpy(
-            packed
-        )
-    else:
+    if backend == "jax":
+        # forward + backtrace fully on device; only the paths come back
         from ..parallel.blocks import pad_block
 
         c_pad = _next_pow2(C)
         padded = pad_block(packed, c_pad)
-        dp_last, jmin_last, key_last, proj_idx, proj_jmin = _forward_scan(
+        cost, index_path, trans_path = _solve_scan(
             K,
             T,
             P,
@@ -541,6 +601,17 @@ def run_dp(packed: PackedProblem, backend: str = "auto") -> Optional[DPResult]:
             jnp.asarray(padded.die_prev),
             jnp.asarray(padded.rc),
         )
+        return DPResult(
+            int(cost),
+            np.asarray(index_path, dtype=np.int64)[:C],
+            np.asarray(trans_path, dtype=np.int64)[:C],
+        )
+
+    from . import wmec_numpy
+
+    dp_last, jmin_last, key_last, proj_idx, proj_jmin = wmec_numpy.forward_scan_numpy(
+        packed
+    )
     dp_last = np.asarray(dp_last)
     jmin_last = np.asarray(jmin_last)
     key_last = np.asarray(key_last)
