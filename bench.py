@@ -66,12 +66,12 @@ def measure_device(K, T, P, arrays, n_iters=3):
     # compile + force (block_until_ready is unreliable over the RPC tunnel:
     # device_get is the only dependable fence, so every timed iteration ends
     # with a host fetch of the solve outputs)
-    out = wmec.solve_batched(K, T, P, *device_arrays)
+    out = wmec.solve_batched_auto(K, T, P, *device_arrays)
     _ = jax.device_get(out[1])
     times = []
     for _ in range(n_iters):
         t0 = time.perf_counter()
-        out = wmec.solve_batched(K, T, P, *device_arrays)
+        out = wmec.solve_batched_auto(K, T, P, *device_arrays)
         _ = jax.device_get(out[1])  # bipartition paths, as a client would fetch
         times.append(time.perf_counter() - t0)
     return min(times), out

@@ -1,0 +1,60 @@
+"""
+Differential tests for the Pallas TPU wMEC kernels (interpret mode on CPU):
+forward scan and full batched solve must be bit-identical to the XLA path
+(which is itself fuzz-verified bit-exact against the reference C++).
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from whatshap_tpu.ops import wmec, wmec_pallas  # noqa: E402
+
+
+def _workload(n_blocks=2, n_cols=48, coverage=8, seed=5):
+    from whatshap_tpu.core import NumericSampleIds, Pedigree
+    from whatshap_tpu.parallel import blocks as blk
+    from whatshap_tpu.testhelpers import canonic_index_to_biallelic_gt
+
+    packed_list = []
+    k_max = 0
+    for b in range(n_blocks):
+        rs, positions, _ = blk.make_synthetic_readset(
+            n_cols, coverage, read_len=8, seed=seed + b
+        )
+        ped = Pedigree(NumericSampleIds())
+        ped.add_individual(
+            "s",
+            [canonic_index_to_biallelic_gt(1) for _ in positions],
+            [None] * len(positions),
+        )
+        packed = wmec.pack_problem(rs, [1] * len(positions), ped, False)
+        packed_list.append(packed)
+        k_max = max(k_max, packed.K)
+    k_max = max(k_max, wmec_pallas.LANE_BITS)
+    padded = [blk.pad_block(p, n_cols, k_pad=k_max) for p in packed_list]
+    arrays = blk.stack_blocks(padded)
+    return k_max, packed_list[0].T, packed_list[0].P, [jnp.asarray(a) for a in arrays]
+
+
+def test_forward_scan_matches_xla():
+    K, T, P, arrays = _workload()
+    assert wmec_pallas.kernel_supported(K, T, P)
+    out_p = wmec_pallas.forward_scan_pallas(K, T, P, *arrays, interpret=True)
+    for b in range(int(arrays[0].shape[0])):
+        out_r = wmec._forward_scan(K, T, P, *[a[b] for a in arrays])
+        for name, xp, xr in zip(
+            ["dp", "jmin", "key", "proj_idx", "proj_jmin"], out_p, out_r
+        ):
+            assert np.array_equal(np.asarray(xp[b]), np.asarray(xr)), name
+
+
+def test_solve_batched_matches_xla():
+    K, T, P, arrays = _workload(n_blocks=3, seed=21)
+    cp, ip, tp = wmec_pallas.solve_batched_pallas(K, T, P, *arrays, interpret=True)
+    cr, ir, tr = wmec.solve_batched(K, T, P, *arrays)
+    assert np.array_equal(np.asarray(cp), np.asarray(cr))
+    assert np.array_equal(np.asarray(ip), np.asarray(ir))
+    assert np.array_equal(np.asarray(tp), np.asarray(tr))

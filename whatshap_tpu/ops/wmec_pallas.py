@@ -1,0 +1,463 @@
+"""
+Pallas TPU kernel for the wMEC/PedMEC forward column scan.
+
+The XLA `lax.scan` path (ops/wmec.py) round-trips every per-column
+intermediate through HBM: with ~50 small elementwise ops per column over the
+(S, T) state, the scan is bandwidth/latency bound ~100x below the VPU's
+speed of light.  This kernel keeps the entire DP state (cost, tie key,
+transmission backtrace) resident in VMEM scratch across a (batch, column)
+grid — the sequential column dimension is the innermost grid loop — so per
+column the only HBM traffic is the tiny per-column inputs and the emitted
+backtrace tables.
+
+Bit-for-bit identical to the XLA/numpy paths (same int32 arithmetic, same
+INF clamping, same Gray-order tie-breaking); the differential tests assert
+that.  Layout: the 2^K bipartition axis is stored as (R, 128) = (2^(K-7)
+sublanes, 128 lanes); folding a dying slot bit p is a butterfly exchange —
+a lane roll by 2^p for p < 7, a sublane roll by 2^(p-7) otherwise — and is
+predicated on the slot actually dying (most columns fold 0-2 bits, not K).
+
+Requires K >= 7 (bucket padding guarantees this) and small T / P
+(single-family problems; larger pedigrees fall back to the XLA path).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INF = 1 << 29
+
+LANE_BITS = 7  # 128 lanes
+LANES = 1 << LANE_BITS
+
+MAX_T = 4
+MAX_K = 16  # state must fit VMEM
+
+
+def kernel_supported(K: int, T: int, P: int) -> bool:
+    # T == 1 (single individual) is the batched/benchmarked hot path; the
+    # tie-fold for multi-trio transmission columns still runs on XLA
+    return LANE_BITS <= K <= MAX_K and T == 1 and P <= 3
+
+
+def _popcount_matrix(T: int) -> np.ndarray:
+    t = np.arange(T)
+    x = t[:, None] ^ t[None, :]
+    pc = np.zeros((T, T), dtype=np.int64)
+    while np.any(x):
+        pc += x & 1
+        x >>= 1
+    return pc.astype(np.int32)
+
+
+def _assign_bits(P: int) -> np.ndarray:
+    nA = 1 << P
+    return ((np.arange(nA)[:, None] >> np.arange(P)[None, :]) & 1).astype(np.int32)
+
+
+def _make_kernel(K: int, T: int, P: int, C: int):
+    S = 1 << K
+    R = S >> LANE_BITS
+    nA = 1 << P
+    TP2 = T * P * 2
+    pcmat = _popcount_matrix(T)
+    abits = _assign_bits(P)
+    max_pc = max(int(pcmat.max()), 1)
+
+    def tie_fold(p, cost, key, idx, jmin_list):
+        """Butterfly min-fold of bit p with (cost, gray-key) tie-break.
+        Both partners receive the winning values (the state becomes
+        constant along the dying bit), exactly like the XLA fold."""
+        if p < LANE_BITS:
+            axis, sh = 1, 1 << p
+            bitp = (jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1) >> p) & 1
+        else:
+            axis, sh = 0, 1 << (p - LANE_BITS)
+            bitp = (jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0) >> (p - LANE_BITS)) & 1
+        bit_set = bitp == 1
+
+        size = LANES if axis == 1 else R
+
+        def partner(x):
+            up = pltpu.roll(x, sh, axis=axis)  # up[i] = x[i - sh]
+            dn = pltpu.roll(x, size - sh, axis=axis)  # dn[i] = x[i + sh]
+            return jnp.where(bit_set, up, dn)
+
+        pc_, pk_, pi_ = partner(cost), partner(key), partner(idx)
+        pj_ = [partner(j) for j in jmin_list]
+        # a = value at the bit==0 position, b = at bit==1 (reference order)
+        a_c = jnp.where(bit_set, pc_, cost)
+        b_c = jnp.where(bit_set, cost, pc_)
+        a_k = jnp.where(bit_set, pk_, key)
+        b_k = jnp.where(bit_set, key, pk_)
+        take_b = (b_c < a_c) | ((b_c == a_c) & (b_k < a_k))
+        n_cost = jnp.where(take_b, b_c, a_c)
+        n_key = jnp.where(take_b, b_k, a_k)
+        a_i = jnp.where(bit_set, pi_, idx)
+        b_i = jnp.where(bit_set, idx, pi_)
+        n_idx = jnp.where(take_b, b_i, a_i)
+        n_jmin = []
+        for j, pj in zip(jmin_list, pj_):
+            a_j = jnp.where(bit_set, pj, j)
+            b_j = jnp.where(bit_set, j, pj)
+            n_jmin.append(jnp.where(take_b, b_j, a_j))
+        return n_cost, n_key, n_idx, n_jmin
+
+    def kernel(
+        wdiff_ref,  # (1, 1, K, TP2) f32 VMEM
+        wbase_ref,  # (1, 1, 1, TP2) i32 SMEM   (T,P,2 flattened)
+        rankw_ref,  # (1, 1, 1, K) f32 SMEM
+        acost_ref,  # (1, 1, 1, T * nA) i32 SMEM
+        die_ref,  # (1, 1, 1, K) i32 SMEM
+        rc_ref,  # (1, 1, 1, 1) i32 SMEM
+        pidx_ref,  # (1, 1, R, LANES) i32 out  (proj idx; same for all t)
+        pjmin_ref,  # (1, 1, T, R, LANES) i32 out
+        dp_ref,  # (1, T, R, LANES) i32 out (final)
+        jminl_ref,  # (1, T, R, LANES) i32 out (final)
+        keyl_ref,  # (1, R, LANES) i32 out (final)
+        cost_s,  # (T, R, LANES) i32 scratch
+        jmin_s,  # (T, R, LANES) i32 scratch
+        key_s,  # (R, LANES) i32 scratch
+    ):
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _init():
+            for t in range(T):
+                cost_s[t] = jnp.zeros((R, LANES), jnp.int32)
+                jmin_s[t] = jnp.zeros((R, LANES), jnp.int32)
+            key_s[:] = jnp.zeros((R, LANES), jnp.int32)
+
+        # flat bipartition index i = row * 128 + lane
+        idx0 = (
+            jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+        )
+
+        # ---- fold dying slot bits (predicated: most columns fold none) ----
+        costs = [cost_s[t] for t in range(T)]
+        jmins = [jmin_s[t] for t in range(T)]
+        key = key_s[:]
+        idx = idx0
+        for p in range(K):
+            die_p = die_ref[0, 0, 0, p] != 0
+            # fold each transmission column with the shared (key, idx)
+            # tie-break state (key/idx identical across t before the fold
+            # only for t-independent parts; the reference folds per (S, T)
+            # entry with key broadcast over T, so replicate per t)
+            folded = []
+            f_key = key
+            f_idx = idx
+            for t in range(T):
+                c_t, k_t, i_t, (j_t,) = tie_fold(p, costs[t], key, idx, [jmins[t]])
+                folded.append((c_t, k_t, i_t, j_t))
+            # NOTE: in the reference the key/idx columns fold jointly with
+            # each t's cost, producing per-t idx; key is per-S only in the
+            # carry but per (S, T) during the fold.  We track idx per t.
+            if T == 1:
+                c0, k0, i0, j0 = folded[0]
+                costs = [jnp.where(die_p, c0, costs[0])]
+                jmins = [jnp.where(die_p, j0, jmins[0])]
+                key = jnp.where(die_p, k0, key)
+                idx = jnp.where(die_p, i0, idx)
+            else:
+                # general T: per-t state; key/idx become per-t too
+                raise NotImplementedError
+
+        proj_cost = costs
+        proj_idx = idx
+        proj_jmin = jmins
+
+        # ---- emit backtrace tables ----
+        pidx_ref[0, 0] = proj_idx
+        for t in range(T):
+            pjmin_ref[0, 0, t] = proj_jmin[t]
+
+        # ---- transmission min-plus ----
+        rc = rc_ref[0, 0, 0, 0]
+        rc_safe = jnp.minimum(rc, INF // max_pc)
+        if T == 1:
+            trans_min = [proj_cost[0]]
+            jmin_new = [jnp.zeros((R, LANES), jnp.int32)]
+        else:
+            trans_min = []
+            jmin_new = []
+            for ti in range(T):
+                best = None
+                barg = None
+                for tj in range(T):
+                    recomb = jnp.minimum(pcmat[ti, tj] * rc_safe, INF)
+                    v = jnp.minimum(proj_cost[tj] + recomb, INF)
+                    if best is None:
+                        best, barg = v, jnp.zeros((R, LANES), jnp.int32)
+                    else:
+                        take = v < best
+                        best = jnp.where(take, v, best)
+                        barg = jnp.where(take, tj, barg)
+                trans_min.append(best)
+                jmin_new.append(barg)
+
+        # ---- current column cost ----
+        # f[j] = sum_k bit_k(i) * wdiff[k, j]; weights are < 2^24 so f32
+        # accumulation is exact (no MXU, no bf16 rounding)
+        bitmasks = [((idx0 >> k) & 1).astype(jnp.float32) for k in range(K)]
+        f = []
+        for j in range(TP2):
+            acc = jnp.zeros((R, LANES), jnp.float32)
+            for k in range(K):
+                acc = acc + bitmasks[k] * wdiff_ref[0, 0, k, j]
+            f.append(acc.astype(jnp.int32))
+        # cp[t][p][a] = f[(t*P + p)*2 + a] + wbase[t,p,a]
+        for t in range(T):
+            s0 = jnp.zeros((R, LANES), jnp.int32)
+            d = []
+            for p in range(P):
+                base0 = wbase_ref[0, 0, 0, (t * P + p) * 2 + 0]
+                base1 = wbase_ref[0, 0, 0, (t * P + p) * 2 + 1]
+                cp0 = f[(t * P + p) * 2 + 0] + base0
+                cp1 = f[(t * P + p) * 2 + 1] + base1
+                s0 = s0 + cp0
+                d.append(cp1 - cp0)
+            cc = None
+            for a in range(nA):
+                pa = jnp.zeros((R, LANES), jnp.int32)
+                for p in range(P):
+                    if abits[a, p] == 1:
+                        pa = pa + d[p]
+                total = jnp.minimum(s0 + pa + acost_ref[0, 0, 0, t * nA + a], INF)
+                cc = total if cc is None else jnp.minimum(cc, total)
+            dp_t = jnp.minimum(cc + trans_min[t], INF)
+            cost_s[t] = dp_t
+            jmin_s[t] = jmin_new[t]
+
+        # ---- tie-break key for this column ----
+        r = jnp.zeros((R, LANES), jnp.float32)
+        for k in range(K):
+            r = r + bitmasks[k] * rankw_ref[0, 0, 0, k]
+        n = r.astype(jnp.int32)
+        shift = 1
+        while shift < max(K, 1):
+            n = n ^ (n >> shift)
+            shift <<= 1
+        key_s[:] = n
+
+        # ---- final outputs (last column) ----
+        @pl.when(c == C - 1)
+        def _final():
+            for t in range(T):
+                dp_ref[0, t] = cost_s[t]
+                jminl_ref[0, t] = jmin_s[t]
+            keyl_ref[0] = key_s[:]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("K", "T", "P", "interpret"))
+def forward_scan_pallas(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, interpret=False):
+    """Batched forward pass on the Pallas kernel.
+
+    Inputs are the stacked block arrays (leading batch axis B, column axis C)
+    as produced by parallel.blocks.stack_blocks:
+      wdiff (B, C, K, T*P*2) f32, wbase (B, C, T, P, 2) i32,
+      rankw (B, C, K) f32, acost (B, C, T, 2^P) i32,
+      die_prev (B, C, K) bool, rc (B, C) i32.
+    Returns (dp_last (B,S,T), jmin_last (B,S,T), key_last (B,S),
+    proj_idx (B,C,S,T), proj_jmin (B,C,S,T)) matching _forward_scan_impl.
+    """
+    B, C = wdiff.shape[0], wdiff.shape[1]
+    S = 1 << K
+    R = S >> LANE_BITS
+    nA = 1 << P
+    TP2 = T * P * 2
+    kernel = _make_kernel(K, T, P, C)
+
+    grid = (B, C)
+    out_shape = [
+        jax.ShapeDtypeStruct((B, C, R, LANES), jnp.int32),  # proj idx
+        jax.ShapeDtypeStruct((B, C, T, R, LANES), jnp.int32),  # proj jmin
+        jax.ShapeDtypeStruct((B, T, R, LANES), jnp.int32),  # dp last
+        jax.ShapeDtypeStruct((B, T, R, LANES), jnp.int32),  # jmin last
+        jax.ShapeDtypeStruct((B, R, LANES), jnp.int32),  # key last
+    ]
+    in_specs = [
+        pl.BlockSpec((1, 1, K, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1, T * nA), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1, 1), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, R, LANES), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, T, R, LANES), lambda b, c: (b, c, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T, R, LANES), lambda b, c: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T, R, LANES), lambda b, c: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, R, LANES), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((T, R, LANES), jnp.int32),
+        pltpu.VMEM((T, R, LANES), jnp.int32),
+        pltpu.VMEM((R, LANES), jnp.int32),
+    ]
+
+    wbase_flat = wbase.reshape(B, C, 1, TP2)
+    acost_flat = acost.reshape(B, C, 1, T * nA)
+    rankw = rankw.reshape(B, C, 1, K)
+    die_i32 = die_prev.astype(jnp.int32).reshape(B, C, 1, K)
+    rc = rc.reshape(B, C, 1, 1)
+
+    pidx, pjmin, dp_last, jmin_last, key_last = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )(wdiff, wbase_flat, rankw, acost_flat, die_i32, rc)
+
+    # reshape to the (S, T) convention of the XLA path
+    dp_last = dp_last.reshape(B, T, S).transpose(0, 2, 1)
+    jmin_last = jmin_last.reshape(B, T, S).transpose(0, 2, 1)
+    key_last = key_last.reshape(B, S)
+    proj_idx = jnp.broadcast_to(
+        pidx.reshape(B, C, S)[..., None], (B, C, S, T)
+    )
+    proj_jmin = pjmin.reshape(B, C, T, S).transpose(0, 1, 3, 2)
+    return dp_last, jmin_last, key_last, proj_idx, proj_jmin
+
+
+def _make_backtrace_kernel(K: int, C: int):
+    """T == 1 backtrace: the transmission is constant, so the walk is just
+    v <- proj_idx[column, v], emitted back to front.  Grid step j handles
+    column C-1-j: write the current index, then advance using that column's
+    projection table (a one-hot VPU reduction instead of a scalar gather)."""
+    S = 1 << K
+    R = S >> LANE_BITS
+
+    def kernel(opt_ref, pidx_ref, path_ref, v_s):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            v_s[0] = opt_ref[0, 0, 0, 0]
+
+        v = v_s[0]
+        path_ref[0, 0, 0, 0] = v
+        idx0 = (
+            jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+        )
+        sel = idx0 == v
+        v_s[0] = jnp.sum(jnp.where(sel, pidx_ref[0, 0], 0))
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("K", "interpret"))
+def backtrace_pallas(K, opt_idx, pidx, interpret=False):
+    """Batched T == 1 backtrace.  opt_idx (B,) i32 is the selected final
+    bipartition; pidx (B, C, R, LANES) the raw projection tables from
+    forward_scan_pallas.  Returns index paths (B, C) i32."""
+    B, C = pidx.shape[0], pidx.shape[1]
+    S = 1 << K
+    R = S >> LANE_BITS
+    kernel = _make_backtrace_kernel(K, C)
+    path = pl.pallas_call(
+        kernel,
+        grid=(B, C),
+        out_shape=jax.ShapeDtypeStruct((B, C, 1, 1), jnp.int32),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, 1), lambda b, j: (b, 0, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 1, R, LANES),
+                lambda b, j: (b, C - 1 - j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, 1), lambda b, j: (b, C - 1 - j, 0, 0), memory_space=pltpu.SMEM
+        ),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+    )(opt_idx.reshape(B, 1, 1, 1), pidx)
+    return path.reshape(B, C)
+
+
+@partial(jax.jit, static_argnames=("K", "T", "P", "interpret"))
+def solve_batched_pallas(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, interpret=False):
+    """End-to-end batched solve on the Pallas kernels (T == 1): forward scan,
+    XLA argmin tie-break selection, backtrace.  Returns (costs (B,),
+    index paths (B, C), transmission paths (B, C) — all zeros for T == 1),
+    matching wmec.solve_batched."""
+    assert T == 1
+    B, C = wdiff.shape[0], wdiff.shape[1]
+    S = 1 << K
+    R = S >> LANE_BITS
+    nA = 1 << P
+    TP2 = T * P * 2
+    kernel = _make_kernel(K, T, P, C)
+    out_shape = [
+        jax.ShapeDtypeStruct((B, C, R, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((B, C, T, R, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((B, T, R, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((B, T, R, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((B, R, LANES), jnp.int32),
+    ]
+    in_specs = [
+        pl.BlockSpec((1, 1, K, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1, T * nA), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1, 1), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, R, LANES), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, T, R, LANES), lambda b, c: (b, c, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T, R, LANES), lambda b, c: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T, R, LANES), lambda b, c: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, R, LANES), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((T, R, LANES), jnp.int32),
+        pltpu.VMEM((T, R, LANES), jnp.int32),
+        pltpu.VMEM((R, LANES), jnp.int32),
+    ]
+    pidx, _pjmin, dp_last, _jmin_last, key_last = pl.pallas_call(
+        kernel,
+        grid=(B, C),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )(
+        wdiff,
+        wbase.reshape(B, C, 1, TP2),
+        rankw.reshape(B, C, 1, K),
+        acost.reshape(B, C, 1, T * nA),
+        die_prev.astype(jnp.int32).reshape(B, C, 1, K),
+        rc.reshape(B, C, 1, 1),
+    )
+
+    # final-optimum selection (same tie-break as _backtrace_impl; T == 1
+    # collapses the transmission term)
+    dp = dp_last.reshape(B, S)
+    key = key_last.reshape(B, S)
+    big = jnp.int32(2**30)
+    m = jnp.min(dp, axis=1)
+    cand = dp == m[:, None]
+    keyb = jnp.where(cand, key, big)
+    km = jnp.min(keyb, axis=1)
+    cand = cand & (keyb == km[:, None])
+    iota = jnp.arange(S, dtype=jnp.int32)[None, :]
+    opt_idx = jnp.min(jnp.where(cand, iota, big), axis=1)
+
+    index_path = backtrace_pallas(K, opt_idx, pidx, interpret=interpret)
+    trans_path = jnp.zeros((B, C), jnp.int32)
+    return m, index_path, trans_path
