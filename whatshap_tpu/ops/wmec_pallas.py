@@ -145,25 +145,21 @@ def _make_kernel(K: int, T: int, P: int, C: int):
         idx = idx0
         for p in range(K):
             die_p = die_ref[0, 0, 0, p] != 0
-            # fold each transmission column with the shared (key, idx)
-            # tie-break state (key/idx identical across t before the fold
-            # only for t-independent parts; the reference folds per (S, T)
-            # entry with key broadcast over T, so replicate per t)
-            folded = []
-            f_key = key
-            f_idx = idx
-            for t in range(T):
-                c_t, k_t, i_t, (j_t,) = tie_fold(p, costs[t], key, idx, [jmins[t]])
-                folded.append((c_t, k_t, i_t, j_t))
-            # NOTE: in the reference the key/idx columns fold jointly with
-            # each t's cost, producing per-t idx; key is per-S only in the
-            # carry but per (S, T) during the fold.  We track idx per t.
+            # a real branch (not a value-select): most columns fold no bits,
+            # so the ~25 VPU ops of a butterfly are skipped entirely unless
+            # slot p actually dies in this column
             if T == 1:
-                c0, k0, i0, j0 = folded[0]
-                costs = [jnp.where(die_p, c0, costs[0])]
-                jmins = [jnp.where(die_p, j0, jmins[0])]
-                key = jnp.where(die_p, k0, key)
-                idx = jnp.where(die_p, i0, idx)
+
+                def _folded(args, p=p):
+                    c0, k0, i0, j0 = args
+                    nc, nk, ni, (nj,) = tie_fold(p, c0, k0, i0, [j0])
+                    return nc, nk, ni, nj
+
+                costs0, key, idx, jmins0 = jax.lax.cond(
+                    die_p, _folded, lambda args: args, (costs[0], key, idx, jmins[0])
+                )
+                costs = [costs0]
+                jmins = [jmins0]
             else:
                 # general T: per-t state; key/idx become per-t too
                 raise NotImplementedError
