@@ -23,7 +23,6 @@ def test_read_sample_not_found():
 import pytest
 
 
-@pytest.mark.xfail(reason="CRAM input not implemented yet", strict=True)
 def test_read_cram():
     sbr = SampleBamReader("tests/data/oneread.cram", reference="tests/data/oneread-ref.fasta")
     reads = list(sbr.fetch("ref", "sample"))

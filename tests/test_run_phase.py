@@ -87,7 +87,6 @@ def test_default_output(algorithm):
     )
 
 
-@pytest.mark.xfail(reason="CRAM input not implemented yet", strict=True)
 def test_one_variant_cram(algorithm):
     run_whatshap(
         phase_input_files=["tests/data/oneread.cram"],

@@ -508,14 +508,55 @@ class AlignmentFile:
             self._mode = "bam"
             self._read_bam_header(path)
         elif magic2 == b"CR":
-            # surfaces as a CommandLineError via open_readset_reader
-            raise OSError(
-                "CRAM input is not supported by whatshap_tpu yet; please convert "
-                "to BAM (samtools view -b)"
-            )
+            self._mode = "cram"
+            self._read_cram(path, reference_filename)
         else:
             self._mode = "sam"
             self._read_sam_header(path)
+
+    def _read_cram(self, path, reference_filename) -> None:
+        from .cram import CramReader
+
+        reader = CramReader(path, reference_filename)
+        text = reader.header_text
+        references = []
+        lengths = []
+        rg_ids = []
+        for line in text.split("\n"):
+            if line.startswith("@SQ"):
+                d = dict(f.split(":", 1) for f in line.split("\t")[1:] if ":" in f)
+                references.append(d.get("SN"))
+                lengths.append(int(d.get("LN", 0)))
+            elif line.startswith("@RG"):
+                d = dict(f.split(":", 1) for f in line.split("\t")[1:] if ":" in f)
+                rg_ids.append(d.get("ID"))
+        self.header = AlignmentHeader(text, references, lengths)
+        self._cram_segments = [
+            self._cram_to_segment(rec, cigar, rg_ids) for rec, cigar in reader.records
+        ]
+
+    def _cram_to_segment(self, rec, cigar, rg_ids) -> AlignedSegment:
+        seg = AlignedSegment(self.header)
+        seg.query_name = rec.name
+        flag = rec.flag
+        if rec.mate_flags & 0x1:
+            flag |= 0x20  # mate reverse strand
+        if rec.mate_flags & 0x2:
+            flag |= 0x8  # mate unmapped
+        seg.flag = flag
+        seg.reference_id = rec.ref_id
+        seg.reference_start = rec.pos - 1
+        seg.mapping_quality = rec.mapq
+        seg.cigartuples = [(op, ln) for op, ln in cigar] or None
+        seg.next_reference_id = rec.mate_ref_id
+        seg.next_reference_start = rec.mate_pos - 1
+        seg.template_length = rec.template_len
+        seg.query_sequence = rec.seq or None
+        seg.query_qualities = list(rec.quals) if rec.quals is not None else None
+        seg.tags = dict(rec.tags)
+        if rec.read_group >= 0 and rec.read_group < len(rg_ids) and "RG" not in seg.tags:
+            seg.tags["RG"] = rg_ids[rec.read_group]
+        return seg
 
     def _read_bam_header(self, path) -> None:
         r = BGZFReader(path)
@@ -575,17 +616,22 @@ class AlignmentFile:
     def _has_index(self) -> bool:
         if self._mode == "sam":
             return False
-        for ext in (".bai", ".csi"):
+        for ext in (".bai", ".csi", ".crai"):
             if os.path.exists(str(self._path) + ext):
                 return True
-        base, bamext = os.path.splitext(str(self._path))
-        if bamext == ".bam" and (
+        base, fext = os.path.splitext(str(self._path))
+        if fext == ".bam" and (
             os.path.exists(base + ".bai") or os.path.exists(base + ".csi")
         ):
+            return True
+        if fext == ".cram" and os.path.exists(base + ".crai"):
             return True
         return False
 
     def _iter_all(self) -> Iterator[AlignedSegment]:
+        if self._mode == "cram":
+            yield from self._cram_segments
+            return
         if self._mode == "sam":
             with open(self._path) as f:
                 for line in f:
