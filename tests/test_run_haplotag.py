@@ -1122,7 +1122,6 @@ def test_haplotag_selected_regions(tmp_path):
                 assert aln.has_tag("HP")
 
 
-@pytest.mark.xfail(reason="CRAM output not implemented yet", strict=True)
 def test_cram_output(tmp_path):
     outcram = tmp_path / "output.cram"
     run_haplotag(

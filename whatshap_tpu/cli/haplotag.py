@@ -485,8 +485,6 @@ def open_output_alignment_file(aln_output, reference, vcf_md5, bam_header, threa
         bam_header["PG"] = [PG_entry]
     if aln_output is None:
         aln_output = sys.stdout.buffer
-    elif str(aln_output).endswith(".cram"):
-        raise CommandLineError("CRAM output is not supported yet; write BAM instead")
     elif aln_output is sys.stdout:
         aln_output = sys.stdout.buffer
     try:

@@ -841,3 +841,371 @@ class CramReader:
                 with IndexedFasta(self._reference_filename) as fa:
                     self._ref_cache[name] = str(fa[name][:])
         return self._ref_cache[name]
+
+
+# ---------------------------------------------------------------------------
+# CRAM 3.0 writer (no-reference mode)
+
+
+def _enc_itf8(v: int) -> bytes:
+    v &= 0xFFFFFFFF
+    if v < 0x80:
+        return bytes([v])
+    if v < 0x4000:
+        return bytes([0x80 | (v >> 8), v & 0xFF])
+    if v < 0x200000:
+        return bytes([0xC0 | (v >> 16), (v >> 8) & 0xFF, v & 0xFF])
+    if v < 0x10000000:
+        return bytes([0xE0 | (v >> 24), (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF])
+    return bytes(
+        [
+            0xF0 | ((v >> 28) & 0x0F),
+            (v >> 20) & 0xFF,
+            (v >> 12) & 0xFF,
+            (v >> 4) & 0xFF,
+            v & 0x0F,
+        ]
+    )
+
+
+def _enc_ltf8(v: int) -> bytes:
+    v &= (1 << 64) - 1
+    if v < 0x80:
+        return bytes([v])
+    out = []
+    n = v
+    nbytes = 0
+    while n:
+        nbytes += 1
+        n >>= 8
+    # choose the smallest prefix that fits
+    for extra in range(1, 9):
+        avail = 8 - extra - 1 if extra < 8 else 0
+        if v < (1 << (8 * extra + avail)):
+            prefix = (0xFF << (8 - extra)) & 0xFF
+            first = prefix | (v >> (8 * extra)) if extra < 8 else prefix
+            out = [first] + [(v >> (8 * (extra - 1 - i))) & 0xFF for i in range(extra)]
+            return bytes(out)
+    raise ValueError("ltf8 overflow")
+
+
+def _enc_block(method: int, content_type: int, content_id: int, data: bytes) -> bytes:
+    if method == 1:
+        import gzip
+
+        payload = gzip.compress(data)
+    else:
+        payload = data
+    head = (
+        bytes([method, content_type])
+        + _enc_itf8(content_id)
+        + _enc_itf8(len(payload))
+        + _enc_itf8(len(data))
+    )
+    body = head + payload
+    return body + struct.pack("<I", zlib.crc32(body) & 0xFFFFFFFF)
+
+
+def _enc_container(ref_id, start, span, n_records, counter, bases, blocks: List[bytes]) -> bytes:
+    payload = b"".join(blocks)
+    landmarks = []
+    off = 0
+    for b in blocks:
+        landmarks.append(off)
+        off += len(b)
+    head = (
+        _enc_itf8(ref_id)
+        + _enc_itf8(start)
+        + _enc_itf8(span)
+        + _enc_itf8(n_records)
+        + _enc_ltf8(counter)
+        + _enc_ltf8(bases)
+        + _enc_itf8(len(blocks))
+        + _enc_itf8(len(landmarks))
+        + b"".join(_enc_itf8(x) for x in landmarks)
+    )
+    full_head = struct.pack("<i", len(payload)) + head
+    crc = struct.pack("<I", zlib.crc32(full_head) & 0xFFFFFFFF)
+    return full_head + crc + payload
+
+
+_EOF_CONTAINER = bytes.fromhex(
+    "0f000000ffffffff0fe0454f4600000000010005bdd94f0001000606010001000100ee63014b"
+)
+
+# external block content ids for the writer's data series
+_W_IDS = {
+    b"BF": 1,
+    b"CF": 2,
+    b"RI": 3,
+    b"RL": 4,
+    b"AP": 5,
+    b"RG": 6,
+    b"MF": 7,
+    b"NS": 8,
+    b"NP": 9,
+    b"TS": 10,
+    b"TL": 11,
+    b"FN": 12,
+    b"FP": 13,
+    b"MQ": 14,
+}
+_W_RN = 20  # byte-array-stop
+_W_QS = 21
+_W_BA = 22
+_W_FC = 23
+_W_BB_LEN = 24
+_W_BB_VAL = 25
+_W_IN_LEN = 26
+_W_IN_VAL = 27
+_W_SC_LEN = 28
+_W_SC_VAL = 29
+_W_DL = 30
+_W_TAG_BASE = 40
+
+
+class CramWriter:
+    """Writes CRAM 3.0 in no-reference mode: M-runs carry their bases as
+    'b' (BB) features, so sequences and CIGARs round-trip without a
+    reference (RR=false).  One slice per file-sized chunk; every data series
+    EXTERNAL (ITF8) except read names (BYTE_ARRAY_STOP) and byte arrays
+    (BYTE_ARRAY_LEN over EXTERNAL streams)."""
+
+    def __init__(self, fileobj, header_text: str):
+        self._f = fileobj
+        self._header_text = header_text
+        self._segments = []
+
+    def write(self, seg) -> None:
+        self._segments.append(seg)
+
+    def close(self) -> None:
+        f = self._f
+        f.write(CRAM_MAGIC + bytes([3, 0]) + b"whatshap_tpu".ljust(20, b"\x00"))
+        text = self._header_text.encode()
+        hblock_data = struct.pack("<i", len(text)) + text
+        hblock = _enc_block(0, 0, 0, hblock_data)
+        f.write(_enc_container(0, 0, 0, 0, 0, 0, [hblock]))
+        if self._segments:
+            f.write(self._encode_slice_container(self._segments))
+        f.write(_EOF_CONTAINER)
+
+    # -- encoding helpers ------------------------------------------------
+
+    def _encode_slice_container(self, segments) -> bytes:
+        ext: Dict[int, bytearray] = {}
+
+        def put_int(cid, v):
+            ext.setdefault(cid, bytearray()).extend(_enc_itf8(v))
+
+        def put_bytes(cid, b):
+            ext.setdefault(cid, bytearray()).extend(b)
+
+        tag_lines: List[Tuple] = []
+        tag_ids: Dict[Tuple[str, str], int] = {}
+        tag_cids: Dict[int, int] = {}
+        n_bases = 0
+
+        for seg in segments:
+            flag = seg.flag
+            mf = (1 if flag & 0x20 else 0) | (2 if flag & 0x8 else 0)
+            cf = CF_DETACHED | (CF_QS_PRESERVED if seg.query_qualities is not None else 0)
+            put_int(_W_IDS[b"BF"], flag)
+            put_int(_W_IDS[b"CF"], cf)
+            put_int(_W_IDS[b"RI"], seg.reference_id)
+            rl = len(seg.query_sequence or "")
+            put_int(_W_IDS[b"RL"], rl)
+            n_bases += rl
+            put_int(_W_IDS[b"AP"], (seg.reference_start + 1) if seg.reference_start >= 0 else 0)
+            put_int(_W_IDS[b"RG"], -1)
+            put_bytes(_W_RN, (seg.query_name or "*").encode() + b"\x00")
+            put_int(_W_IDS[b"MF"], mf)
+            put_int(_W_IDS[b"NS"], seg.next_reference_id)
+            put_int(_W_IDS[b"NP"], (seg.next_reference_start + 1) if seg.next_reference_start >= 0 else 0)
+            put_int(_W_IDS[b"TS"], seg.template_length)
+
+            # tag line
+            line = tuple(
+                (t, _tag_type(v)) for t, v in seg.tags.items()
+            )
+            if line not in tag_ids:
+                tag_ids[line] = len(tag_lines)
+                tag_lines.append(line)
+            put_int(_W_IDS[b"TL"], tag_ids[line])
+            for (t, typ), (_, v) in zip(line, seg.tags.items()):
+                key = _tag_key(t, typ)
+                if key not in tag_cids:
+                    tag_cids[key] = _W_TAG_BASE + 2 * len(tag_cids)
+                cid = tag_cids[key]
+                raw = _tag_raw(typ, v)
+                put_int(cid, len(raw))
+                put_bytes(cid + 1, raw)
+
+            if not (flag & 4):
+                feats = self._features(seg)
+                put_int(_W_IDS[b"FN"], len(feats))
+                prev = 0
+                for fc, fpos, val in feats:
+                    put_bytes(_W_FC, bytes([ord(fc)]))
+                    put_int(_W_IDS[b"FP"], fpos - prev)
+                    prev = fpos
+                    if fc == "b":
+                        put_int(_W_BB_LEN, len(val))
+                        put_bytes(_W_BB_VAL, val)
+                    elif fc == "I":
+                        put_int(_W_IN_LEN, len(val))
+                        put_bytes(_W_IN_VAL, val)
+                    elif fc == "S":
+                        put_int(_W_SC_LEN, len(val))
+                        put_bytes(_W_SC_VAL, val)
+                    elif fc in ("D", "N", "H", "P"):
+                        put_int(_W_DL, val)
+                put_int(_W_IDS[b"MQ"], seg.mapping_quality)
+            else:
+                put_bytes(_W_BA, (seg.query_sequence or "").encode())
+            if seg.query_qualities is not None:
+                put_bytes(_W_QS, bytes(seg.query_qualities))
+
+        comp_block = _enc_block(0, 1, 0, self._compression_header(tag_lines, tag_cids))
+        ext_ids = sorted(ext)
+        core_block = _enc_block(0, 5, 0, b"")
+        ext_blocks = [_enc_block(1, 4, cid, bytes(ext[cid])) for cid in ext_ids]
+        slice_head = (
+            _enc_itf8(-2)  # multi-ref
+            + _enc_itf8(0)
+            + _enc_itf8(0)
+            + _enc_itf8(len(segments))
+            + _enc_ltf8(0)
+            + _enc_itf8(1 + len(ext_blocks))
+            + _enc_itf8(len(ext_ids))
+            + b"".join(_enc_itf8(x) for x in ext_ids)
+            + _enc_itf8(-1)
+            + bytes(16)
+        )
+        slice_block = _enc_block(0, 2, 0, slice_head)
+        blocks = [comp_block, slice_block, core_block] + ext_blocks
+        return _enc_container(
+            -2, 0, 0, len(segments), 0, n_bases, blocks
+        )
+
+    @staticmethod
+    def _features(seg):
+        feats = []
+        seq = seg.query_sequence or ""
+        read_pos = 1
+        for op, ln in seg.cigartuples or [(0, len(seq))]:
+            if op in (0, 7, 8):  # M/=/X -> verbatim bases
+                feats.append(("b", read_pos, seq[read_pos - 1 : read_pos - 1 + ln].encode()))
+                read_pos += ln
+            elif op == 1:
+                feats.append(("I", read_pos, seq[read_pos - 1 : read_pos - 1 + ln].encode()))
+                read_pos += ln
+            elif op == 4:
+                feats.append(("S", read_pos, seq[read_pos - 1 : read_pos - 1 + ln].encode()))
+                read_pos += ln
+            elif op == 2:
+                feats.append(("D", read_pos, ln))
+            elif op == 3:
+                feats.append(("N", read_pos, ln))
+            elif op == 5:
+                feats.append(("H", read_pos, ln))
+            elif op == 6:
+                feats.append(("P", read_pos, ln))
+        return feats
+
+    def _compression_header(self, tag_lines, tag_cids) -> bytes:
+        def enc_map(entries: List[bytes]) -> bytes:
+            body = b"".join(entries)
+            inner = _enc_itf8(len(entries)) + body
+            return _enc_itf8(len(inner)) + inner
+
+        # preservation map
+        td = bytearray()
+        for line in tag_lines:
+            for t, typ in line:
+                td.extend(t.encode() + typ.encode())
+            td.append(0)
+        if not tag_lines:
+            td.append(0)
+        pres = enc_map(
+            [
+                b"RN" + bytes([1]),
+                b"AP" + bytes([0]),
+                b"RR" + bytes([0]),
+                b"SM" + bytes(5),
+                b"TD" + _enc_itf8(len(td)) + bytes(td),
+            ]
+        )
+
+        def ext_enc(cid):
+            params = _enc_itf8(cid)
+            return _enc_itf8(1) + _enc_itf8(len(params)) + params
+
+        def stop_enc(stop, cid):
+            params = bytes([stop]) + _enc_itf8(cid)
+            return _enc_itf8(5) + _enc_itf8(len(params)) + params
+
+        def bal_enc(len_cid, val_cid):
+            inner_len = _enc_itf8(len_cid)
+            inner_val = _enc_itf8(val_cid)
+            params = (
+                _enc_itf8(1)
+                + _enc_itf8(len(inner_len))
+                + inner_len
+                + _enc_itf8(1)
+                + _enc_itf8(len(inner_val))
+                + inner_val
+            )
+            return _enc_itf8(4) + _enc_itf8(len(params)) + params
+
+        series = []
+        for key, cid in _W_IDS.items():
+            series.append(key + ext_enc(cid))
+        series.append(b"RN" + stop_enc(0, _W_RN))
+        series.append(b"QS" + ext_enc(_W_QS))
+        series.append(b"BA" + ext_enc(_W_BA))
+        series.append(b"FC" + ext_enc(_W_FC))
+        series.append(b"BB" + bal_enc(_W_BB_LEN, _W_BB_VAL))
+        series.append(b"IN" + bal_enc(_W_IN_LEN, _W_IN_VAL))
+        series.append(b"SC" + bal_enc(_W_SC_LEN, _W_SC_VAL))
+        series.append(b"DL" + ext_enc(_W_DL))
+        series.append(b"RS" + ext_enc(_W_DL))
+        series.append(b"HC" + ext_enc(_W_DL))
+        series.append(b"PD" + ext_enc(_W_DL))
+        smap = enc_map(series)
+
+        tags = []
+        for key, cid in tag_cids.items():
+            tags.append(_enc_itf8(key) + bal_enc(cid, cid + 1))
+        tmap = enc_map(tags)
+        return pres + smap + tmap
+
+
+def _tag_key(tag: str, typ: str) -> int:
+    return (ord(tag[0]) << 16) | (ord(tag[1]) << 8) | ord(typ)
+
+
+def _tag_type(v) -> str:
+    if isinstance(v, int):
+        return "i"
+    if isinstance(v, float):
+        return "f"
+    if isinstance(v, list):
+        return "B"
+    if isinstance(v, str) and len(v) == 1:
+        return "A" if False else "Z"
+    return "Z"
+
+
+def _tag_raw(typ: str, v) -> bytes:
+    if typ == "i":
+        return struct.pack("<i", v)
+    if typ == "f":
+        return struct.pack("<f", v)
+    if typ == "Z":
+        return str(v).encode() + b"\x00"
+    if typ == "B":
+        if all(isinstance(x, int) for x in v):
+            return b"i" + struct.pack("<i", len(v)) + struct.pack(f"<{len(v)}i", *v)
+        return b"f" + struct.pack("<i", len(v)) + struct.pack(f"<{len(v)}f", *v)
+    return str(v).encode()

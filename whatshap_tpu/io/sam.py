@@ -603,6 +603,10 @@ class AlignmentFile:
         self.header = AlignmentHeader(text, references, lengths)
 
     @property
+    def is_cram(self) -> bool:
+        return self._mode in ("cram", "cram-write")
+
+    @property
     def references(self) -> List[str]:
         return list(self.header.references)
 
@@ -889,6 +893,18 @@ class AlignmentFile:
 
     # -- writing ---------------------------------------------------------
     def _open_write(self, path) -> None:
+        name = None
+        if not hasattr(path, "write"):
+            name = str(path)
+        elif hasattr(path, "name"):
+            name = str(getattr(path, "name"))
+        if (name and name.endswith(".cram")) or "c" in getattr(self, "_req_mode", ""):
+            from .cram import CramWriter
+
+            self._mode = "cram-write"
+            self._raw = path if hasattr(path, "write") else open(path, "wb")
+            self._writer = CramWriter(self._raw, self.header.text)
+            return
         self._mode = "bam-write"
         if hasattr(path, "write"):
             self._raw = path
@@ -908,7 +924,10 @@ class AlignmentFile:
 
     def write(self, seg: AlignedSegment) -> None:
         assert self._writer is not None
-        self._writer.write(encode_bam_record(seg))
+        if self._mode == "cram-write":
+            self._writer.write(seg)
+        else:
+            self._writer.write(encode_bam_record(seg))
 
 
 class FastxRecord:
