@@ -11,6 +11,7 @@ implemented by scanning and filtering; true BAI seeks are an optimization
 that can be layered underneath without changing the API.
 """
 
+import binascii
 import os
 import re
 import struct
@@ -38,6 +39,7 @@ _QUERY_CONSUMING = {0, 1, 4, 7, 8}
 
 SEQ_DECODE = "=ACMGRSVTWYHKDBN"
 SEQ_ENCODE = {c: i for i, c in enumerate(SEQ_DECODE)}
+_SEQ_HEX_TRANS = bytes.maketrans(b"0123456789abcdef", SEQ_DECODE.encode())
 
 
 class AlignmentFileNotIndexedError(Exception):
@@ -394,12 +396,12 @@ def parse_bam_record(data: bytes, header: AlignmentHeader) -> AlignedSegment:
         seg.cigartuples = None
     if l_seq:
         nbytes = (l_seq + 1) // 2
-        seq_chars = []
-        for i in range(l_seq):
-            b = data[off + (i >> 1)]
-            code = (b >> 4) if i % 2 == 0 else (b & 0xF)
-            seq_chars.append(SEQ_DECODE[code])
-        seg.query_sequence = "".join(seq_chars)
+        # 4-bit codes -> hex digits -> bases, all in C
+        seg.query_sequence = (
+            binascii.hexlify(data[off : off + nbytes])
+            .translate(_SEQ_HEX_TRANS)[:l_seq]
+            .decode()
+        )
         off += nbytes
         quals = data[off : off + l_seq]
         if quals and quals[0] != 0xFF:
@@ -632,6 +634,42 @@ class AlignmentFile:
             return True
         return False
 
+    _NATIVE_SCAN_MAX_BYTES = 512 * 1024 * 1024
+
+    def _native_pool(self):
+        """Whole-file decode through the C++ loader (native/bamlib.cpp):
+        one BGZF inflation pass and record splitting in C, cached."""
+        if getattr(self, "_native_handle", None) is not None:
+            return self._native_cache
+        from ..native import bamlib
+
+        if bamlib is None:
+            return None
+        try:
+            size = os.path.getsize(self._path)
+        except (OSError, TypeError):
+            return None
+        if size > self._NATIVE_SCAN_MAX_BYTES:
+            return None
+        import ctypes as _ct
+        import weakref
+
+        h = bamlib._lib.wh_bam_load(os.fspath(self._path).encode())
+        if not h:
+            return None
+        n = bamlib._lib.wh_bam_n_records(h)
+        pool_size = bamlib._lib.wh_bam_pool_size(h)
+        pool = bytes(_ct.cast(bamlib._lib.wh_bam_pool(h), _ct.POINTER(_ct.c_char * pool_size)).contents) if pool_size else b""
+        offsets = list(
+            _ct.cast(
+                bamlib._lib.wh_bam_offsets(h), _ct.POINTER(_ct.c_uint64 * (n + 1))
+            ).contents
+        )
+        bamlib._lib.wh_bam_free(h)
+        self._native_handle = True
+        self._native_cache = (pool, offsets)
+        return self._native_cache
+
     def _iter_all(self) -> Iterator[AlignedSegment]:
         if self._mode == "cram":
             yield from self._cram_segments
@@ -642,6 +680,13 @@ class AlignmentFile:
                     if line.startswith("@") or not line.strip():
                         continue
                     yield self._parse_sam_line(line)
+            return
+        native = self._native_pool() if not hasattr(self._path, "write") else None
+        if native is not None:
+            pool, offsets = native
+            header = self.header
+            for i in range(len(offsets) - 1):
+                yield parse_bam_record(pool[offsets[i] : offsets[i + 1]], header)
             return
         r = BGZFReader(self._path)
         r.seek_virtual(self._body_voffset)

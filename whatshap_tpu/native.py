@@ -71,3 +71,70 @@ if _build():
         lib = _NativeLib(ctypes.CDLL(str(_SO_PATH)))
     except OSError:
         lib = None
+
+
+# --- native BAM loader (native/bamlib.cpp) ---------------------------------
+
+_BAM_SO_PATH = _NATIVE_DIR / "_bamlib.so"
+
+
+class _BamLib:
+    def __init__(self, cdll):
+        c = self._lib = cdll
+        c.wh_bam_load.restype = ctypes.c_void_p
+        c.wh_bam_load.argtypes = [ctypes.c_char_p]
+        c.wh_bam_n_records.restype = ctypes.c_uint64
+        c.wh_bam_n_records.argtypes = [ctypes.c_void_p]
+        c.wh_bam_pool.restype = ctypes.POINTER(ctypes.c_uint8)
+        c.wh_bam_pool.argtypes = [ctypes.c_void_p]
+        c.wh_bam_pool_size.restype = ctypes.c_uint64
+        c.wh_bam_pool_size.argtypes = [ctypes.c_void_p]
+        c.wh_bam_offsets.restype = ctypes.POINTER(ctypes.c_uint64)
+        c.wh_bam_offsets.argtypes = [ctypes.c_void_p]
+        c.wh_bam_fixed.restype = ctypes.POINTER(ctypes.c_int32)
+        c.wh_bam_fixed.argtypes = [ctypes.c_void_p]
+        c.wh_bam_header_text.restype = ctypes.c_char_p
+        c.wh_bam_header_text.argtypes = [ctypes.c_void_p]
+        c.wh_bam_n_refs.restype = ctypes.c_int
+        c.wh_bam_n_refs.argtypes = [ctypes.c_void_p]
+        c.wh_bam_ref_name.restype = ctypes.c_char_p
+        c.wh_bam_ref_name.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        c.wh_bam_ref_len.restype = ctypes.c_int
+        c.wh_bam_ref_len.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        c.wh_bam_free.restype = None
+        c.wh_bam_free.argtypes = [ctypes.c_void_p]
+
+
+def _build_bamlib() -> bool:
+    src = _NATIVE_DIR / "bamlib.cpp"
+    if not src.exists():
+        return False
+    if _BAM_SO_PATH.exists() and _BAM_SO_PATH.stat().st_mtime >= src.stat().st_mtime:
+        return True
+    try:
+        subprocess.run(
+            [
+                "g++",
+                "-O3",
+                "-shared",
+                "-fPIC",
+                "-std=c++17",
+                "-o",
+                str(_BAM_SO_PATH),
+                str(src),
+                "-lz",
+            ],
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+bamlib = None
+if _build_bamlib():
+    try:
+        bamlib = _BamLib(ctypes.CDLL(str(_BAM_SO_PATH)))
+    except OSError:
+        bamlib = None
