@@ -597,14 +597,16 @@ def run_dp(packed: PackedProblem, backend: str = "auto") -> Optional[DPResult]:
 
     if backend == "jax":
         # forward + backtrace fully on device; only the paths come back
+        from . import wmec_pallas
         from ..parallel.blocks import pad_block
 
         c_pad = _next_pow2(C)
-        padded = pad_block(packed, c_pad)
-        cost, index_path, trans_path = _solve_scan(
-            K,
-            T,
-            P,
+        use_pallas = (
+            jax.default_backend() != "cpu" and wmec_pallas.kernel_supported(max(K, 7), T, P)
+        )
+        k_run = max(K, wmec_pallas.LANE_BITS) if use_pallas else K
+        padded = pad_block(packed, c_pad, k_pad=k_run)
+        args = (
             jnp.asarray(padded.wdiff),
             jnp.asarray(padded.wbase),
             jnp.asarray(padded.rankw),
@@ -612,6 +614,13 @@ def run_dp(packed: PackedProblem, backend: str = "auto") -> Optional[DPResult]:
             jnp.asarray(padded.die_prev),
             jnp.asarray(padded.rc),
         )
+        if use_pallas:
+            costs, index_paths, trans_paths = wmec_pallas.solve_batched_pallas(
+                k_run, T, P, *[a[None] for a in args]
+            )
+            cost, index_path, trans_path = costs[0], index_paths[0], trans_paths[0]
+        else:
+            cost, index_path, trans_path = _solve_scan(K, T, P, *args)
         return DPResult(
             int(cost),
             np.asarray(index_path, dtype=np.int64)[:C],
