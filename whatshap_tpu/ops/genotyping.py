@@ -84,9 +84,10 @@ def _transition_tables(packed: "wmec.PackedProblem", pedigree: Pedigree):
                 counts[k] = counts.get(k, 0) + 1
             mult = np.array([counts[k] for k in keys], dtype=LD)
             probs = probs / mult
-            s = probs.sum()
-            if s > 0:
-                probs = probs / s
+            # the reference normalizes unconditionally; a zero sum yields
+            # NaNs downstream exactly like the C++ (0/0 on long doubles)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                probs = probs / probs.sum()
             passign[c, t] = probs
     return trans, passign, gt_idx
 
@@ -166,11 +167,15 @@ def run_genotyping(packed: "wmec.PackedProblem", pedigree: Pedigree) -> Optional
 
     trans, passign, gt_idx = _transition_tables(packed, pedigree)
 
-    # birth[c, s]: slot becomes active at column c (summed out moving left)
+    # birth[c, s]: slot holds a read at column c that was not there at c-1
+    # (newly active, or REUSED: the old read died entering c and a new one
+    # was assigned the freed slot — die_prev[c] marks both flavours of
+    # death, so reuse shows up as active & die_prev).  These are the bits
+    # the backward pass must sum out when projecting onto column c-1.
     birth = np.zeros((C, K), dtype=bool)
     prev_active = np.zeros(K, dtype=bool)
     for c in range(C):
-        birth[c] = packed.active[c] & ~prev_active
+        birth[c] = packed.active[c] & (~prev_active | packed.die_prev[c])
         prev_active = packed.active[c].copy()
 
     k_active = packed.active.sum(axis=1)  # active slot count per column
@@ -196,10 +201,12 @@ def run_genotyping(packed: "wmec.PackedProblem", pedigree: Pedigree) -> Optional
             weighted = (bval[:, :, None] * em * passign[c][None]).sum(axis=2)  # (S, T_i)
             contrib = weighted @ trans[c].T  # (S, T_j) with trans[j,i] summed over i
             new_beta = _sum_fold(contrib.copy(), K, birth[c])
-            new_beta /= scaling_sum
+            with np.errstate(divide="ignore", invalid="ignore"):
+                new_beta /= scaling_sum
             beta_store[c - 1] = new_beta
         if beta_next is not None:
-            beta_next /= scaling_sum
+            with np.errstate(divide="ignore", invalid="ignore"):
+                beta_next /= scaling_sum
             beta_store[c] = beta_next
         beta_next = beta_store[c - 1] if c > 0 else None
 
@@ -212,7 +219,8 @@ def run_genotyping(packed: "wmec.PackedProblem", pedigree: Pedigree) -> Optional
             sum_prev = alpha_prev @ trans[c]  # (S, T_i): sum_j alpha[B,j]*trans[j,i]
         else:
             sum_prev = np.ones((S, T), dtype=LD)
-        fwd = sum_prev[:, :, None] * em * passign[c][None] / scaling[c]  # (S,T,nA)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            fwd = sum_prev[:, :, None] * em * passign[c][None] / scaling[c]  # (S,T,nA)
         beta_here = beta_store[c]
         if beta_here is None:
             fb = fwd
@@ -225,7 +233,7 @@ def run_genotyping(packed: "wmec.PackedProblem", pedigree: Pedigree) -> Optional
             for geno in range(3):
                 mask = (g == geno).astype(LD)  # (T, nA)
                 likelihoods[c, ind, geno] = (fb * mask[None]).sum() / dup[c]
-        if normalization > 0:
+        with np.errstate(divide="ignore", invalid="ignore"):
             likelihoods[c] /= normalization
         # project alpha to the next column: sum out slots dying after c
         # (die_prev[c+1] marks exactly those)
