@@ -132,3 +132,103 @@ def run_oracle(problem_text: str) -> dict:
     out["haplotypes"] = haps
     out["qualities"] = quals
     return out
+
+
+# ---------------------------------------------------------------------------
+# additional dev-only oracles (genotyping HMM, HapChat, PedMecHeuristic)
+
+_EXTRA_ORACLES = {
+    "geno": (
+        "geno_oracle_main.cpp",
+        [
+            "read.cpp",
+            "readset.cpp",
+            "entry.cpp",
+            "columniterator.cpp",
+            "backwardcolumniterator.cpp",
+            "indexset.cpp",
+            "pedigree.cpp",
+            "genotype.cpp",
+            "binomial.cpp",
+            "phredgenotypelikelihoods.cpp",
+            "genotypedptable.cpp",
+            "genotypecolumncostcomputer.cpp",
+            "transitionprobabilitycomputer.cpp",
+            "columnindexingiterator.cpp",
+            "columnindexingscheme.cpp",
+            "graycodes.cpp",
+            "pedigreepartitions.cpp",
+            "genotypedistribution.cpp",
+        ],
+    ),
+    "hapchat": (
+        "hapchat_oracle_main.cpp",
+        [
+            "read.cpp",
+            "readset.cpp",
+            "entry.cpp",
+            "columniterator.cpp",
+            "indexset.cpp",
+            "hapchat/basictypes.cpp",
+            "hapchat/binomialcoefficient.cpp",
+            "hapchat/balancedcombinations.cpp",
+        ],
+    ),
+    "heur": (
+        "heur_oracle_main.cpp",
+        [
+            "pedmecheuristic.cpp",
+            "read.cpp",
+            "readset.cpp",
+            "entry.cpp",
+            "columniterator.cpp",
+            "indexset.cpp",
+            "pedigree.cpp",
+            "genotype.cpp",
+            "binomial.cpp",
+            "phredgenotypelikelihoods.cpp",
+            "polyphase/allelematrix.cpp",
+        ],
+    ),
+}
+
+
+def ensure_extra_oracle(kind: str) -> Optional[Path]:
+    main_name, sources = _EXTRA_ORACLES[kind]
+    binpath = ORACLE_DIR / f"oracle_{kind}"
+    if binpath.exists():
+        return binpath
+    main_cpp = Path(__file__).parent / main_name
+    if not (REFERENCE_SRC.exists() and main_cpp.exists()):
+        return None
+    ORACLE_DIR.mkdir(parents=True, exist_ok=True)
+    cmd = (
+        [
+            "g++",
+            "-O2",
+            "-std=c++17",
+            f"-I{REFERENCE_SRC}",
+            f"-I{REFERENCE_SRC}/hapchat",
+            "-o",
+            str(binpath),
+            str(main_cpp),
+        ]
+        + [str(REFERENCE_SRC / s) for s in sources]
+    )
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return None
+    return binpath if binpath.exists() else None
+
+
+def run_extra_oracle(kind: str, problem_text: str) -> Optional[str]:
+    binpath = ensure_extra_oracle(kind)
+    if binpath is None:
+        return None
+    proc = subprocess.run(
+        [str(binpath)], input=problem_text, capture_output=True, text=True, timeout=600
+    )
+    if proc.returncode != 0:
+        return None
+    return proc.stdout
