@@ -1,0 +1,595 @@
+// Native cluster-editing engine for the polyploid pipeline.
+//
+// This is a C++ translation of whatshap_tpu/polyphase/clusterediting.py
+// (which itself carries behavior parity with the reference heuristic,
+// including its tie-breaking and float32 arithmetic).  The Python module
+// remains the semantic source of truth and fallback; differential tests
+// assert both produce identical clusterings.
+//
+// Entry point (ctypes): wh_cluster_run(n_nodes, n_edges, us, vs, ws,
+// bundle_edges, out_nodes, out_offsets) -> n_clusters.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <limits>
+#include <set>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+namespace {
+
+const float FORBIDDEN = -std::numeric_limits<float>::infinity();
+const float PERMANENT = std::numeric_limits<float>::infinity();
+
+inline uint64_t ekey(int u, int v) {
+    if (u > v) std::swap(u, v);
+    return (uint64_t)u << 32 | (uint32_t)v;
+}
+
+struct Graph {
+    int n = 0;
+    std::unordered_map<uint64_t, int> rank;  // (u,v) -> rank id (1-based)
+    std::unordered_map<int64_t, int> rank_by_id;  // edge id -> rank (for the quirk)
+    std::vector<float> weight;               // rank -> weight; [0] = 0
+    std::vector<std::pair<int, int>> edges;  // rank -> (u, v)
+    std::vector<std::vector<int>> unpruned, nonzero, cliques;
+    std::vector<int> cliqueOf;
+    std::vector<std::set<int>> forbidden;    // ordered for determinism
+
+    int findIndex(int u, int v) const {
+        auto it = rank.find(ekey(u, v));
+        return it == rank.end() ? 0 : it->second;
+    }
+
+    static bool removeFromVector(std::vector<int>& vec, int v) {
+        for (size_t i = 0; i < vec.size(); ++i)
+            if (vec[i] == v) {
+                vec[i] = vec.back();
+                vec.pop_back();
+                return true;
+            }
+        return false;
+    }
+
+    void refresh(int u, int v, float oldW, float newW) {
+        bool oldPruned = oldW == FORBIDDEN || oldW == PERMANENT || oldW == 0.0f;
+        bool newPruned = newW == FORBIDDEN || newW == PERMANENT || newW == 0.0f;
+        if (oldPruned && !newPruned) {
+            unpruned[u].push_back(v);
+            unpruned[v].push_back(u);
+        } else if (!oldPruned && newPruned) {
+            removeFromVector(unpruned[u], v);
+            removeFromVector(unpruned[v], u);
+        }
+        if (oldW == 0.0f && newW != 0.0f) {
+            nonzero[u].push_back(v);
+            nonzero[v].push_back(u);
+        } else if (oldW != 0.0f && newW == 0.0f) {
+            removeFromVector(nonzero[u], v);
+            removeFromVector(nonzero[v], u);
+        }
+    }
+
+    void setPermanent(int u, int v, int r) {
+        int cu = cliqueOf[u], cv = cliqueOf[v];
+        if (forbidden[cu].count(cv)) return;
+        int merged, discarded;
+        if (cliques[cu].size() < cliques[cv].size()) {
+            merged = cv;
+            discarded = cu;
+        } else {
+            merged = cu;
+            discarded = cv;
+        }
+        if (merged != discarded) {
+            for (int d : cliques[discarded]) {
+                cliqueOf[d] = merged;
+                cliques[merged].push_back(d);
+            }
+            cliques[discarded].clear();
+            for (int f : forbidden[discarded]) {
+                forbidden[merged].insert(f);
+                forbidden[f].insert(merged);
+                forbidden[f].erase(discarded);
+            }
+            forbidden[discarded].clear();
+        }
+        refresh(u, v, weight[r], PERMANENT);
+        if (r > 0) weight[r] = PERMANENT;
+    }
+
+    void setForbidden(int u, int v, int r) {
+        int cu = cliqueOf[u], cv = cliqueOf[v];
+        if (cu == cv) return;
+        forbidden[cu].insert(cv);
+        forbidden[cv].insert(cu);
+        refresh(u, v, weight[r], FORBIDDEN);
+        if (r > 0) weight[r] = FORBIDDEN;
+    }
+};
+
+struct Heap {
+    Graph& g;
+    long long unprocessed = 0;
+    std::vector<std::pair<int, int>> edges;  // rank -> (u,v)
+    std::vector<float> icf, icp;
+    std::vector<int> forb_rank2edge, perm_rank2edge;
+    std::vector<int> edge2forb, edge2perm;
+    std::vector<int> edgeToBundle;
+    std::vector<std::vector<int>> edgeBundles;
+
+    explicit Heap(Graph& graph) : g(graph) {
+        size_t n = g.weight.size();
+        edges.assign(n, {-1, -1});
+        icf.assign(n, FORBIDDEN);
+        icp.assign(n, FORBIDDEN);
+        edge2forb.assign(n, 0);
+        edge2perm.assign(n, 0);
+        edgeToBundle.resize(n);
+        edgeBundles.resize(n);
+        for (size_t i = 0; i < n; ++i) {
+            edgeToBundle[i] = (int)i;
+            edgeBundles[i] = {(int)i};
+        }
+    }
+
+    void init() {
+        std::vector<std::vector<int>> higher(g.n);
+        for (int u = 0; u < g.n; ++u) {
+            for (int v : g.nonzero[u]) {
+                if (v < u) continue;
+                int rId = g.findIndex(u, v);
+                edges[rId] = {u, v};
+                icf[rId] = 0.0f;
+                icp[rId] = 0.0f;
+                float w = g.weight[rId];
+                if (w == 0.0f || w == FORBIDDEN || w == PERMANENT) continue;
+                ++unprocessed;
+                higher[u].push_back(v);
+                if (w >= 0)
+                    icf[rId] += w;
+                else
+                    icp[rId] += -w;
+            }
+            std::sort(higher[u].begin(), higher[u].end());
+        }
+        for (int u = 0; u < g.n; ++u) {
+            auto& hu = higher[u];
+            for (size_t i = 0; i < hu.size(); ++i) {
+                int v = hu[i];
+                int rUV = g.findIndex(u, v);
+                float w_uv = g.weight[rUV];
+                std::vector<int> ws;
+                std::set_intersection(hu.begin() + i, hu.end(), higher[v].begin(),
+                                      higher[v].end(), std::back_inserter(ws));
+                for (int w : ws) {
+                    int rUW = g.findIndex(u, w);
+                    int rVW = g.findIndex(v, w);
+                    float w_uw = g.weight[rUW];
+                    float w_vw = g.weight[rVW];
+                    icf[rUV] += icf_triple(w_uw, w_vw);
+                    icp[rUV] += icp_triple(w_uw, w_vw);
+                    icf[rUW] += icf_triple(w_uv, w_vw);
+                    icp[rUW] += icp_triple(w_uv, w_vw);
+                    icf[rVW] += icf_triple(w_uv, w_uw);
+                    icp[rVW] += icp_triple(w_uv, w_uw);
+                }
+            }
+        }
+        size_t n = icf.size();
+        forb_rank2edge.resize(n);
+        perm_rank2edge.resize(n);
+        for (size_t i = 0; i < n; ++i) forb_rank2edge[i] = perm_rank2edge[i] = (int)i;
+        // stable sorts to mirror Python's sorted()
+        std::stable_sort(forb_rank2edge.begin(), forb_rank2edge.end(),
+                         [this](int a, int b) { return icf[a] > icf[b]; });
+        std::stable_sort(perm_rank2edge.begin(), perm_rank2edge.end(),
+                         [this](int a, int b) { return icp[a] > icp[b]; });
+        for (size_t i = 0; i < n; ++i) {
+            edge2forb[forb_rank2edge[i]] = (int)i;
+            edge2perm[perm_rank2edge[i]] = (int)i;
+        }
+    }
+
+    static inline float icf_triple(float uw, float vw) {
+        if (uw > 0 && vw > 0) return std::min(uw, vw);
+        return 0.0f;
+    }
+    static inline float icp_triple(float uw, float vw) {
+        if (uw < 0 && vw > 0) return std::min(vw, -uw);
+        if (uw > 0 && vw < 0) return std::min(-vw, uw);
+        return 0.0f;
+    }
+
+    int maxIcfEdge() const {
+        if (forb_rank2edge.size() <= 1) return -1;
+        int ei = forb_rank2edge[0];
+        if (icf[ei] < 0) return -1;
+        return ei;
+    }
+    int maxIcpEdge() const {
+        if (perm_rank2edge.size() <= 1) return -1;
+        int ei = perm_rank2edge[0];
+        if (icp[ei] < 0) return -1;
+        return ei;
+    }
+
+    float getIcf(int rId) const { return icf[edgeToBundle[rId]]; }
+    float getIcp(int rId) const { return icp[edgeToBundle[rId]]; }
+
+    void increaseIcf(int rId, float w) {
+        if (rId > 0 && icf[edgeToBundle[rId]] >= 0) {
+            int eb = edgeToBundle[rId];
+            icf[eb] = std::max(icf[eb] + w, 0.0f);
+            update(forb_rank2edge, eb, w, edge2forb, icf);
+        }
+    }
+    void increaseIcp(int rId, float w) {
+        if (rId > 0 && icp[edgeToBundle[rId]] >= 0) {
+            int eb = edgeToBundle[rId];
+            icp[eb] = std::max(icp[eb] + w, 0.0f);
+            update(perm_rank2edge, eb, w, edge2perm, icp);
+        }
+    }
+
+    void mergeEdges(int r1, int r2) {
+        if ((r1 & r2) == 0) return;  // reference quirk: bitwise AND
+        int eb1 = edgeToBundle[r1], eb2 = edgeToBundle[r2];
+        if (eb1 == eb2) return;
+        int src, dst;
+        if (edgeBundles[eb1].size() > edgeBundles[eb2].size()) {
+            src = eb2;
+            dst = eb1;
+        } else {
+            src = eb1;
+            dst = eb2;
+        }
+        for (int d : edgeBundles[src]) {
+            edgeBundles[dst].push_back(d);
+            edgeToBundle[d] = dst;
+        }
+        edgeBundles[src].clear();
+        if (icf[src] >= 0.0f) icf[dst] += icf[src];
+        if (icp[src] >= 0.0f) icp[dst] += icp[src];
+        removeEdge(src);
+    }
+
+    void removeEdge(int rId) {
+        if (rId == 0) return;
+        if (icf[rId] != FORBIDDEN && icp[rId] != FORBIDDEN) {
+            icf[rId] = FORBIDDEN;
+            icp[rId] = FORBIDDEN;
+            update(forb_rank2edge, rId, FORBIDDEN, edge2forb, icf);
+            update(perm_rank2edge, rId, FORBIDDEN, edge2perm, icp);
+            --unprocessed;
+        }
+    }
+
+    void update(std::vector<int>& heap, int e, float change, std::vector<int>& index,
+                const std::vector<float>& score) {
+        size_t pos = index[e];
+        size_t n = heap.size();
+        if (change > 0) {
+            size_t parent = pos > 0 ? (pos - 1) / 2 : 0;
+            while (pos > 0 && score[heap[parent]] < score[heap[pos]]) {
+                std::swap(heap[pos], heap[parent]);
+                index[heap[pos]] = (int)pos;
+                index[heap[parent]] = (int)parent;
+                pos = parent;
+                parent = pos > 0 ? (pos - 1) / 2 : 0;
+            }
+        } else {
+            for (;;) {
+                size_t l = 2 * pos + 1 < n ? 2 * pos + 1 : pos;
+                size_t r = 2 * pos + 2 < n ? 2 * pos + 2 : pos;
+                size_t nxt = score[heap[r]] <= score[heap[l]] ? l : r;
+                if (!(score[heap[pos]] < score[heap[nxt]])) break;
+                std::swap(heap[pos], heap[nxt]);
+                index[heap[pos]] = (int)pos;
+                index[heap[nxt]] = (int)nxt;
+                pos = nxt;
+            }
+        }
+    }
+};
+
+struct Solver {
+    Graph g;
+    Heap heap;
+    bool bundleEdges;
+    float totalCost = 0.0f;
+    bool infeasible = false;
+
+    Solver(Graph&& graph, bool bundle) : g(std::move(graph)), heap(g), bundleEdges(bundle) {
+        heap.init();
+        if (!resolvePermanentForbidden()) infeasible = true;
+    }
+
+    bool resolvePermanentForbidden() {
+        std::vector<char> processed(g.n, 0);
+        std::vector<std::vector<int>> cliques;
+        for (int u = 0; u < g.n; ++u) {
+            if (processed[u]) continue;
+            std::vector<int> clique;
+            std::vector<int> q{u};
+            processed[u] = 1;
+            while (!q.empty()) {
+                int cur = q.front();
+                q.erase(q.begin());
+                clique.push_back(cur);
+                for (int v : g.cliques[g.cliqueOf[cur]])
+                    if (!processed[v]) {
+                        q.push_back(v);
+                        processed[v] = 1;
+                    }
+            }
+            cliques.push_back(clique);
+            for (size_t i = 0; i < clique.size(); ++i)
+                for (size_t j = i + 1; j < clique.size(); ++j) {
+                    int r = g.findIndex(clique[i], clique[j]);
+                    float w = g.weight[r];
+                    if (w == FORBIDDEN) return false;
+                    heap.removeEdge(r);
+                    if (w < 0.0f) totalCost -= w;
+                    if (w != PERMANENT && r != 0)
+                        g.setPermanent(std::min(clique[i], clique[j]),
+                                       std::max(clique[i], clique[j]), r);
+                }
+        }
+        for (size_t k = 0; k < cliques.size(); ++k)
+            for (size_t l = k + 1; l < cliques.size(); ++l) {
+                bool found = false;
+                for (int x : cliques[k]) {
+                    if (found) break;
+                    for (int y : cliques[l]) {
+                        if (x == y) continue;
+                        if (g.weight[g.findIndex(x, y)] == FORBIDDEN) {
+                            found = true;
+                            break;
+                        }
+                    }
+                }
+                if (found)
+                    for (int x : cliques[k])
+                        for (int y : cliques[l]) {
+                            int r = g.findIndex(x, y);
+                            heap.removeEdge(r);
+                            float w = g.weight[r];
+                            if (w > 0.0f) totalCost += w;
+                            if (w != FORBIDDEN && r != 0)
+                                g.setForbidden(std::min(x, y), std::max(x, y), r);
+                        }
+            }
+        return true;
+    }
+
+    void updateTripleForbiddenUW(float uv, int r_uw, float vw) {
+        float icfC = 0.0f - Heap::icf_triple(uv, vw);
+        float icpC = (vw > 0 ? vw : 0.0f) - Heap::icp_triple(uv, vw);
+        if (icfC != 0) heap.increaseIcf(r_uw, icfC);
+        if (icpC != 0) heap.increaseIcp(r_uw, icpC);
+    }
+    void updateTriplePermanentUW(float uv, int r_uw, float vw) {
+        float icfC = (vw > 0 ? vw : 0.0f) - Heap::icf_triple(uv, vw);
+        float icpC = (vw < 0 ? -vw : 0.0f) - Heap::icp_triple(uv, vw);
+        if (icfC != 0) heap.increaseIcf(r_uw, icfC);
+        if (icpC != 0) heap.increaseIcp(r_uw, icpC);
+    }
+
+    void setForbidden(int u, int v) {
+        int rid = g.findIndex(u, v);
+        float uv = g.weight[rid];
+        std::vector<int> nb = g.unpruned[u];
+        for (int w : nb) {
+            if (w == v) continue;
+            int r = g.findIndex(v, w);
+            if (r > 0) updateTripleForbiddenUW(uv, g.findIndex(u, w), g.weight[r]);
+        }
+        nb = g.unpruned[v];
+        for (int w : nb) {
+            if (w == u) continue;
+            int r = g.findIndex(u, w);
+            if (r > 0) updateTripleForbiddenUW(uv, g.findIndex(v, w), g.weight[r]);
+        }
+        if (uv > 0) totalCost += uv;
+        if (rid > 0) g.setForbidden(u, v, rid);
+    }
+
+    void setPermanent(int u, int v) {
+        int rid = g.findIndex(u, v);
+        float uv = g.weight[rid];
+        std::vector<int> nb = g.unpruned[u];
+        for (int w : nb) {
+            if (w == v) continue;
+            int r = g.findIndex(v, w);
+            if (r > 0) updateTriplePermanentUW(uv, g.findIndex(u, w), g.weight[r]);
+        }
+        nb = g.unpruned[v];
+        for (int w : nb) {
+            if (w == u) continue;
+            int r = g.findIndex(u, w);
+            // reference quirk: the second loop checks findIndex of the RANK
+            // treated as an edge id
+            auto it = g.rank_by_id.find((int64_t)r);
+            if (it != g.rank_by_id.end() && it->second > 0)
+                updateTriplePermanentUW(uv, g.findIndex(v, w), g.weight[r]);
+        }
+        if (uv < 0) totalCost -= uv;
+        if (rid > 0) g.setPermanent(u, v, rid);
+    }
+
+    void choosePermanentEdge(int u, int v) {
+        std::vector<std::pair<int, int>> implications;
+        for (int x : g.cliques[g.cliqueOf[u]])
+            for (int y : g.cliques[g.cliqueOf[v]]) {
+                if (x == y) continue;
+                if (g.findIndex(x, y) == 0 || (x == u && y == v)) continue;
+                implications.push_back({std::min(x, y), std::max(x, y)});
+            }
+        std::vector<std::pair<int, int>> implForb;
+        auto forbNbrs = [this](int node) {
+            std::vector<int> out;
+            for (int fc : g.forbidden[g.cliqueOf[node]])
+                for (int fn : g.cliques[fc]) out.push_back(fn);
+            return out;
+        };
+        for (int f : forbNbrs(u)) {
+            if (g.forbidden[g.cliqueOf[v]].count(g.cliqueOf[f])) continue;
+            for (int x : g.cliques[g.cliqueOf[v]]) {
+                int a = std::min(f, x), b = std::max(f, x);
+                if (g.findIndex(a, b) != 0 &&
+                    !g.forbidden[g.cliqueOf[a]].count(g.cliqueOf[b]))
+                    implForb.push_back({a, b});
+            }
+        }
+        for (int f : forbNbrs(v)) {
+            if (g.forbidden[g.cliqueOf[u]].count(g.cliqueOf[f])) continue;
+            for (int x : g.cliques[g.cliqueOf[u]]) {
+                int a = std::min(f, x), b = std::max(f, x);
+                if (g.findIndex(a, b) != 0 &&
+                    !g.forbidden[g.cliqueOf[a]].count(g.cliqueOf[b]))
+                    implForb.push_back({a, b});
+            }
+        }
+        setPermanent(u, v);
+        heap.removeEdge(g.findIndex(u, v));
+        for (auto& e : implications) {
+            setPermanent(e.first, e.second);
+            heap.removeEdge(g.findIndex(e.first, e.second));
+        }
+        for (auto& e : implForb) {
+            setForbidden(e.first, e.second);
+            heap.removeEdge(g.findIndex(e.first, e.second));
+        }
+        if (bundleEdges) {
+            std::unordered_map<int, int> cliqueToRep;  // clique -> rank of representative
+            std::vector<int> uClique = g.cliques[g.cliqueOf[u]];
+            const auto& vc = g.cliques[g.cliqueOf[v]];
+            uClique.insert(uClique.end(), vc.begin(), vc.end());
+            std::unordered_set<int> uSet(uClique.begin(), uClique.end());
+            for (int x : uClique) {
+                std::vector<int> nb = g.unpruned[x];
+                for (int xn : nb) {
+                    if (uSet.count(xn)) continue;
+                    int rex = g.findIndex(x, xn);
+                    if (rex == 0) continue;
+                    int cxn = g.cliqueOf[xn];
+                    auto it = cliqueToRep.find(cxn);
+                    if (it == cliqueToRep.end())
+                        cliqueToRep[cxn] = rex;
+                    else
+                        heap.mergeEdges(rex, it->second);
+                }
+            }
+        }
+    }
+
+    void chooseForbiddenEdge(int u, int v) {
+        std::vector<std::pair<int, int>> implications;
+        for (int x : g.cliques[g.cliqueOf[u]])
+            for (int y : g.cliques[g.cliqueOf[v]]) {
+                if (x == y) continue;
+                if (g.findIndex(x, y) == 0 || (x == u && y == v)) continue;
+                implications.push_back({std::min(x, y), std::max(x, y)});
+            }
+        setForbidden(u, v);
+        heap.removeEdge(g.findIndex(u, v));
+        for (auto& e : implications) {
+            setForbidden(e.first, e.second);
+            heap.removeEdge(g.findIndex(e.first, e.second));
+        }
+    }
+
+    std::vector<std::vector<int>> run() {
+        std::vector<std::vector<int>> clusters;
+        if (infeasible) return clusters;
+        long long n_iter = (long long)g.weight.size();
+        for (long long it = 0; it < n_iter; ++it) {
+            int eIcf = heap.maxIcfEdge();
+            int eIcp = heap.maxIcpEdge();
+            if (eIcf < 0 || eIcp < 0) break;
+            float mIcf = heap.getIcf(eIcf);
+            float mIcp = heap.getIcp(eIcp);
+            if (mIcf >= mIcp)
+                choosePermanentEdge(heap.edges[eIcf].first, heap.edges[eIcf].second);
+            else
+                chooseForbiddenEdge(heap.edges[eIcp].first, heap.edges[eIcp].second);
+        }
+        std::vector<int> clusterOf(g.n, -1);
+        for (int u = 0; u < g.n; ++u) {
+            if (clusterOf[u] != -1) continue;
+            int c = (int)clusters.size();
+            clusterOf[u] = c;
+            clusters.push_back({u});
+            for (int v : g.cliques[g.cliqueOf[u]]) {
+                if (u == v) continue;
+                clusterOf[v] = c;
+                clusters[c].push_back(v);
+            }
+        }
+        for (auto& cl : clusters) std::sort(cl.begin(), cl.end());
+        return clusters;
+    }
+};
+
+std::vector<int> g_out_nodes;
+std::vector<int64_t> g_out_offsets;
+
+}  // namespace
+
+extern "C" {
+
+// returns number of clusters; results retrievable via wh_cluster_nodes/offsets
+long long wh_cluster_run(int n_nodes, long long n_edges, const int* us, const int* vs,
+                         const float* ws, int bundle_edges) {
+    Graph g;
+    g.n = n_nodes;
+    g.weight.push_back(0.0f);
+    g.edges.push_back({-1, -1});
+    g.unpruned.resize(n_nodes);
+    g.nonzero.resize(n_nodes);
+    g.cliques.resize(n_nodes);
+    g.cliqueOf.resize(n_nodes);
+    g.forbidden.resize(n_nodes);
+    for (int i = 0; i < n_nodes; ++i) {
+        g.cliqueOf[i] = i;
+        g.cliques[i] = {i};
+    }
+    // edges must arrive in ascending edge-id order (the caller sorts), like
+    // the Python graph built from m.getIndices()
+    for (long long i = 0; i < n_edges; ++i) {
+        int u = us[i], v = vs[i];
+        if (u > v) std::swap(u, v);
+        float w = ws[i];
+        int r = (int)g.weight.size();
+        g.rank[ekey(u, v)] = r;
+        int64_t eid = (int64_t)v * (v - 1) / 2 + u;
+        g.rank_by_id[eid] = r;
+        g.weight.push_back(w);
+        g.edges.push_back({u, v});
+        if (w == FORBIDDEN)
+            g.setForbidden(u, v, r);
+        else if (w == PERMANENT)
+            g.setPermanent(u, v, r);
+        g.refresh(u, v, 0.0f, w);
+    }
+    Solver solver(std::move(g), bundle_edges != 0);
+    auto clusters = solver.run();
+    g_out_nodes.clear();
+    g_out_offsets.clear();
+    g_out_offsets.push_back(0);
+    for (auto& c : clusters) {
+        g_out_nodes.insert(g_out_nodes.end(), c.begin(), c.end());
+        g_out_offsets.push_back((int64_t)g_out_nodes.size());
+    }
+    return (long long)clusters.size();
+}
+
+const int* wh_cluster_nodes() { return g_out_nodes.data(); }
+const int64_t* wh_cluster_offsets() { return g_out_offsets.data(); }
+
+}  // extern "C"

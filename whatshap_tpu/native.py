@@ -138,3 +138,62 @@ if _build_bamlib():
         bamlib = _BamLib(ctypes.CDLL(str(_BAM_SO_PATH)))
     except OSError:
         bamlib = None
+
+
+# --- native cluster editing (native/clusterlib.cpp) -------------------------
+
+_CLUSTER_SO_PATH = _NATIVE_DIR / "_clusterlib.so"
+
+
+class _ClusterLib:
+    def __init__(self, cdll):
+        c = self._lib = cdll
+        c.wh_cluster_run.restype = ctypes.c_longlong
+        c.wh_cluster_run.argtypes = [
+            ctypes.c_int,
+            ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+        ]
+        c.wh_cluster_nodes.restype = ctypes.POINTER(ctypes.c_int)
+        c.wh_cluster_nodes.argtypes = []
+        c.wh_cluster_offsets.restype = ctypes.POINTER(ctypes.c_int64)
+        c.wh_cluster_offsets.argtypes = []
+
+    def run(self, n_nodes, us, vs, ws, bundle_edges):
+        n = len(us)
+        ua = (ctypes.c_int * n)(*us)
+        va = (ctypes.c_int * n)(*vs)
+        wa = (ctypes.c_float * n)(*ws)
+        k = self._lib.wh_cluster_run(n_nodes, n, ua, va, wa, int(bundle_edges))
+        nodes_p = self._lib.wh_cluster_nodes()
+        offs_p = self._lib.wh_cluster_offsets()
+        offs = [offs_p[i] for i in range(k + 1)]
+        return [[nodes_p[j] for j in range(offs[i], offs[i + 1])] for i in range(k)]
+
+
+def _build_clusterlib() -> bool:
+    src = _NATIVE_DIR / "clusterlib.cpp"
+    if not src.exists():
+        return False
+    if _CLUSTER_SO_PATH.exists() and _CLUSTER_SO_PATH.stat().st_mtime >= src.stat().st_mtime:
+        return True
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", str(_CLUSTER_SO_PATH), str(src)],
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+clusterlib = None
+if _build_clusterlib():
+    try:
+        clusterlib = _ClusterLib(ctypes.CDLL(str(_CLUSTER_SO_PATH)))
+    except OSError:
+        clusterlib = None

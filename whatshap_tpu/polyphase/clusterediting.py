@@ -21,9 +21,13 @@ INF = float("inf")
 FORBIDDEN = -INF  # StaticSparseGraph::Forbidden
 PERMANENT = INF  # StaticSparseGraph::Permanent
 
+_F32 = struct.Struct("f")
+_f32_pack = _F32.pack
+_f32_unpack = _F32.unpack
+
 
 def _f32(v: float) -> float:
-    return struct.unpack("f", struct.pack("f", v))[0]
+    return _f32_unpack(_f32_pack(v))[0]
 
 
 def _edge(u: int, v: int) -> Tuple[int, int]:
@@ -44,6 +48,7 @@ class StaticSparseGraph:
         self.size = m.getMaxDim()
         ids = m.getIndices()  # sorted matrix indices minus one == edge ids
         self._rank: Dict[int, int] = {}
+        self._rank_t: Dict[Tuple[int, int], int] = {}  # same map, tuple-keyed
         self.weightv: List[float] = [0.0]
         self.edges: List[Tuple[int, int]] = [(0xFFFFFFFF, 0xFFFFFFFF)]
         self.unprunedNeighbours: List[List[int]] = [[] for _ in range(self.size)]
@@ -58,6 +63,7 @@ class StaticSparseGraph:
             e = _edge(u, v)
             w = m.get(u, v)
             self._rank[eid] = len(self.weightv)
+            self._rank_t[e] = len(self.weightv)
             self.weightv.append(w)
             self.edges.append(e)
             r = len(self.weightv) - 1
@@ -68,13 +74,13 @@ class StaticSparseGraph:
             self._refreshEdgeMetaData(e, 0.0, w)
 
     def findIndex(self, e) -> int:
-        if isinstance(e, tuple):
-            return self._rank.get(_edge_id(e), 0)
+        if type(e) is tuple:
+            return self._rank_t.get(e, 0)
         return self._rank.get(e, 0)
 
     def getWeight(self, e) -> float:
-        if isinstance(e, tuple):
-            return self.weightv[self.findIndex(e)]
+        if type(e) is tuple:
+            return self.weightv[self._rank_t.get(e, 0)]
         return self.weightv[e]
 
     def isPermanent(self, e: Tuple[int, int]) -> bool:
@@ -272,14 +278,18 @@ class EdgeHeap:
         return self.icp[self.edgeToBundle[self.graph.findIndex(e)]]
 
     def increaseIcf(self, e: Tuple[int, int], w: float) -> None:
-        rId = self.graph.findIndex(e)
+        self.increaseIcf_r(self.graph._rank_t.get(e, 0), w)
+
+    def increaseIcp(self, e: Tuple[int, int], w: float) -> None:
+        self.increaseIcp_r(self.graph._rank_t.get(e, 0), w)
+
+    def increaseIcf_r(self, rId: int, w: float) -> None:
         if rId > 0 and self.icf[self.edgeToBundle[rId]] >= 0:
             eb = self.edgeToBundle[rId]
             self.icf[eb] = max(_f32(self.icf[eb] + w), 0.0)
             self._updateHeap(self.forb_rank2edge, eb, w, self.edge2forb_rank, self.icf)
 
-    def increaseIcp(self, e: Tuple[int, int], w: float) -> None:
-        rId = self.graph.findIndex(e)
+    def increaseIcp_r(self, rId: int, w: float) -> None:
         if rId > 0 and self.icp[self.edgeToBundle[rId]] >= 0:
             eb = self.edgeToBundle[rId]
             self.icp[eb] = max(_f32(self.icp[eb] + w), 0.0)
@@ -566,23 +576,25 @@ class InducedCostHeuristic:
         return True
 
     def _setForbidden(self, e: Tuple[int, int]) -> None:
-        # inducedcostheuristic.cpp setForbidden
+        # inducedcostheuristic.cpp setForbidden (rank lookups hoisted)
         g = self.graph
+        rank_t = g._rank_t
+        weightv = g.weightv
         u, v = e
-        rid = g.findIndex(e)
-        uv = g.getWeight(rid)
-        for w in list(g.getUnprunedNeighbours(u)):
+        rid = rank_t.get(e, 0)
+        uv = weightv[rid]
+        for w in list(g.unprunedNeighbours[u]):
             if w == v:
                 continue
-            r = g.findIndex(_edge(v, w))
+            r = rank_t.get((v, w) if v < w else (w, v), 0)
             if r > 0:
-                self._updateTripleForbiddenUW(uv, _edge(u, w), g.getWeight(r))
-        for w in list(g.getUnprunedNeighbours(v)):
+                self._updateTripleForbiddenUW(uv, (u, w) if u < w else (w, u), weightv[r])
+        for w in list(g.unprunedNeighbours[v]):
             if w == u:
                 continue
-            r = g.findIndex(_edge(u, w))
+            r = rank_t.get((u, w) if u < w else (w, u), 0)
             if r > 0:
-                self._updateTripleForbiddenUW(uv, _edge(v, w), g.getWeight(r))
+                self._updateTripleForbiddenUW(uv, (v, w) if v < w else (w, v), weightv[r])
         if uv > 0:
             self.totalCost = _f32(self.totalCost + uv)
         if rid > 0:
@@ -592,41 +604,62 @@ class InducedCostHeuristic:
         # inducedcostheuristic.cpp setPermanent (incl. the findIndex(r)
         # quirk in the second loop, which treats a rank id as an edge id)
         g = self.graph
+        rank_t = g._rank_t
+        rank_i = g._rank
+        weightv = g.weightv
         u, v = e
-        rid = g.findIndex(e)
-        uv = g.getWeight(rid)
-        for w in list(g.getUnprunedNeighbours(u)):
+        rid = rank_t.get(e, 0)
+        uv = weightv[rid]
+        for w in list(g.unprunedNeighbours[u]):
             if w == v:
                 continue
-            r = g.findIndex(_edge(v, w))
+            r = rank_t.get((v, w) if v < w else (w, v), 0)
             if r > 0:
-                self._updateTriplePermanentUW(uv, _edge(u, w), g.getWeight(r))
-        for w in list(g.getUnprunedNeighbours(v)):
+                self._updateTriplePermanentUW(uv, (u, w) if u < w else (w, u), weightv[r])
+        for w in list(g.unprunedNeighbours[v]):
             if w == u:
                 continue
-            r = g.findIndex(_edge(u, w))
-            if g.findIndex(r) > 0:
-                self._updateTriplePermanentUW(uv, _edge(v, w), g.getWeight(r))
+            r = rank_t.get((u, w) if u < w else (w, u), 0)
+            if rank_i.get(r, 0) > 0:
+                self._updateTriplePermanentUW(uv, (v, w) if v < w else (w, v), weightv[r])
         if uv < 0:
             self.totalCost = _f32(self.totalCost - uv)
         if rid > 0:
             g.setPermanent(e, rid)
 
     def _updateTripleForbiddenUW(self, uv: float, uw: Tuple[int, int], vw: float) -> None:
-        icfChange = _f32(0.0 - icf_triple(uv, vw))
-        icpChange = _f32(max(0.0, vw) - icp_triple(uv, vw))
-        if icfChange != 0:
-            self.edgeHeap.increaseIcf(uw, icfChange)
-        if icpChange != 0:
-            self.edgeHeap.increaseIcp(uw, icpChange)
+        icf_t = min(uv, vw) if (uv > 0 and vw > 0) else 0.0
+        if uv < 0 and vw > 0:
+            icp_t = min(vw, -uv)
+        elif uv > 0 and vw < 0:
+            icp_t = min(-vw, uv)
+        else:
+            icp_t = 0.0
+        icfChange = _f32(0.0 - icf_t)
+        icpChange = _f32((vw if vw > 0 else 0.0) - icp_t)
+        if icfChange != 0 or icpChange != 0:
+            r = self.graph._rank_t.get(uw, 0)
+            if icfChange != 0:
+                self.edgeHeap.increaseIcf_r(r, icfChange)
+            if icpChange != 0:
+                self.edgeHeap.increaseIcp_r(r, icpChange)
 
     def _updateTriplePermanentUW(self, uv: float, uw: Tuple[int, int], vw: float) -> None:
-        icfChange = _f32(max(0.0, vw) - icf_triple(uv, vw))
-        icpChange = _f32(max(0.0, -vw) - icp_triple(uv, vw))
-        if icfChange != 0:
-            self.edgeHeap.increaseIcf(uw, icfChange)
-        if icpChange != 0:
-            self.edgeHeap.increaseIcp(uw, icpChange)
+        icf_t = min(uv, vw) if (uv > 0 and vw > 0) else 0.0
+        if uv < 0 and vw > 0:
+            icp_t = min(vw, -uv)
+        elif uv > 0 and vw < 0:
+            icp_t = min(-vw, uv)
+        else:
+            icp_t = 0.0
+        icfChange = _f32((vw if vw > 0 else 0.0) - icf_t)
+        icpChange = _f32((-vw if vw < 0 else 0.0) - icp_t)
+        if icfChange != 0 or icpChange != 0:
+            r = self.graph._rank_t.get(uw, 0)
+            if icfChange != 0:
+                self.edgeHeap.increaseIcf_r(r, icfChange)
+            if icpChange != 0:
+                self.edgeHeap.increaseIcp_r(r, icpChange)
 
 
 class ClusterEditingSolver:
@@ -638,7 +671,32 @@ class ClusterEditingSolver:
         self.bundleEdges = bundleEdges
 
     def run(self) -> List[List[int]]:
+        native = self._run_native()
+        if native is not None:
+            return native
         sGraph = StaticSparseGraph(self.m)
         instance = InducedCostHeuristic(sGraph, self.bundleEdges)
         solution = instance.solve()
         return [solution.getCluster(i) for i in range(solution.getNumClusters())]
+
+    def _run_native(self) -> Optional[List[List[int]]]:
+        """C++ engine (native/clusterlib.cpp), same algorithm and float32
+        semantics; differential-tested against the Python path."""
+        from ..native import clusterlib
+
+        if clusterlib is None:
+            return None
+        m = self.m
+        n_nodes = m.getMaxDim()
+        if n_nodes == 0:
+            return []
+        us: List[int] = []
+        vs: List[int] = []
+        ws: List[float] = []
+        for eid in m.getIndices():
+            v = _ceil_sqrt_node(eid)
+            u = eid - v * (v - 1) // 2
+            us.append(u)
+            vs.append(v)
+            ws.append(m.get(u, v))
+        return clusterlib.run(n_nodes, us, vs, ws, self.bundleEdges)
