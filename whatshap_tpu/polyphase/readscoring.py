@@ -166,33 +166,47 @@ def _compute_log_score_single_pos(
     return _f32(math.log(same / diff))
 
 
-def _compute_log_score(
-    am: AlleleMatrix,
-    readId1: int,
-    readId2: int,
-    gl: List[Dict[Genotype, float]],
+def _single_pos_table(
+    numAlleles: int,
+    gl_col: Dict[Genotype, float],
     gMap: Dict[Genotype, int],
     apls: List[float],
     apld: List[float],
-    minOverlap: int,
+) -> List[List[float]]:
+    """Per-position LUT of _compute_log_score_single_pos over all allele
+    pairs — the value depends on the position only through gl_col, so
+    computing it once per position (instead of once per read pair sharing
+    it) preserves the exact float ops while removing the inner loop from
+    the pair scoring."""
+    return [
+        [
+            _compute_log_score_single_pos(a1, a2, numAlleles, gl_col, gMap, apls, apld)
+            for a2 in range(numAlleles)
+        ]
+        for a1 in range(numAlleles)
+    ]
+
+
+def _compute_log_score_lut(
+    read1, read2, luts, minOverlap: int
 ) -> float:
-    # readscoring.cpp:235-260 (merge over sorted sparse rows)
+    # readscoring.cpp:235-260 (merge over sorted sparse rows), with the
+    # per-position scores from the precomputed tables
     ov = 0
     logScore = 0.0
-    numAlleles = am.getMaxNumAllele()
-    read1 = am.getRead(readId1)
-    read2 = am.getRead(readId2)
     k = 0
     l = 0
-    while k < len(read1) and l < len(read2):
-        if read1[k][0] == read2[l][0]:
-            logScore += _compute_log_score_single_pos(
-                read1[k][1], read2[l][1], numAlleles, gl[read1[k][0]], gMap, apls, apld
-            )
+    n1 = len(read1)
+    n2 = len(read2)
+    while k < n1 and l < n2:
+        p1 = read1[k][0]
+        p2 = read2[l][0]
+        if p1 == p2:
+            logScore += luts[p1][read1[k][1]][read2[l][1]]
             ov += 1
             k += 1
             l += 1
-        elif read1[k][0] < read2[l][0]:
+        elif p1 < p2:
             k += 1
         else:
             l += 1
@@ -233,15 +247,22 @@ class ReadScoring:
         sortedReads = sorted(range(am.size()), key=am.getFirstPos)
         offset = _f32(-math.log(ploidy * (1.0 - 1.0 / ploidy)))
 
+        luts = [
+            _single_pos_table(numAlleles, gl[pos], gMap, apls, apld)
+            for pos in range(am.getNumPositions())
+        ]
+        reads_cache = [am.getRead(r) for r in range(am.size())]
+
         nans = 0
         for i in range(am.size()):
             # uint32 arithmetic: lastPos - minOverlap + 1 may wrap
             terminal = (am.getLastPos(sortedReads[i]) - minOverlap + 1) & _U32_MASK
+            read_i = reads_cache[sortedReads[i]]
             for j in range(i + 1, len(sortedReads)):
                 if am.getFirstPos(sortedReads[j]) > terminal:
                     break
-                score = _compute_log_score(
-                    am, sortedReads[i], sortedReads[j], gl, gMap, apls, apld, minOverlap
+                score = _compute_log_score_lut(
+                    read_i, reads_cache[sortedReads[j]], luts, minOverlap
                 )
                 if not math.isnan(score):
                     if score != 0.0:
