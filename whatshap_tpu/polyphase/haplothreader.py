@@ -11,9 +11,17 @@ permutation-minimal switch cost. Scores are float32 like the C++
 
 import math
 import struct
+from functools import lru_cache
 from typing import Dict, List, Optional, Sequence, Tuple
 
-from .mathutils import log_binom_pmf
+from .mathutils import log_binom_pmf as _log_binom_pmf_uncached
+
+
+@lru_cache(maxsize=65536)
+def log_binom_pmf(n, k, p):
+    # pure function; caching preserves exact float results while removing
+    # the repeated O(k) coefficient loops from the coverage-cost inner loop
+    return _log_binom_pmf_uncached(n, k, p)
 
 BITS = 5
 MASK = 31

@@ -12,7 +12,15 @@ from collections import defaultdict
 from math import ceil, log
 from typing import Dict, List, Tuple
 
+from functools import lru_cache
+
 from scipy.stats import binom
+
+
+@lru_cache(maxsize=65536)
+def _binom_pmf(k, n, p):
+    # scipy's pmf carries heavy per-call overhead; the value set is tiny
+    return float(binom.pmf(k, n, p))
 
 from . import Allele, AlleleDepth, Cluster, ClusterId, Genotype, Haplotype, Threading
 from .haplothreader import HaploThreader
@@ -171,7 +179,7 @@ def force_genotypes(
                             allele_mult[a] * (1 - error_rate) + (1 - allele_mult[a]) * error_rate
                         )
                         observed_depth = allele_depths[pos][clust].get(a, 0)
-                        prob = binom.pmf(observed_depth, total_depth, allele_mult[a])
+                        prob = _binom_pmf(observed_depth, total_depth, allele_mult[a])
                         log_likelihood += log(prob) if prob > 0 else -float("inf")
 
             if log_likelihood > best_likelihood:
