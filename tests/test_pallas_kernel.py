@@ -58,3 +58,64 @@ def test_solve_batched_matches_xla():
     assert np.array_equal(np.asarray(cp), np.asarray(cr))
     assert np.array_equal(np.asarray(ip), np.asarray(ir))
     assert np.array_equal(np.asarray(tp), np.asarray(tr))
+
+
+def _trio_workload(n_blocks=2, n_pos=12, n_reads=10, seed=31):
+    """Single-trio instances: T = 4 transmissions, P = 4 partitions."""
+    from whatshap_tpu.core import NumericSampleIds, Pedigree, Read, ReadSet
+    from whatshap_tpu.parallel import blocks as blk
+    from whatshap_tpu.testhelpers import canonic_index_to_biallelic_gt
+
+    rng = np.random.RandomState(seed)
+    packed_list = []
+    for _ in range(n_blocks):
+        positions = [(i + 1) * 10 for i in range(n_pos)]
+        rs = ReadSet()
+        for i in range(n_reads):
+            sample = int(rng.randint(0, 3))
+            start = int(rng.randint(0, n_pos - 1))
+            end = int(rng.randint(start + 1, n_pos))
+            read = Read(f"R{i}", 50, 0, sample)
+            for c in range(start, end + 1):
+                if rng.rand() < 0.2 and c not in (start, end):
+                    continue
+                read.add_variant(positions[c], int(rng.randint(0, 2)), int(rng.randint(1, 300)))
+            rs.add(read)
+        rs.sort()
+        ped = Pedigree(NumericSampleIds())
+        for ind in range(3):
+            ped.add_individual(
+                f"ind{ind}", [canonic_index_to_biallelic_gt(1) for _ in positions], None
+            )
+        ped.add_relationship("ind0", "ind1", "ind2")
+        packed_list.append(
+            wmec.pack_problem(
+                rs, [int(rng.randint(1, 10)) for _ in positions], ped, False, positions
+            )
+        )
+    k_max = max(max(p.K for p in packed_list), wmec_pallas.LANE_BITS)
+    padded = [blk.pad_block(p, 16, k_pad=k_max) for p in packed_list]
+    arrays = blk.stack_blocks(padded)
+    return k_max, packed_list[0].T, packed_list[0].P, [jnp.asarray(a) for a in arrays]
+
+
+def test_forward_scan_trio_matches_xla():
+    K, T, P, arrays = _trio_workload()
+    assert T == 4 and P == 4
+    assert wmec_pallas.kernel_supported(K, T, P)
+    out_p = wmec_pallas.forward_scan_pallas(K, T, P, *arrays, interpret=True)
+    for b in range(int(arrays[0].shape[0])):
+        out_r = wmec._forward_scan(K, T, P, *[a[b] for a in arrays])
+        for name, xp, xr in zip(
+            ["dp", "jmin", "key", "proj_idx", "proj_jmin"], out_p, out_r
+        ):
+            assert np.array_equal(np.asarray(xp[b]), np.asarray(xr)), name
+
+
+def test_solve_batched_trio_matches_xla():
+    K, T, P, arrays = _trio_workload(seed=37)
+    cp, ip, tp = wmec_pallas.solve_batched_pallas(K, T, P, *arrays, interpret=True)
+    cr, ir, tr = wmec.solve_batched(K, T, P, *arrays)
+    assert np.array_equal(np.asarray(cp), np.asarray(cr))
+    assert np.array_equal(np.asarray(ip), np.asarray(ir))
+    assert np.array_equal(np.asarray(tp), np.asarray(tr))

@@ -557,8 +557,9 @@ def forward_cost_batched(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc):
 
 def solve_batched_auto(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc):
     """Batched solve, dispatching to the Pallas TPU kernels when the problem
-    shape supports them (T == 1, 7 <= K <= 16) and a real accelerator is
-    attached; otherwise the XLA scan path.  Both are bit-identical."""
+    shape supports them (T*2^K states fit VMEM: single samples up to K=16,
+    single trios up to K=15) and a real accelerator is attached; otherwise
+    the XLA scan path.  Both are bit-identical."""
     from . import wmec_pallas
 
     if wmec_pallas.kernel_supported(K, T, P) and jax.default_backend() != "cpu":

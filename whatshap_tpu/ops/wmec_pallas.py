@@ -17,8 +17,12 @@ sublanes, 128 lanes); folding a dying slot bit p is a butterfly exchange —
 a lane roll by 2^p for p < 7, a sublane roll by 2^(p-7) otherwise — and is
 predicated on the slot actually dying (most columns fold 0-2 bits, not K).
 
-Requires K >= 7 (bucket padding guarantees this) and small T / P
-(single-family problems; larger pedigrees fall back to the XLA path).
+Requires K >= 7 (bucket padding guarantees this) and T * 2^K states small
+enough for VMEM: that covers single individuals (T=1, K<=16) and
+single-trio pedigrees (T=4, P=4, K<=15); larger pedigrees fall back to
+the XLA path.  For T > 1 the fold/backtrace state (cost, tie key,
+projection index, transmission argmin) is carried per transmission value,
+exactly as in the XLA scan.
 """
 
 from functools import partial
@@ -39,9 +43,11 @@ MAX_K = 16  # state must fit VMEM
 
 
 def kernel_supported(K: int, T: int, P: int) -> bool:
-    # T == 1 (single individual) is the batched/benchmarked hot path; the
-    # tie-fold for multi-trio transmission columns still runs on XLA
-    return LANE_BITS <= K <= MAX_K and T == 1 and P <= 3
+    # T == 1 (single individual) and T == 4 (one trio) fit the VMEM-resident
+    # state budget; multi-trio pedigrees (T >= 16) still run on XLA
+    if not (LANE_BITS <= K <= MAX_K and T <= MAX_T and P <= 4):
+        return False
+    return T * (1 << K) <= (1 << 17)
 
 
 def _popcount_matrix(T: int) -> np.ndarray:
@@ -114,7 +120,7 @@ def _make_kernel(K: int, T: int, P: int, C: int):
         acost_ref,  # (1, 1, 1, T * nA) i32 SMEM
         die_ref,  # (1, 1, 1, K) i32 SMEM
         rc_ref,  # (1, 1, 1, 1) i32 SMEM
-        pidx_ref,  # (1, 1, R, LANES) i32 out  (proj idx; same for all t)
+        pidx_ref,  # (1, 1, T, R, LANES) i32 out  (per-t proj idx)
         pjmin_ref,  # (1, 1, T, R, LANES) i32 out
         dp_ref,  # (1, T, R, LANES) i32 out (final)
         jminl_ref,  # (1, T, R, LANES) i32 out (final)
@@ -139,38 +145,44 @@ def _make_kernel(K: int, T: int, P: int, C: int):
         )
 
         # ---- fold dying slot bits (predicated: most columns fold none) ----
+        # per-t state: the fold's tie decisions depend on the per-t costs, so
+        # key/idx become per-t during folding (they start broadcast — the
+        # column key depends only on the bipartition)
         costs = [cost_s[t] for t in range(T)]
         jmins = [jmin_s[t] for t in range(T)]
-        key = key_s[:]
-        idx = idx0
+        keys = [key_s[:] for _ in range(T)]
+        idxs = [idx0 for _ in range(T)]
         for p in range(K):
             die_p = die_ref[0, 0, 0, p] != 0
             # a real branch (not a value-select): most columns fold no bits,
-            # so the ~25 VPU ops of a butterfly are skipped entirely unless
+            # so the ~25*T VPU ops of a butterfly are skipped entirely unless
             # slot p actually dies in this column
-            if T == 1:
 
-                def _folded(args, p=p):
-                    c0, k0, i0, j0 = args
-                    nc, nk, ni, (nj,) = tie_fold(p, c0, k0, i0, [j0])
-                    return nc, nk, ni, nj
+            def _folded(args, p=p):
+                cs, ks, is_, js = args
+                nc, nk, ni, nj = [], [], [], []
+                for t in range(T):
+                    c1, k1, i1, (j1,) = tie_fold(p, cs[t], ks[t], is_[t], [js[t]])
+                    nc.append(c1)
+                    nk.append(k1)
+                    ni.append(i1)
+                    nj.append(j1)
+                return tuple(nc), tuple(nk), tuple(ni), tuple(nj)
 
-                costs0, key, idx, jmins0 = jax.lax.cond(
-                    die_p, _folded, lambda args: args, (costs[0], key, idx, jmins[0])
-                )
-                costs = [costs0]
-                jmins = [jmins0]
-            else:
-                # general T: per-t state; key/idx become per-t too
-                raise NotImplementedError
+            out = jax.lax.cond(
+                die_p,
+                _folded,
+                lambda args: args,
+                (tuple(costs), tuple(keys), tuple(idxs), tuple(jmins)),
+            )
+            costs, keys, idxs, jmins = (list(x) for x in out)
 
         proj_cost = costs
-        proj_idx = idx
         proj_jmin = jmins
 
         # ---- emit backtrace tables ----
-        pidx_ref[0, 0] = proj_idx
         for t in range(T):
+            pidx_ref[0, 0, t] = idxs[t]
             pjmin_ref[0, 0, t] = proj_jmin[t]
 
         # ---- transmission min-plus ----
@@ -273,7 +285,7 @@ def forward_scan_pallas(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, inter
 
     grid = (B, C)
     out_shape = [
-        jax.ShapeDtypeStruct((B, C, R, LANES), jnp.int32),  # proj idx
+        jax.ShapeDtypeStruct((B, C, T, R, LANES), jnp.int32),  # proj idx
         jax.ShapeDtypeStruct((B, C, T, R, LANES), jnp.int32),  # proj jmin
         jax.ShapeDtypeStruct((B, T, R, LANES), jnp.int32),  # dp last
         jax.ShapeDtypeStruct((B, T, R, LANES), jnp.int32),  # jmin last
@@ -288,7 +300,7 @@ def forward_scan_pallas(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, inter
         pl.BlockSpec((1, 1, 1, 1), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
     ]
     out_specs = [
-        pl.BlockSpec((1, 1, R, LANES), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, T, R, LANES), lambda b, c: (b, c, 0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, T, R, LANES), lambda b, c: (b, c, 0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, T, R, LANES), lambda b, c: (b, 0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, T, R, LANES), lambda b, c: (b, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -320,9 +332,7 @@ def forward_scan_pallas(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, inter
     dp_last = dp_last.reshape(B, T, S).transpose(0, 2, 1)
     jmin_last = jmin_last.reshape(B, T, S).transpose(0, 2, 1)
     key_last = key_last.reshape(B, S)
-    proj_idx = jnp.broadcast_to(
-        pidx.reshape(B, C, S)[..., None], (B, C, S, T)
-    )
+    proj_idx = pidx.reshape(B, C, T, S).transpose(0, 1, 3, 2)
     proj_jmin = pjmin.reshape(B, C, T, S).transpose(0, 1, 3, 2)
     return dp_last, jmin_last, key_last, proj_idx, proj_jmin
 
@@ -352,6 +362,93 @@ def _make_backtrace_kernel(K: int, C: int):
         v_s[0] = jnp.sum(jnp.where(sel, pidx_ref[0, 0], 0))
 
     return kernel
+
+
+def _make_backtrace_kernel_t(K: int, T: int, C: int):
+    """General-T backtrace: walk (index, transmission) back to front.
+    Mirrors the host loop in wmec.run_dp / _backtrace_impl: at column c the
+    current (v, vt) pair is emitted, then v <- proj_idx[c, v, prev_t],
+    vt <- prev_t, prev_t <- proj_jmin[c, v_new, vt_new].  The two gathers
+    are one-hot VPU reductions over the (R, LANES) plane of the carried
+    transmission (T is tiny, so the plane select is an unrolled sum)."""
+    S = 1 << K
+    R = S >> LANE_BITS
+
+    def kernel(init_ref, pidx_ref, pjmin_ref, path_ref, tpath_ref, st_s):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            st_s[0] = init_ref[0, 0, 0, 0]  # v (bipartition index)
+            st_s[1] = init_ref[0, 0, 0, 1]  # vt (transmission)
+            st_s[2] = init_ref[0, 0, 0, 2]  # prev_t
+
+        v = st_s[0]
+        vt = st_s[1]
+        pt = st_s[2]
+        path_ref[0, 0, 0, 0] = v
+        tpath_ref[0, 0, 0, 0] = vt
+        idx0 = (
+            jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+        )
+        sel = idx0 == v
+        nv = jnp.int32(0)
+        for t in range(T):
+            nv = nv + jnp.where(
+                pt == t, jnp.sum(jnp.where(sel, pidx_ref[0, 0, t], 0)), 0
+            )
+        nvt = pt
+        sel2 = idx0 == nv
+        npt = jnp.int32(0)
+        for t in range(T):
+            npt = npt + jnp.where(
+                nvt == t, jnp.sum(jnp.where(sel2, pjmin_ref[0, 0, t], 0)), 0
+            )
+        st_s[0] = nv
+        st_s[1] = nvt
+        st_s[2] = npt
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("K", "T", "interpret"))
+def backtrace_pallas_t(K, T, init, pidx, pjmin, interpret=False):
+    """Batched general-T backtrace.  init (B, 3) i32 = (opt_idx, opt_trans,
+    prev_trans); pidx/pjmin (B, C, T, R, LANES) the raw projection tables.
+    Returns (index_path (B, C), trans_path (B, C)) i32."""
+    B, C = pidx.shape[0], pidx.shape[1]
+    S = 1 << K
+    R = S >> LANE_BITS
+    kernel = _make_backtrace_kernel_t(K, T, C)
+    path, tpath = pl.pallas_call(
+        kernel,
+        grid=(B, C),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, C, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, C, 1, 1), jnp.int32),
+        ],
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, 3), lambda b, j: (b, 0, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 1, T, R, LANES),
+                lambda b, j: (b, C - 1 - j, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, T, R, LANES),
+                lambda b, j: (b, C - 1 - j, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, 1), lambda b, j: (b, C - 1 - j, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, 1), lambda b, j: (b, C - 1 - j, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[pltpu.SMEM((3,), jnp.int32)],
+        interpret=interpret,
+    )(init.reshape(B, 1, 1, 3), pidx, pjmin)
+    return path.reshape(B, C), tpath.reshape(B, C)
 
 
 @partial(jax.jit, static_argnames=("K", "interpret"))
@@ -386,11 +483,9 @@ def backtrace_pallas(K, opt_idx, pidx, interpret=False):
 
 @partial(jax.jit, static_argnames=("K", "T", "P", "interpret"))
 def solve_batched_pallas(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, interpret=False):
-    """End-to-end batched solve on the Pallas kernels (T == 1): forward scan,
-    XLA argmin tie-break selection, backtrace.  Returns (costs (B,),
-    index paths (B, C), transmission paths (B, C) — all zeros for T == 1),
-    matching wmec.solve_batched."""
-    assert T == 1
+    """End-to-end batched solve on the Pallas kernels: forward scan, XLA
+    argmin tie-break selection, backtrace.  Returns (costs (B,), index
+    paths (B, C), transmission paths (B, C)), matching wmec.solve_batched."""
     B, C = wdiff.shape[0], wdiff.shape[1]
     S = 1 << K
     R = S >> LANE_BITS
@@ -398,7 +493,7 @@ def solve_batched_pallas(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, inte
     TP2 = T * P * 2
     kernel = _make_kernel(K, T, P, C)
     out_shape = [
-        jax.ShapeDtypeStruct((B, C, R, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((B, C, T, R, LANES), jnp.int32),
         jax.ShapeDtypeStruct((B, C, T, R, LANES), jnp.int32),
         jax.ShapeDtypeStruct((B, T, R, LANES), jnp.int32),
         jax.ShapeDtypeStruct((B, T, R, LANES), jnp.int32),
@@ -413,7 +508,7 @@ def solve_batched_pallas(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, inte
         pl.BlockSpec((1, 1, 1, 1), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
     ]
     out_specs = [
-        pl.BlockSpec((1, 1, R, LANES), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, T, R, LANES), lambda b, c: (b, c, 0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, T, R, LANES), lambda b, c: (b, c, 0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, T, R, LANES), lambda b, c: (b, 0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, T, R, LANES), lambda b, c: (b, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -424,7 +519,7 @@ def solve_batched_pallas(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, inte
         pltpu.VMEM((T, R, LANES), jnp.int32),
         pltpu.VMEM((R, LANES), jnp.int32),
     ]
-    pidx, _pjmin, dp_last, _jmin_last, key_last = pl.pallas_call(
+    pidx, pjmin, dp_last, jmin_last, key_last = pl.pallas_call(
         kernel,
         grid=(B, C),
         out_shape=out_shape,
@@ -441,19 +536,34 @@ def solve_batched_pallas(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, inte
         rc.reshape(B, C, 1, 1),
     )
 
-    # final-optimum selection (same tie-break as _backtrace_impl; T == 1
-    # collapses the transmission term)
-    dp = dp_last.reshape(B, S)
+    # final-optimum selection (same tie-break as _backtrace_impl: min cost,
+    # then min gray key, then min transmission, then min index)
+    dp = dp_last.reshape(B, T, S)
     key = key_last.reshape(B, S)
     big = jnp.int32(2**30)
-    m = jnp.min(dp, axis=1)
-    cand = dp == m[:, None]
-    keyb = jnp.where(cand, key, big)
-    km = jnp.min(keyb, axis=1)
-    cand = cand & (keyb == km[:, None])
-    iota = jnp.arange(S, dtype=jnp.int32)[None, :]
-    opt_idx = jnp.min(jnp.where(cand, iota, big), axis=1)
+    m = jnp.min(dp, axis=(1, 2))
+    cand = dp == m[:, None, None]
+    keyb = jnp.where(cand, key[:, None, :], big)
+    km = jnp.min(keyb, axis=(1, 2))
+    cand = cand & (keyb == km[:, None, None])
+    comb = (
+        jnp.arange(T, dtype=jnp.int32)[:, None] * S
+        + jnp.arange(S, dtype=jnp.int32)[None, :]
+    )
+    best = jnp.min(jnp.where(cand, comb[None], big), axis=(1, 2))
+    opt_trans = best // S
+    opt_idx = best % S
 
-    index_path = backtrace_pallas(K, opt_idx, pidx, interpret=interpret)
-    trans_path = jnp.zeros((B, C), jnp.int32)
+    if T == 1:
+        index_path = backtrace_pallas(
+            K, opt_idx, pidx.reshape(B, C, R, LANES), interpret=interpret
+        )
+        trans_path = jnp.zeros((B, C), jnp.int32)
+    else:
+        jm = jmin_last.reshape(B, T, S)
+        prev_trans = jax.vmap(lambda j, t, s: j[t, s])(jm, opt_trans, opt_idx)
+        init = jnp.stack([opt_idx, opt_trans, prev_trans], axis=1)
+        index_path, trans_path = backtrace_pallas_t(
+            K, T, init, pidx, pjmin, interpret=interpret
+        )
     return m, index_path, trans_path
