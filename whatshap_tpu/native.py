@@ -197,3 +197,107 @@ if _build_clusterlib():
         clusterlib = _ClusterLib(ctypes.CDLL(str(_CLUSTER_SO_PATH)))
     except OSError:
         clusterlib = None
+
+
+# --- native haplotype threading (native/threadlib.cpp) ----------------------
+
+_THREAD_SO_PATH = _NATIVE_DIR / "_threadlib.so"
+
+
+class _ThreadLib:
+    def __init__(self, cdll):
+        c = self._lib = cdll
+        c.wh_thread_paths.restype = ctypes.c_int32
+        c.wh_thread_paths.argtypes = [
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_double,
+            ctypes.c_double,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+
+    def thread_paths(
+        self,
+        num_vars,
+        ploidy,
+        switch_cost,
+        affine_switch_cost,
+        max_cluster_gap,
+        row_limit,
+        block_starts,
+        cov_offsets,
+        cov_ids,
+        cov_totals,
+    ):
+        bs = (ctypes.c_int32 * len(block_starts))(*block_starts)
+        co = (ctypes.c_int32 * len(cov_offsets))(*cov_offsets)
+        ci = (ctypes.c_int32 * max(len(cov_ids), 1))(*cov_ids)
+        ct = (ctypes.c_int32 * max(len(cov_totals), 1))(*cov_totals)
+        out = (ctypes.c_int32 * (num_vars * ploidy))()
+        n = self._lib.wh_thread_paths(
+            num_vars,
+            ploidy,
+            switch_cost,
+            affine_switch_cost,
+            max_cluster_gap,
+            row_limit,
+            bs,
+            len(block_starts),
+            co,
+            ci,
+            ct,
+            out,
+        )
+        if n < 0:
+            return None
+        return [
+            [out[i * ploidy + j] for j in range(ploidy)] for i in range(n)
+        ]
+
+
+def _build_threadlib() -> bool:
+    src = _NATIVE_DIR / "threadlib.cpp"
+    if not src.exists():
+        return False
+    if _THREAD_SO_PATH.exists() and _THREAD_SO_PATH.stat().st_mtime >= src.stat().st_mtime:
+        return True
+    try:
+        subprocess.run(
+            [
+                "g++",
+                "-O3",
+                "-ffp-contract=off",
+                "-shared",
+                "-fPIC",
+                "-std=c++17",
+                "-o",
+                str(_THREAD_SO_PATH),
+                str(src),
+            ],
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+threadlib = None
+if _build_threadlib():
+    try:
+        threadlib = _ThreadLib(ctypes.CDLL(str(_THREAD_SO_PATH)))
+    except OSError:
+        threadlib = None
+
+
+# WHATSHAP_TPU_NO_NATIVE=1 disables every native engine (pure-Python
+# fallbacks take over) — a debugging/verification kill switch.
+if os.environ.get("WHATSHAP_TPU_NO_NATIVE"):
+    lib = bamlib = clusterlib = threadlib = None

@@ -144,6 +144,9 @@ class HaploThreader:
         covMap: Sequence[Sequence[int]],
         alleleDepths: Sequence[Dict[int, Dict[int, int]]],
     ) -> List[List[int]]:
+        native = self._compute_native(blockStarts, covMap, alleleDepths)
+        if native is not None:
+            return native
         numVars = len(covMap)
         path: List[List[int]] = []
         for i, start in enumerate(blockStarts):
@@ -151,6 +154,40 @@ class HaploThreader:
             if end > start:
                 path.extend(self.computePaths(start, end, covMap, alleleDepths, numVars))
         return path
+
+    def _compute_native(self, blockStarts, covMap, alleleDepths):
+        """Dispatch to the C++ engine (native/threadlib.cpp), an exact
+        behavioral mirror of computePaths below — identical float32
+        score arithmetic and tie handling (differentially tested)."""
+        try:
+            from ..native import threadlib
+        except ImportError:  # pragma: no cover
+            return None
+        if threadlib is None or not (1 <= self.ploidy <= MAX_PLOIDY):
+            return None
+        num_vars = len(covMap)
+        cov_offsets = [0]
+        cov_ids: List[int] = []
+        cov_totals: List[int] = []
+        for pos in range(num_vars):
+            for cid in covMap[pos]:
+                cov_ids.append(cid)
+                cov_totals.append(sum(alleleDepths[pos][cid].values()))
+            cov_offsets.append(len(cov_ids))
+        if cov_ids and (max(cov_ids) > 2**31 - 1 or max(cov_totals) > 2**31 - 1):
+            return None  # int32 interface bounds
+        return threadlib.thread_paths(
+            num_vars,
+            self.ploidy,
+            float(self.switchCost),
+            float(self.affineSwitchCost),
+            self.maxClusterGap,
+            self.rowLimit,
+            list(blockStarts),
+            cov_offsets,
+            cov_ids,
+            cov_totals,
+        )
 
     def computePaths(
         self,
