@@ -65,7 +65,12 @@ def _assign_bits(P: int) -> np.ndarray:
     return ((np.arange(nA)[:, None] >> np.arange(P)[None, :]) & 1).astype(np.int32)
 
 
-def _make_kernel(K: int, T: int, P: int, C: int):
+def _make_kernel(K: int, T: int, P: int, C: int, emit_jmin: bool = True):
+    """emit_jmin=False (T == 1 solve path only): skip the per-column
+    transmission-argmin backtrace table entirely — for a single individual
+    it is identically zero and never read, and dropping it halves the
+    backtrace-table HBM traffic and footprint."""
+    assert emit_jmin or T == 1
     S = 1 << K
     R = S >> LANE_BITS
     nA = 1 << P
@@ -120,15 +125,16 @@ def _make_kernel(K: int, T: int, P: int, C: int):
         acost_ref,  # (1, 1, 1, T * nA) i32 SMEM
         die_ref,  # (1, 1, 1, K) i32 SMEM
         rc_ref,  # (1, 1, 1, 1) i32 SMEM
-        pidx_ref,  # (1, 1, T, R, LANES) i32 out  (per-t proj idx)
-        pjmin_ref,  # (1, 1, T, R, LANES) i32 out
-        dp_ref,  # (1, T, R, LANES) i32 out (final)
-        jminl_ref,  # (1, T, R, LANES) i32 out (final)
-        keyl_ref,  # (1, R, LANES) i32 out (final)
-        cost_s,  # (T, R, LANES) i32 scratch
-        jmin_s,  # (T, R, LANES) i32 scratch
-        key_s,  # (R, LANES) i32 scratch
+        *refs,
+        # outputs: pidx (1,1,T,R,LANES), [pjmin (1,1,T,R,LANES) if emit_jmin],
+        #          dp (1,T,R,LANES), jminl (1,T,R,LANES), keyl (1,R,LANES)
+        # scratch: cost_s (T,R,LANES), jmin_s (T,R,LANES), key_s (R,LANES)
     ):
+        if emit_jmin:
+            pidx_ref, pjmin_ref, dp_ref, jminl_ref, keyl_ref, cost_s, jmin_s, key_s = refs
+        else:
+            pidx_ref, dp_ref, jminl_ref, keyl_ref, cost_s, jmin_s, key_s = refs
+            pjmin_ref = None
         c = pl.program_id(1)
 
         @pl.when(c == 0)
@@ -149,9 +155,11 @@ def _make_kernel(K: int, T: int, P: int, C: int):
         # key/idx become per-t during folding (they start broadcast — the
         # column key depends only on the bipartition)
         costs = [cost_s[t] for t in range(T)]
-        jmins = [jmin_s[t] for t in range(T)]
         keys = [key_s[:] for _ in range(T)]
         idxs = [idx0 for _ in range(T)]
+        # for T == 1 without jmin emission the transmission argmin is
+        # identically zero: skip folding it entirely
+        jmins = [jmin_s[t] for t in range(T)] if emit_jmin else []
         for p in range(K):
             die_p = die_ref[0, 0, 0, p] != 0
             # a real branch (not a value-select): most columns fold no bits,
@@ -162,11 +170,13 @@ def _make_kernel(K: int, T: int, P: int, C: int):
                 cs, ks, is_, js = args
                 nc, nk, ni, nj = [], [], [], []
                 for t in range(T):
-                    c1, k1, i1, (j1,) = tie_fold(p, cs[t], ks[t], is_[t], [js[t]])
+                    jl = [js[t]] if emit_jmin else []
+                    c1, k1, i1, j1 = tie_fold(p, cs[t], ks[t], is_[t], jl)
                     nc.append(c1)
                     nk.append(k1)
                     ni.append(i1)
-                    nj.append(j1)
+                    if emit_jmin:
+                        nj.append(j1[0])
                 return tuple(nc), tuple(nk), tuple(ni), tuple(nj)
 
             out = jax.lax.cond(
@@ -183,7 +193,8 @@ def _make_kernel(K: int, T: int, P: int, C: int):
         # ---- emit backtrace tables ----
         for t in range(T):
             pidx_ref[0, 0, t] = idxs[t]
-            pjmin_ref[0, 0, t] = proj_jmin[t]
+            if emit_jmin:
+                pjmin_ref[0, 0, t] = proj_jmin[t]
 
         # ---- transmission min-plus ----
         rc = rc_ref[0, 0, 0, 0]
@@ -240,7 +251,8 @@ def _make_kernel(K: int, T: int, P: int, C: int):
                 cc = total if cc is None else jnp.minimum(cc, total)
             dp_t = jnp.minimum(cc + trans_min[t], INF)
             cost_s[t] = dp_t
-            jmin_s[t] = jmin_new[t]
+            if emit_jmin:
+                jmin_s[t] = jmin_new[t]
 
         # ---- tie-break key for this column ----
         r = jnp.zeros((R, LANES), jnp.float32)
@@ -491,10 +503,14 @@ def solve_batched_pallas(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, inte
     R = S >> LANE_BITS
     nA = 1 << P
     TP2 = T * P * 2
-    kernel = _make_kernel(K, T, P, C)
-    out_shape = [
-        jax.ShapeDtypeStruct((B, C, T, R, LANES), jnp.int32),
-        jax.ShapeDtypeStruct((B, C, T, R, LANES), jnp.int32),
+    emit_jmin = T > 1  # for T == 1 the transmission-argmin table is all
+    # zeros and never read: skipping it halves backtrace-table HBM traffic
+    kernel = _make_kernel(K, T, P, C, emit_jmin=emit_jmin)
+    table_spec = pl.BlockSpec(
+        (1, 1, T, R, LANES), lambda b, c: (b, c, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    table_shape = jax.ShapeDtypeStruct((B, C, T, R, LANES), jnp.int32)
+    out_shape = [table_shape] + ([table_shape] if emit_jmin else []) + [
         jax.ShapeDtypeStruct((B, T, R, LANES), jnp.int32),
         jax.ShapeDtypeStruct((B, T, R, LANES), jnp.int32),
         jax.ShapeDtypeStruct((B, R, LANES), jnp.int32),
@@ -507,9 +523,7 @@ def solve_batched_pallas(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, inte
         pl.BlockSpec((1, 1, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, 1, 1), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
     ]
-    out_specs = [
-        pl.BlockSpec((1, 1, T, R, LANES), lambda b, c: (b, c, 0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, T, R, LANES), lambda b, c: (b, c, 0, 0, 0), memory_space=pltpu.VMEM),
+    out_specs = [table_spec] + ([table_spec] if emit_jmin else []) + [
         pl.BlockSpec((1, T, R, LANES), lambda b, c: (b, 0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, T, R, LANES), lambda b, c: (b, 0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, R, LANES), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -519,7 +533,7 @@ def solve_batched_pallas(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, inte
         pltpu.VMEM((T, R, LANES), jnp.int32),
         pltpu.VMEM((R, LANES), jnp.int32),
     ]
-    pidx, pjmin, dp_last, jmin_last, key_last = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(B, C),
         out_shape=out_shape,
@@ -535,6 +549,11 @@ def solve_batched_pallas(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, inte
         die_prev.astype(jnp.int32).reshape(B, C, 1, K),
         rc.reshape(B, C, 1, 1),
     )
+    if emit_jmin:
+        pidx, pjmin, dp_last, jmin_last, key_last = outs
+    else:
+        pidx, dp_last, jmin_last, key_last = outs
+        pjmin = None
 
     # final-optimum selection (same tie-break as _backtrace_impl: min cost,
     # then min gray key, then min transmission, then min index)
