@@ -103,7 +103,10 @@ def measure_baseline(packed_list, readsets):
 
 
 def main():
-    n_blocks, n_cols = 32, 512
+    # B=256 measured best on one v5e chip (429k var/s vs 256k at B=32);
+    # backtrace tables are the footprint limit (B*C*S*4 bytes = 8.6 GB at
+    # K=14 — this workload's K is deterministic)
+    n_blocks, n_cols = 256, 512
     K, T, P, arrays, packed_list, readsets = build_workload(n_blocks, n_cols)
     dt, out = measure_device(K, T, P, arrays)
     variants_total = n_blocks * n_cols

@@ -28,6 +28,7 @@ from .variant import Variant
 # with `from whatshap.core import PedigreeDPTable`.
 from ..solver.dptable import PedigreeDPTable  # noqa: E402
 from ..solver.hapchat import HapChatCore  # noqa: E402
+from ..solver.caller import Caller  # noqa: E402
 from ..solver.heuristic import PedMecHeuristic  # noqa: E402
 from ..solver.genotyping import (  # noqa: E402
     GenotypeDPTable,
@@ -55,6 +56,7 @@ __all__ = [
     "Variant",
     "PedigreeDPTable",
     "HapChatCore",
+    "Caller",
     "PedMecHeuristic",
     "GenotypeDPTable",
     "GenotypeDistribution",

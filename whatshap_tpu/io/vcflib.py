@@ -532,6 +532,7 @@ class VariantFile:
         self._records_iter: Optional[Iterator[VariantRecord]] = None
         self._write_handle = None
         self._bgzf_writer = None
+        self._bcf_writer = None
         if mode in ("r", "rb", "rt"):
             self._open_read(path)
         elif mode == "w":
@@ -656,7 +657,14 @@ class VariantFile:
                 self._raw_handle = raw
                 self._write_handle = None
             elif str(path).endswith(".bcf"):
-                raise VcfFormatError("BCF output is not supported; write .vcf or .vcf.gz")
+                from .bcf import BCFWriter
+
+                raw = open(path, "wb")
+                self._bcf_writer = BCFWriter(raw, self.header)
+                self._raw_handle = raw
+                self._write_handle = None
+                self._owns_handle = True
+                return  # BCFWriter emits the header itself
             else:
                 self._write_handle = open(path, "w")
             self._owns_handle = True
@@ -669,10 +677,17 @@ class VariantFile:
             self._write_handle.write(text)
 
     def write(self, record: VariantRecord) -> None:
+        if self._bcf_writer is not None:
+            self._bcf_writer.write(record)
+            return
         self._write_text(record.to_line() + "\n")
 
     def close(self) -> None:
-        if self._bgzf_writer is not None:
+        if self._bcf_writer is not None:
+            self._bcf_writer.close()
+            self._raw_handle.close()
+            self._bcf_writer = None
+        elif self._bgzf_writer is not None:
             self._bgzf_writer.close()
             self._raw_handle.close()
             self._bgzf_writer = None

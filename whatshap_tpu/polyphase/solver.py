@@ -15,6 +15,7 @@ from .progenygl import ProgenyGenotypeLikelihoods
 from .readscoring import ReadScoring, scoreReadset
 from .switchflip import SwitchFlipCalculator
 from .trianglesparse import TriangleSparseMatrix
+from .haplothreader import HaploThreader
 
 __all__ = [
     "AlleleMatrix",
@@ -28,4 +29,5 @@ __all__ = [
     "scoreReadset",
     "SwitchFlipCalculator",
     "TriangleSparseMatrix",
+    "HaploThreader",
 ]
