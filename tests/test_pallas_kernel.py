@@ -119,3 +119,24 @@ def test_solve_batched_trio_matches_xla():
     assert np.array_equal(np.asarray(cp), np.asarray(cr))
     assert np.array_equal(np.asarray(ip), np.asarray(ir))
     assert np.array_equal(np.asarray(tp), np.asarray(tr))
+
+
+def test_solve_segmented_matches_batched():
+    # checkpoint + recompute segmentation must be bit-identical to the
+    # single-pass solve (and thus to the XLA path)
+    K, T, P, arrays = _workload(n_blocks=2, n_cols=48, seed=43)
+    cs, is_, ts = wmec_pallas.solve_segmented(K, T, P, *arrays, seg=16, interpret=True)
+    cr, ir, tr = wmec.solve_batched(K, T, P, *arrays)
+    assert np.array_equal(np.asarray(cs), np.asarray(cr))
+    assert np.array_equal(np.asarray(is_), np.asarray(ir))
+    assert np.array_equal(np.asarray(ts), np.asarray(tr))
+
+
+def test_solve_segmented_trio_matches_batched():
+    K, T, P, arrays = _trio_workload(n_pos=12, seed=51)
+    # trio workload pads to 16 columns -> 4 segments of 4
+    cs, is_, ts = wmec_pallas.solve_segmented(K, T, P, *arrays, seg=4, interpret=True)
+    cr, ir, tr = wmec.solve_batched(K, T, P, *arrays)
+    assert np.array_equal(np.asarray(cs), np.asarray(cr))
+    assert np.array_equal(np.asarray(is_), np.asarray(ir))
+    assert np.array_equal(np.asarray(ts), np.asarray(tr))

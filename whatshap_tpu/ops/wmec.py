@@ -606,6 +606,17 @@ def run_dp(packed: PackedProblem, backend: str = "auto") -> Optional[DPResult]:
             jax.default_backend() != "cpu" and wmec_pallas.kernel_supported(max(K, 7), T, P)
         )
         k_run = max(K, wmec_pallas.LANE_BITS) if use_pallas else K
+        # whole-chromosome instances would need O(C * 2^K) backtrace tables
+        # in HBM; above ~2 GB switch to the segmented solve (checkpoint +
+        # recompute — the TPU analogue of the reference's sqrt(n)-column
+        # trick, pedigreedptable.cpp:104,127-173).  The segmented path only
+        # needs C padded to a segment multiple, not a power of two — the
+        # per-segment kernel shapes are fixed, so the jit cache is unaffected.
+        seg = 2048
+        table_bytes = c_pad * (1 << k_run) * T * 4 * (2 if T > 1 else 1)
+        use_segmented = use_pallas and table_bytes > (2 << 30)
+        if use_segmented:
+            c_pad = ((C + seg - 1) // seg) * seg
         padded = pad_block(packed, c_pad, k_pad=k_run)
         args = (
             jnp.asarray(padded.wdiff),
@@ -616,9 +627,14 @@ def run_dp(packed: PackedProblem, backend: str = "auto") -> Optional[DPResult]:
             jnp.asarray(padded.rc),
         )
         if use_pallas:
-            costs, index_paths, trans_paths = wmec_pallas.solve_batched_pallas(
-                k_run, T, P, *[a[None] for a in args]
-            )
+            if use_segmented:
+                costs, index_paths, trans_paths = wmec_pallas.solve_segmented(
+                    k_run, T, P, *[a[None] for a in args], seg=seg
+                )
+            else:
+                costs, index_paths, trans_paths = wmec_pallas.solve_batched_pallas(
+                    k_run, T, P, *[a[None] for a in args]
+                )
             cost, index_path, trans_path = costs[0], index_paths[0], trans_paths[0]
         else:
             cost, index_path, trans_path = _solve_scan(K, T, P, *args)

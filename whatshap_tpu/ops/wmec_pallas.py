@@ -65,12 +65,26 @@ def _assign_bits(P: int) -> np.ndarray:
     return ((np.arange(nA)[:, None] >> np.arange(P)[None, :]) & 1).astype(np.int32)
 
 
-def _make_kernel(K: int, T: int, P: int, C: int, emit_jmin: bool = True):
-    """emit_jmin=False (T == 1 solve path only): skip the per-column
-    transmission-argmin backtrace table entirely — for a single individual
-    it is identically zero and never read, and dropping it halves the
-    backtrace-table HBM traffic and footprint."""
-    assert emit_jmin or T == 1
+def _make_kernel(
+    K: int,
+    T: int,
+    P: int,
+    C: int,
+    emit_jmin: bool = True,
+    emit_tables: bool = True,
+    carry_in: bool = False,
+):
+    """Kernel variants:
+    - emit_jmin=False (T == 1 solve path only): skip the per-column
+      transmission-argmin backtrace table entirely — for a single individual
+      it is identically zero and never read, and dropping it halves the
+      backtrace-table HBM traffic and footprint.
+    - emit_tables=False: forward-only pass emitting just the final
+      (cost, jmin, key) state — the checkpoint pass of the segmented solve
+      (no table HBM writes at all).
+    - carry_in=True: initialize the column-0 state from carry inputs instead
+      of zeros (segment continuation)."""
+    assert (emit_jmin or T == 1) or not emit_tables
     S = 1 << K
     R = S >> LANE_BITS
     nA = 1 << P
@@ -79,10 +93,11 @@ def _make_kernel(K: int, T: int, P: int, C: int, emit_jmin: bool = True):
     abits = _assign_bits(P)
     max_pc = max(int(pcmat.max()), 1)
 
-    def tie_fold(p, cost, key, idx, jmin_list):
+    def tie_fold(p, cost, key, extras):
         """Butterfly min-fold of bit p with (cost, gray-key) tie-break.
         Both partners receive the winning values (the state becomes
-        constant along the dying bit), exactly like the XLA fold."""
+        constant along the dying bit), exactly like the XLA fold; `extras`
+        (projection index, transmission argmin) follow the winner."""
         if p < LANE_BITS:
             axis, sh = 1, 1 << p
             bitp = (jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1) >> p) & 1
@@ -98,8 +113,8 @@ def _make_kernel(K: int, T: int, P: int, C: int, emit_jmin: bool = True):
             dn = pltpu.roll(x, size - sh, axis=axis)  # dn[i] = x[i + sh]
             return jnp.where(bit_set, up, dn)
 
-        pc_, pk_, pi_ = partner(cost), partner(key), partner(idx)
-        pj_ = [partner(j) for j in jmin_list]
+        pc_, pk_ = partner(cost), partner(key)
+        pe_ = [partner(e) for e in extras]
         # a = value at the bit==0 position, b = at bit==1 (reference order)
         a_c = jnp.where(bit_set, pc_, cost)
         b_c = jnp.where(bit_set, cost, pc_)
@@ -108,15 +123,15 @@ def _make_kernel(K: int, T: int, P: int, C: int, emit_jmin: bool = True):
         take_b = (b_c < a_c) | ((b_c == a_c) & (b_k < a_k))
         n_cost = jnp.where(take_b, b_c, a_c)
         n_key = jnp.where(take_b, b_k, a_k)
-        a_i = jnp.where(bit_set, pi_, idx)
-        b_i = jnp.where(bit_set, idx, pi_)
-        n_idx = jnp.where(take_b, b_i, a_i)
-        n_jmin = []
-        for j, pj in zip(jmin_list, pj_):
-            a_j = jnp.where(bit_set, pj, j)
-            b_j = jnp.where(bit_set, j, pj)
-            n_jmin.append(jnp.where(take_b, b_j, a_j))
-        return n_cost, n_key, n_idx, n_jmin
+        n_extras = []
+        for e, pe in zip(extras, pe_):
+            a_e = jnp.where(bit_set, pe, e)
+            b_e = jnp.where(bit_set, e, pe)
+            n_extras.append(jnp.where(take_b, b_e, a_e))
+        return n_cost, n_key, n_extras
+
+    fold_idx = emit_tables
+    fold_jmin = emit_tables and emit_jmin
 
     def kernel(
         wdiff_ref,  # (1, 1, K, TP2) f32 VMEM
@@ -126,23 +141,35 @@ def _make_kernel(K: int, T: int, P: int, C: int, emit_jmin: bool = True):
         die_ref,  # (1, 1, 1, K) i32 SMEM
         rc_ref,  # (1, 1, 1, 1) i32 SMEM
         *refs,
-        # outputs: pidx (1,1,T,R,LANES), [pjmin (1,1,T,R,LANES) if emit_jmin],
+        # [carry inputs if carry_in: cost0/jmin0 (1,T,R,LANES), key0 (1,R,LANES)]
+        # outputs: [pidx (1,1,T,R,LANES), [pjmin if emit_jmin]] if emit_tables,
         #          dp (1,T,R,LANES), jminl (1,T,R,LANES), keyl (1,R,LANES)
         # scratch: cost_s (T,R,LANES), jmin_s (T,R,LANES), key_s (R,LANES)
     ):
-        if emit_jmin:
-            pidx_ref, pjmin_ref, dp_ref, jminl_ref, keyl_ref, cost_s, jmin_s, key_s = refs
-        else:
-            pidx_ref, dp_ref, jminl_ref, keyl_ref, cost_s, jmin_s, key_s = refs
-            pjmin_ref = None
+        i = 0
+        if carry_in:
+            cost0_ref, jmin0_ref, key0_ref = refs[0:3]
+            i = 3
+        pidx_ref = pjmin_ref = None
+        if emit_tables:
+            pidx_ref = refs[i]
+            i += 1
+            if emit_jmin:
+                pjmin_ref = refs[i]
+                i += 1
+        dp_ref, jminl_ref, keyl_ref, cost_s, jmin_s, key_s = refs[i:]
         c = pl.program_id(1)
 
         @pl.when(c == 0)
         def _init():
             for t in range(T):
-                cost_s[t] = jnp.zeros((R, LANES), jnp.int32)
-                jmin_s[t] = jnp.zeros((R, LANES), jnp.int32)
-            key_s[:] = jnp.zeros((R, LANES), jnp.int32)
+                if carry_in:
+                    cost_s[t] = cost0_ref[0, t]
+                    jmin_s[t] = jmin0_ref[0, t]
+                else:
+                    cost_s[t] = jnp.zeros((R, LANES), jnp.int32)
+                    jmin_s[t] = jnp.zeros((R, LANES), jnp.int32)
+            key_s[:] = key0_ref[0] if carry_in else jnp.zeros((R, LANES), jnp.int32)
 
         # flat bipartition index i = row * 128 + lane
         idx0 = (
@@ -153,13 +180,12 @@ def _make_kernel(K: int, T: int, P: int, C: int, emit_jmin: bool = True):
         # ---- fold dying slot bits (predicated: most columns fold none) ----
         # per-t state: the fold's tie decisions depend on the per-t costs, so
         # key/idx become per-t during folding (they start broadcast — the
-        # column key depends only on the bipartition)
+        # column key depends only on the bipartition).  idx/jmin only feed
+        # the backtrace tables, so the forward-only pass skips folding them.
         costs = [cost_s[t] for t in range(T)]
         keys = [key_s[:] for _ in range(T)]
-        idxs = [idx0 for _ in range(T)]
-        # for T == 1 without jmin emission the transmission argmin is
-        # identically zero: skip folding it entirely
-        jmins = [jmin_s[t] for t in range(T)] if emit_jmin else []
+        idxs = [idx0 for _ in range(T)] if fold_idx else []
+        jmins = [jmin_s[t] for t in range(T)] if fold_jmin else []
         for p in range(K):
             die_p = die_ref[0, 0, 0, p] != 0
             # a real branch (not a value-select): most columns fold no bits,
@@ -170,13 +196,18 @@ def _make_kernel(K: int, T: int, P: int, C: int, emit_jmin: bool = True):
                 cs, ks, is_, js = args
                 nc, nk, ni, nj = [], [], [], []
                 for t in range(T):
-                    jl = [js[t]] if emit_jmin else []
-                    c1, k1, i1, j1 = tie_fold(p, cs[t], ks[t], is_[t], jl)
+                    extras = []
+                    if fold_idx:
+                        extras.append(is_[t])
+                    if fold_jmin:
+                        extras.append(js[t])
+                    c1, k1, ex = tie_fold(p, cs[t], ks[t], extras)
                     nc.append(c1)
                     nk.append(k1)
-                    ni.append(i1)
-                    if emit_jmin:
-                        nj.append(j1[0])
+                    if fold_idx:
+                        ni.append(ex[0])
+                    if fold_jmin:
+                        nj.append(ex[-1])
                 return tuple(nc), tuple(nk), tuple(ni), tuple(nj)
 
             out = jax.lax.cond(
@@ -191,10 +222,11 @@ def _make_kernel(K: int, T: int, P: int, C: int, emit_jmin: bool = True):
         proj_jmin = jmins
 
         # ---- emit backtrace tables ----
-        for t in range(T):
-            pidx_ref[0, 0, t] = idxs[t]
-            if emit_jmin:
-                pjmin_ref[0, 0, t] = proj_jmin[t]
+        if emit_tables:
+            for t in range(T):
+                pidx_ref[0, 0, t] = idxs[t]
+                if emit_jmin:
+                    pjmin_ref[0, 0, t] = proj_jmin[t]
 
         # ---- transmission min-plus ----
         rc = rc_ref[0, 0, 0, 0]
@@ -251,7 +283,10 @@ def _make_kernel(K: int, T: int, P: int, C: int, emit_jmin: bool = True):
                 cc = total if cc is None else jnp.minimum(cc, total)
             dp_t = jnp.minimum(cc + trans_min[t], INF)
             cost_s[t] = dp_t
-            if emit_jmin:
+            if T > 1:
+                # the transmission argmin is carried state for pedigrees
+                # (folded into the next column's pjmin table); for T == 1
+                # it is identically zero and jmin_s keeps its init value
                 jmin_s[t] = jmin_new[t]
 
         # ---- tie-break key for this column ----
@@ -357,7 +392,7 @@ def _make_backtrace_kernel(K: int, C: int):
     S = 1 << K
     R = S >> LANE_BITS
 
-    def kernel(opt_ref, pidx_ref, path_ref, v_s):
+    def kernel(opt_ref, pidx_ref, path_ref, final_ref, v_s):
         j = pl.program_id(1)
 
         @pl.when(j == 0)
@@ -373,6 +408,11 @@ def _make_backtrace_kernel(K: int, C: int):
         sel = idx0 == v
         v_s[0] = jnp.sum(jnp.where(sel, pidx_ref[0, 0], 0))
 
+        @pl.when(j == C - 1)
+        def _fin():
+            # state entering the preceding segment (segmented solve chaining)
+            final_ref[0, 0, 0, 0] = v_s[0]
+
     return kernel
 
 
@@ -386,7 +426,7 @@ def _make_backtrace_kernel_t(K: int, T: int, C: int):
     S = 1 << K
     R = S >> LANE_BITS
 
-    def kernel(init_ref, pidx_ref, pjmin_ref, path_ref, tpath_ref, st_s):
+    def kernel(init_ref, pidx_ref, pjmin_ref, path_ref, tpath_ref, final_ref, st_s):
         j = pl.program_id(1)
 
         @pl.when(j == 0)
@@ -421,6 +461,12 @@ def _make_backtrace_kernel_t(K: int, T: int, C: int):
         st_s[1] = nvt
         st_s[2] = npt
 
+        @pl.when(j == C - 1)
+        def _fin():
+            final_ref[0, 0, 0, 0] = st_s[0]
+            final_ref[0, 0, 0, 1] = st_s[1]
+            final_ref[0, 0, 0, 2] = st_s[2]
+
     return kernel
 
 
@@ -433,12 +479,13 @@ def backtrace_pallas_t(K, T, init, pidx, pjmin, interpret=False):
     S = 1 << K
     R = S >> LANE_BITS
     kernel = _make_backtrace_kernel_t(K, T, C)
-    path, tpath = pl.pallas_call(
+    path, tpath, final = pl.pallas_call(
         kernel,
         grid=(B, C),
         out_shape=[
             jax.ShapeDtypeStruct((B, C, 1, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, C, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 1, 3), jnp.int32),
         ],
         in_specs=[
             pl.BlockSpec((1, 1, 1, 3), lambda b, j: (b, 0, 0, 0), memory_space=pltpu.SMEM),
@@ -456,11 +503,12 @@ def backtrace_pallas_t(K, T, init, pidx, pjmin, interpret=False):
         out_specs=[
             pl.BlockSpec((1, 1, 1, 1), lambda b, j: (b, C - 1 - j, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1, 1), lambda b, j: (b, C - 1 - j, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, 3), lambda b, j: (b, 0, 0, 0), memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[pltpu.SMEM((3,), jnp.int32)],
         interpret=interpret,
     )(init.reshape(B, 1, 1, 3), pidx, pjmin)
-    return path.reshape(B, C), tpath.reshape(B, C)
+    return path.reshape(B, C), tpath.reshape(B, C), final.reshape(B, 3)
 
 
 @partial(jax.jit, static_argnames=("K", "interpret"))
@@ -472,10 +520,13 @@ def backtrace_pallas(K, opt_idx, pidx, interpret=False):
     S = 1 << K
     R = S >> LANE_BITS
     kernel = _make_backtrace_kernel(K, C)
-    path = pl.pallas_call(
+    path, final = pl.pallas_call(
         kernel,
         grid=(B, C),
-        out_shape=jax.ShapeDtypeStruct((B, C, 1, 1), jnp.int32),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, C, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 1, 1), jnp.int32),
+        ],
         in_specs=[
             pl.BlockSpec((1, 1, 1, 1), lambda b, j: (b, 0, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
@@ -484,13 +535,14 @@ def backtrace_pallas(K, opt_idx, pidx, interpret=False):
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, 1, 1), lambda b, j: (b, C - 1 - j, 0, 0), memory_space=pltpu.SMEM
-        ),
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, 1), lambda b, j: (b, C - 1 - j, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, 1), lambda b, j: (b, 0, 0, 0), memory_space=pltpu.SMEM),
+        ],
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
         interpret=interpret,
     )(opt_idx.reshape(B, 1, 1, 1), pidx)
-    return path.reshape(B, C)
+    return path.reshape(B, C), final.reshape(B)
 
 
 @partial(jax.jit, static_argnames=("K", "T", "P", "interpret"))
@@ -574,7 +626,7 @@ def solve_batched_pallas(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, inte
     opt_idx = best % S
 
     if T == 1:
-        index_path = backtrace_pallas(
+        index_path, _ = backtrace_pallas(
             K, opt_idx, pidx.reshape(B, C, R, LANES), interpret=interpret
         )
         trans_path = jnp.zeros((B, C), jnp.int32)
@@ -582,7 +634,225 @@ def solve_batched_pallas(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, inte
         jm = jmin_last.reshape(B, T, S)
         prev_trans = jax.vmap(lambda j, t, s: j[t, s])(jm, opt_trans, opt_idx)
         init = jnp.stack([opt_idx, opt_trans, prev_trans], axis=1)
-        index_path, trans_path = backtrace_pallas_t(
+        index_path, trans_path, _ = backtrace_pallas_t(
             K, T, init, pidx, pjmin, interpret=interpret
         )
+    return m, index_path, trans_path
+
+
+# ---------------------------------------------------------------------------
+# Segmented solve: unbounded column counts at fixed HBM
+# ---------------------------------------------------------------------------
+#
+# A whole-chromosome problem (C ~ 1e5 columns at K = 15) needs ~13 GB of
+# backtrace tables if they are all emitted at once.  The reference bounds
+# memory by keeping only every sqrt(n)-th DP column and recomputing the rest
+# during backtracking (pedigreedptable.cpp:104,127-173); the TPU equivalent
+# here checkpoints the carried state every `seg` columns in a table-free
+# forward pass, then re-runs each segment's forward (tables included) right
+# before backtracing it.  Peak HBM is O(B * seg * T * 2^K) regardless of C,
+# at the cost of one extra (cheaper, write-free) forward pass.
+
+
+@partial(jax.jit, static_argnames=("K", "T", "P", "interpret"))
+def forward_carry_pallas(
+    K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, cost0, jmin0, key0, interpret=False
+):
+    """Forward pass over one segment without table emission.  Carry arrays
+    are (B, T, R, LANES) / (B, R, LANES) int32; returns the carry after the
+    segment's last column."""
+    B, C = wdiff.shape[0], wdiff.shape[1]
+    R = (1 << K) >> LANE_BITS
+    nA = 1 << P
+    TP2 = T * P * 2
+    kernel = _make_kernel(K, T, P, C, emit_tables=False, carry_in=True)
+    state_spec = pl.BlockSpec((1, T, R, LANES), lambda b, c: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+    key_spec = pl.BlockSpec((1, R, LANES), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B, C),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, R, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B, T, R, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B, R, LANES), jnp.int32),
+        ],
+        in_specs=[
+            pl.BlockSpec((1, 1, K, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, T * nA), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, 1), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+            state_spec,
+            state_spec,
+            key_spec,
+        ],
+        out_specs=[state_spec, state_spec, key_spec],
+        scratch_shapes=[
+            pltpu.VMEM((T, R, LANES), jnp.int32),
+            pltpu.VMEM((T, R, LANES), jnp.int32),
+            pltpu.VMEM((R, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        wdiff,
+        wbase.reshape(B, C, 1, TP2),
+        rankw.reshape(B, C, 1, K),
+        acost.reshape(B, C, 1, T * nA),
+        die_prev.astype(jnp.int32).reshape(B, C, 1, K),
+        rc.reshape(B, C, 1, 1),
+        cost0,
+        jmin0,
+        key0,
+    )
+    return outs
+
+
+@partial(jax.jit, static_argnames=("K", "T", "P", "interpret"))
+def forward_tables_pallas(
+    K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, cost0, jmin0, key0, interpret=False
+):
+    """Forward pass over one segment WITH table emission, starting from a
+    carry.  Returns (pidx, pjmin-or-None) raw tables for the segment."""
+    B, C = wdiff.shape[0], wdiff.shape[1]
+    R = (1 << K) >> LANE_BITS
+    nA = 1 << P
+    TP2 = T * P * 2
+    emit_jmin = T > 1
+    kernel = _make_kernel(K, T, P, C, emit_jmin=emit_jmin, emit_tables=True, carry_in=True)
+    state_spec = pl.BlockSpec((1, T, R, LANES), lambda b, c: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+    key_spec = pl.BlockSpec((1, R, LANES), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec(
+        (1, 1, T, R, LANES), lambda b, c: (b, c, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    table_shape = jax.ShapeDtypeStruct((B, C, T, R, LANES), jnp.int32)
+    out_shape = [table_shape] + ([table_shape] if emit_jmin else []) + [
+        jax.ShapeDtypeStruct((B, T, R, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((B, T, R, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((B, R, LANES), jnp.int32),
+    ]
+    out_specs = [table_spec] + ([table_spec] if emit_jmin else []) + [
+        state_spec,
+        state_spec,
+        key_spec,
+    ]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B, C),
+        out_shape=out_shape,
+        in_specs=[
+            pl.BlockSpec((1, 1, K, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, T * nA), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, 1), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+            state_spec,
+            state_spec,
+            key_spec,
+        ],
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((T, R, LANES), jnp.int32),
+            pltpu.VMEM((T, R, LANES), jnp.int32),
+            pltpu.VMEM((R, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        wdiff,
+        wbase.reshape(B, C, 1, TP2),
+        rankw.reshape(B, C, 1, K),
+        acost.reshape(B, C, 1, T * nA),
+        die_prev.astype(jnp.int32).reshape(B, C, 1, K),
+        rc.reshape(B, C, 1, 1),
+        cost0,
+        jmin0,
+        key0,
+    )
+    if emit_jmin:
+        return outs[0], outs[1]
+    return outs[0], None
+
+
+def _select_optimum(K, T, dp_last, key_last):
+    """Batched final-optimum selection, same tie-break as _backtrace_impl:
+    min cost, then min gray key, then min transmission, then min index.
+    dp_last (B, T, R, LANES), key_last (B, R, LANES)."""
+    S = 1 << K
+    B = dp_last.shape[0]
+    dp = dp_last.reshape(B, T, S)
+    key = key_last.reshape(B, S)
+    big = jnp.int32(2**30)
+    m = jnp.min(dp, axis=(1, 2))
+    cand = dp == m[:, None, None]
+    keyb = jnp.where(cand, key[:, None, :], big)
+    km = jnp.min(keyb, axis=(1, 2))
+    cand = cand & (keyb == km[:, None, None])
+    comb = (
+        jnp.arange(T, dtype=jnp.int32)[:, None] * S
+        + jnp.arange(S, dtype=jnp.int32)[None, :]
+    )
+    best = jnp.min(jnp.where(cand, comb[None], big), axis=(1, 2))
+    return m, best // S, best % S
+
+
+def solve_segmented(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, seg=2048, interpret=False):
+    """Host-driven segmented solve (see module comment above): checkpointed
+    forward, then per-segment recompute + backtrace in reverse.  C must be a
+    multiple of `seg`.  Bit-identical to solve_batched_pallas."""
+    B, C = wdiff.shape[0], wdiff.shape[1]
+    assert C % seg == 0
+    nseg = C // seg
+    S = 1 << K
+    R = S >> LANE_BITS
+
+    def seg_args(i):
+        sl = slice(i * seg, (i + 1) * seg)
+        return (
+            wdiff[:, sl],
+            wbase[:, sl],
+            rankw[:, sl],
+            acost[:, sl],
+            die_prev[:, sl],
+            rc[:, sl],
+        )
+
+    carry = (
+        jnp.zeros((B, T, R, LANES), jnp.int32),
+        jnp.zeros((B, T, R, LANES), jnp.int32),
+        jnp.zeros((B, R, LANES), jnp.int32),
+    )
+    carries = [carry]
+    for i in range(nseg):
+        carry = forward_carry_pallas(K, T, P, *seg_args(i), *carry, interpret=interpret)
+        carries.append(carry)
+
+    dp_last, jmin_last, key_last = carry
+    m, opt_trans, opt_idx = _select_optimum(K, T, dp_last, key_last)
+
+    if T > 1:
+        jm = jmin_last.reshape(B, T, S)
+        prev_trans = jax.vmap(lambda j, t, s: j[t, s])(jm, opt_trans, opt_idx)
+        state = jnp.stack([opt_idx, opt_trans, prev_trans], axis=1)
+    else:
+        state = opt_idx
+
+    idx_parts = []
+    trans_parts = []
+    for i in reversed(range(nseg)):
+        pidx, pjmin = forward_tables_pallas(
+            K, T, P, *seg_args(i), *carries[i], interpret=interpret
+        )
+        if T > 1:
+            ip, tp, state = backtrace_pallas_t(K, T, state, pidx, pjmin, interpret=interpret)
+        else:
+            ip, state = backtrace_pallas(
+                K, state, pidx.reshape(B, seg, R, LANES), interpret=interpret
+            )
+            tp = jnp.zeros((B, seg), jnp.int32)
+        idx_parts.append(ip)
+        trans_parts.append(tp)
+
+    index_path = jnp.concatenate(idx_parts[::-1], axis=1)
+    trans_path = jnp.concatenate(trans_parts[::-1], axis=1)
     return m, index_path, trans_path
