@@ -60,8 +60,8 @@ def test_solve_batched_matches_xla():
     assert np.array_equal(np.asarray(tp), np.asarray(tr))
 
 
-def _trio_workload(n_blocks=2, n_pos=12, n_reads=10, seed=31):
-    """Single-trio instances: T = 4 transmissions, P = 4 partitions."""
+def _trio_workload(n_blocks=2, n_pos=12, n_reads=10, seed=31, n_ind=3, trios=((0, 1, 2),)):
+    """Pedigree instances: one trio -> T=4, two trios (quartet) -> T=16."""
     from whatshap_tpu.core import NumericSampleIds, Pedigree, Read, ReadSet
     from whatshap_tpu.parallel import blocks as blk
     from whatshap_tpu.testhelpers import canonic_index_to_biallelic_gt
@@ -72,7 +72,7 @@ def _trio_workload(n_blocks=2, n_pos=12, n_reads=10, seed=31):
         positions = [(i + 1) * 10 for i in range(n_pos)]
         rs = ReadSet()
         for i in range(n_reads):
-            sample = int(rng.randint(0, 3))
+            sample = int(rng.randint(0, n_ind))
             start = int(rng.randint(0, n_pos - 1))
             end = int(rng.randint(start + 1, n_pos))
             read = Read(f"R{i}", 50, 0, sample)
@@ -83,11 +83,12 @@ def _trio_workload(n_blocks=2, n_pos=12, n_reads=10, seed=31):
             rs.add(read)
         rs.sort()
         ped = Pedigree(NumericSampleIds())
-        for ind in range(3):
+        for ind in range(n_ind):
             ped.add_individual(
                 f"ind{ind}", [canonic_index_to_biallelic_gt(1) for _ in positions], None
             )
-        ped.add_relationship("ind0", "ind1", "ind2")
+        for f, m, c in trios:
+            ped.add_relationship(f"ind{f}", f"ind{m}", f"ind{c}")
         packed_list.append(
             wmec.pack_problem(
                 rs, [int(rng.randint(1, 10)) for _ in positions], ped, False, positions
@@ -114,6 +115,21 @@ def test_forward_scan_trio_matches_xla():
 
 def test_solve_batched_trio_matches_xla():
     K, T, P, arrays = _trio_workload(seed=37)
+    cp, ip, tp = wmec_pallas.solve_batched_pallas(K, T, P, *arrays, interpret=True)
+    cr, ir, tr = wmec.solve_batched(K, T, P, *arrays)
+    assert np.array_equal(np.asarray(cp), np.asarray(cr))
+    assert np.array_equal(np.asarray(ip), np.asarray(ir))
+    assert np.array_equal(np.asarray(tp), np.asarray(tr))
+
+
+def test_solve_quartet_matches_xla():
+    # two trios (mother, father, two children): T = 16 transmissions
+    K, T, P, arrays = _trio_workload(
+        n_blocks=1, n_pos=10, n_reads=9, seed=61, n_ind=4,
+        trios=((0, 1, 2), (0, 1, 3)),
+    )
+    assert T == 16 and P == 4
+    assert wmec_pallas.kernel_supported(K, T, P)
     cp, ip, tp = wmec_pallas.solve_batched_pallas(K, T, P, *arrays, interpret=True)
     cr, ir, tr = wmec.solve_batched(K, T, P, *arrays)
     assert np.array_equal(np.asarray(cp), np.asarray(cr))

@@ -38,13 +38,14 @@ INF = 1 << 29
 LANE_BITS = 7  # 128 lanes
 LANES = 1 << LANE_BITS
 
-MAX_T = 4
+MAX_T = 16
 MAX_K = 16  # state must fit VMEM
 
 
 def kernel_supported(K: int, T: int, P: int) -> bool:
-    # T == 1 (single individual) and T == 4 (one trio) fit the VMEM-resident
-    # state budget; multi-trio pedigrees (T >= 16) still run on XLA
+    # T == 1 (single individual), T == 4 (one trio) and T == 16 (two trios,
+    # e.g. a quartet) fit the VMEM-resident state budget; larger pedigrees
+    # still run on XLA
     if not (LANE_BITS <= K <= MAX_K and T <= MAX_T and P <= 4):
         return False
     return T * (1 << K) <= (1 << 17)
