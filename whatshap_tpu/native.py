@@ -297,7 +297,103 @@ if _build_threadlib():
         threadlib = None
 
 
+# --- native genotyping forward-backward (native/genolib.cpp) ----------------
+
+_GENO_SO_PATH = _NATIVE_DIR / "_genolib.so"
+
+
+class _GenoLib:
+    def __init__(self, cdll):
+        c = self._lib = cdll
+        c.wh_genotype_run.restype = ctypes.c_int32
+        c.wh_genotype_run.argtypes = [
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_longdouble),
+        ]
+
+    def run(self, C, K, T, P, n_ind, trio_count, active, allele, weight,
+            slot_read, read_source, die_prev, rc, h2p, gl):
+        import numpy as np
+
+        def arr(a, ct):
+            a = np.ascontiguousarray(a)
+            return a, a.ctypes.data_as(ctypes.POINTER(ct))
+
+        n_out = C * max(n_ind, 1) * 3
+        out = (ctypes.c_longdouble * n_out)()
+        keep = []
+        ptrs = []
+        for a, ct in (
+            (active.astype(np.uint8), ctypes.c_uint8),
+            (allele.astype(np.int8), ctypes.c_int8),
+            (weight.astype(np.int32), ctypes.c_int32),
+            (slot_read.astype(np.int32), ctypes.c_int32),
+            (read_source.astype(np.int32), ctypes.c_int32),
+            (die_prev.astype(np.uint8), ctypes.c_uint8),
+            (rc.astype(np.int32), ctypes.c_int32),
+            (h2p.astype(np.int32), ctypes.c_int32),
+            (gl.astype(np.float64), ctypes.c_double),
+        ):
+            a2, p = arr(a, ct)
+            keep.append(a2)
+            ptrs.append(p)
+        ret = self._lib.wh_genotype_run(C, K, T, P, n_ind, trio_count, *ptrs, out)
+        if ret != 0:
+            return None
+        res = np.frombuffer(out, dtype=np.longdouble).copy()
+        return res.reshape(C, max(n_ind, 1), 3)
+
+
+def _build_genolib() -> bool:
+    src = _NATIVE_DIR / "genolib.cpp"
+    if not src.exists():
+        return False
+    if _GENO_SO_PATH.exists() and _GENO_SO_PATH.stat().st_mtime >= src.stat().st_mtime:
+        return True
+    try:
+        subprocess.run(
+            [
+                "g++",
+                "-O3",
+                "-ffp-contract=off",
+                "-shared",
+                "-fPIC",
+                "-std=c++17",
+                "-o",
+                str(_GENO_SO_PATH),
+                str(src),
+            ],
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+genolib = None
+if _build_genolib():
+    try:
+        genolib = _GenoLib(ctypes.CDLL(str(_GENO_SO_PATH)))
+    except OSError:
+        genolib = None
+
+
 # WHATSHAP_TPU_NO_NATIVE=1 disables every native engine (pure-Python
 # fallbacks take over) — a debugging/verification kill switch.
 if os.environ.get("WHATSHAP_TPU_NO_NATIVE"):
-    lib = bamlib = clusterlib = threadlib = None
+    lib = bamlib = clusterlib = threadlib = genolib = None

@@ -151,6 +151,44 @@ def _sum_fold(arr: np.ndarray, K: int, bits) -> np.ndarray:
     return arr
 
 
+def _run_native(packed: "wmec.PackedProblem", pedigree: Pedigree) -> Optional[np.ndarray]:
+    """Dispatch to the C++ engine (native/genolib.cpp), a loop-for-loop
+    mirror of run_genotyping below in 80-bit long double (differentially
+    tested; only sum association differs, ~1e-15 relative)."""
+    try:
+        from ..native import genolib
+    except ImportError:  # pragma: no cover
+        return None
+    if genolib is None:
+        return None
+    C, K, T, P = packed.n_cols, packed.K, packed.T, packed.P
+    n_ind = len(pedigree)
+    gl = np.zeros((max(n_ind, 1), C, 3), dtype=np.float64)
+    for ind in range(n_ind):
+        for c in range(C):
+            gls = pedigree.get_genotype_likelihoods(ind, c)
+            if gls is None:
+                return None
+            gl[ind, c] = gls.as_vector()[:3]
+    return genolib.run(
+        C,
+        K,
+        T,
+        P,
+        n_ind,
+        pedigree.triple_count,
+        packed.active,
+        packed.allele,
+        packed.weight,
+        packed.slot_read,
+        packed.read_source if packed.read_source.size else np.zeros(1, np.int32),
+        packed.die_prev,
+        packed.rc,
+        packed.h2p,
+        gl,
+    )
+
+
 def run_genotyping(packed: "wmec.PackedProblem", pedigree: Pedigree) -> Optional[np.ndarray]:
     """Scaled forward-backward; returns likelihoods (C, n_ind, 3) longdouble.
 
@@ -161,6 +199,9 @@ def run_genotyping(packed: "wmec.PackedProblem", pedigree: Pedigree) -> Optional
     C, K, T, P = packed.n_cols, packed.K, packed.T, packed.P
     if C == 0:
         return None
+    native = _run_native(packed, pedigree)
+    if native is not None:
+        return native
     S = 1 << K
     nA = 1 << P
     n_ind = len(pedigree)
