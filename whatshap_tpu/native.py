@@ -393,7 +393,56 @@ if _build_genolib():
         genolib = None
 
 
+# --- native priority queue (native/pqext.cpp, CPython extension) ------------
+
+_PQ_SO_PATH = _NATIVE_DIR / "_pqext.so"
+
+
+def _build_pqext() -> bool:
+    src = _NATIVE_DIR / "pqext.cpp"
+    if not src.exists():
+        return False
+    if _PQ_SO_PATH.exists() and _PQ_SO_PATH.stat().st_mtime >= src.stat().st_mtime:
+        return True
+    import sysconfig
+
+    include = sysconfig.get_paths()["include"]
+    try:
+        subprocess.run(
+            [
+                "g++",
+                "-O3",
+                "-shared",
+                "-fPIC",
+                "-std=c++17",
+                f"-I{include}",
+                "-o",
+                str(_PQ_SO_PATH),
+                str(src),
+            ],
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+pqext = None
+if _build_pqext():
+    try:
+        import importlib.machinery
+        import importlib.util
+
+        _loader = importlib.machinery.ExtensionFileLoader("_pqext", str(_PQ_SO_PATH))
+        _spec = importlib.util.spec_from_loader("_pqext", _loader)
+        pqext = importlib.util.module_from_spec(_spec)
+        _loader.exec_module(pqext)
+    except (ImportError, OSError):
+        pqext = None
+
+
 # WHATSHAP_TPU_NO_NATIVE=1 disables every native engine (pure-Python
 # fallbacks take over) — a debugging/verification kill switch.
 if os.environ.get("WHATSHAP_TPU_NO_NATIVE"):
-    lib = bamlib = clusterlib = threadlib = genolib = None
+    lib = bamlib = clusterlib = threadlib = genolib = pqext = None
