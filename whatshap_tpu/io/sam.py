@@ -41,6 +41,15 @@ SEQ_DECODE = "=ACMGRSVTWYHKDBN"
 SEQ_ENCODE = {c: i for i, c in enumerate(SEQ_DECODE)}
 _SEQ_HEX_TRANS = bytes.maketrans(b"0123456789abcdef", SEQ_DECODE.encode())
 
+# encode direction: base byte -> hex digit of its 4-bit code (lowercase
+# bases map like their uppercase forms; anything else -> 15, as the dict
+# lookup with default did)
+_SEQ_ENC_TRANS = bytearray(b"f" * 256)
+for _c, _i in SEQ_ENCODE.items():
+    _SEQ_ENC_TRANS[ord(_c)] = b"0123456789abcdef"[_i]
+    _SEQ_ENC_TRANS[ord(_c.lower())] = b"0123456789abcdef"[_i]
+_SEQ_ENC_TRANS = bytes(_SEQ_ENC_TRANS)
+
 
 class AlignmentFileNotIndexedError(Exception):
     pass
@@ -405,7 +414,9 @@ def parse_bam_record(data: bytes, header: AlignmentHeader) -> AlignedSegment:
         off += nbytes
         quals = data[off : off + l_seq]
         if quals and quals[0] != 0xFF:
-            seg.query_qualities = list(quals)
+            # kept as bytes (indexing/iteration yield ints, same as pysam's
+            # array view) — avoids materializing one Python int per base
+            seg.query_qualities = quals
         else:
             seg.query_qualities = None
         off += l_seq
