@@ -34,6 +34,9 @@ bool inflate_bgzf(const uint8_t* data, size_t size, std::vector<uint8_t>& out) {
         if (data[pos] != 0x1f || data[pos + 1] != 0x8b) return false;
         uint16_t xlen;
         memcpy(&xlen, data + pos + 10, 2);
+        // All offsets below derive from file-supplied fields; validate each
+        // against the buffer before dereferencing (truncated/corrupt input).
+        if (pos + 12 + (size_t)xlen > size) return false;
         // find BC subfield for the block size
         size_t xpos = pos + 12, xend = xpos + xlen;
         int bsize = -1;
@@ -42,6 +45,7 @@ bool inflate_bgzf(const uint8_t* data, size_t size, std::vector<uint8_t>& out) {
             uint16_t slen;
             memcpy(&slen, data + xpos + 2, 2);
             if (si1 == 'B' && si2 == 'C' && slen == 2) {
+                if (xpos + 6 > xend) return false;
                 uint16_t bs;
                 memcpy(&bs, data + xpos + 4, 2);
                 bsize = (int)bs + 1;
@@ -50,10 +54,15 @@ bool inflate_bgzf(const uint8_t* data, size_t size, std::vector<uint8_t>& out) {
             xpos += 4 + slen;
         }
         if (bsize < 0) return false;
+        // bsize must cover header(12) + extra(xlen) + crc+isize trailer(8)
+        // and the whole block must lie inside the buffer.
+        if ((size_t)bsize < 12 + (size_t)xlen + 8) return false;
+        if (pos + (size_t)bsize > size) return false;
         size_t cdata_off = pos + 12 + xlen;
         size_t cdata_len = (size_t)bsize - 12 - xlen - 8;
         uint32_t isize;
         memcpy(&isize, data + pos + bsize - 4, 4);
+        if (isize > (1u << 16)) return false;  // BGZF blocks decode to <=64 KiB
         if (isize > 0) {
             size_t base = out.size();
             out.resize(base + isize);

@@ -6,9 +6,10 @@ BAM layout (SAM spec section 4): BGZF stream; magic ``BAM\\1``; SAM header
 text; reference dictionary; then one binary record per alignment.  Sequences
 are 4-bit packed, qualities raw phred, tags typed.
 
-Region fetch requires an index to exist (.bai/.csi, like htslib) but is
-implemented by scanning and filtering; true BAI seeks are an optimization
-that can be layered underneath without changing the API.
+Region fetch requires an index to exist (.bai/.csi, like htslib).  When a
+.bai is present its linear index is used to seek to the first candidate
+BGZF block for the region (see ``fetch``), falling back to a full scan with
+filtering for .csi or missing linear-index entries.
 """
 
 import binascii

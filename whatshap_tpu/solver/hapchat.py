@@ -27,6 +27,14 @@ enumeration order (popcount-ascending, colex within each popcount; gap
 subsets as ascending integers in the inner loop) and the strict-improvement
 updates reproduce the reference's tie-breaking exactly, which is what fixes
 the 1|0 orientation and the phasing of equal-score sites.
+
+Caveat: the reference's own tie behavior is not fully deterministic — its
+reconstruct_haplotypes reads backtrace entries that were never written
+(Backtrace1 default jump=-1, basictypes.h:68-76; indexing at
+hapchatcore.cpp:1437-1470 is an out-of-bounds read), so on cost-tied
+instances it occasionally emits garbage-dependent allele flips.  This
+implementation is deterministic and reproduces the reference's common-case
+output; the oracle fuzz test retries the oracle to absorb the UB.
 """
 
 import logging
