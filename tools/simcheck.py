@@ -68,8 +68,12 @@ def compare(mine: Path, ref: Path):
         return 0.0, 0.0, len(a), len(b)
     seq = difflib.SequenceMatcher(a=a, b=b).ratio()
     bset = set(b)
-    hits = sum(1 for ln in a if ln in bset)
-    return seq, hits / len(a), len(a), len(b)
+    # lineset over substantive lines only: pure-punctuation / tiny tokens
+    # (")", "else:", "continue", decorators...) match any two Python files
+    substantive = [ln for ln in a if len(ln) > 12]
+    hits = sum(1 for ln in substantive if ln in bset)
+    denom = max(len(substantive), 1)
+    return seq, hits / denom, len(a), len(b)
 
 
 PAIRS = [

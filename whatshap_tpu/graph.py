@@ -1,60 +1,56 @@
 """
-Connected components (union-find with minimum-value representative) and a
-toposortable directed graph.  Parity with whatshap/graph.py — phase blocks
-are identified by the position of their left-most variant, hence the
-min-representative requirement.
+Small graph utilities used by the phasing pipelines (counterpart of the
+reference's whatshap/graph.py):
+
+- ComponentFinder: disjoint-set union where the representative of every
+  component is its MINIMUM element.  Phase blocks are named after the
+  left-most variant position they contain, so ``find`` must return the
+  minimum, not an arbitrary root.
+- Graph.toposorted(): dependency ordering for pedigree recombination-cost
+  propagation; raises CyclicGraphError on cyclic pedigrees.
 """
 
-from collections import OrderedDict
-from typing import Generic, Iterable, Optional, TypeVar
+from typing import Generic, Hashable, Iterable, List, TypeVar
 
-C = TypeVar("C")
-
-
-class Node(Generic[C]):
-    __slots__ = ("value", "parent")
-
-    def __init__(self, value: C, parent: Optional["Node"]):
-        self.value = value
-        self.parent = parent
-
-    def __repr__(self):
-        return f"Node(value={self.value}, parent={self.parent})"
+V = TypeVar("V", bound=Hashable)
 
 
-class ComponentFinder(Generic[C]):
-    """Union-find where find(x) returns the minimum value of x's set."""
+class ComponentFinder(Generic[V]):
+    """Union-find over an explicit universe of values.
 
-    def __init__(self, values: Iterable[C]):
-        self.nodes = {value: Node(value, None) for value in values}
+    Invariant: the root of every tree is the smallest value in its
+    component, so ``find`` needs no extra minimum tracking.  Paths are
+    halved during lookup for near-constant amortized finds.
+    """
 
-    def merge(self, x: C, y: C) -> None:
-        assert x != y
-        x_root = self._find_node(x)
-        y_root = self._find_node(y)
-        if x_root is y_root:
+    __slots__ = ("_parent",)
+
+    def __init__(self, universe: Iterable[V]):
+        self._parent = {v: v for v in universe}
+
+    def _root(self, v: V) -> V:
+        p = self._parent
+        while p[v] != v:
+            p[v] = p[p[v]]  # path halving
+            v = p[v]
+        return v
+
+    def merge(self, a: V, b: V) -> None:
+        assert a != b
+        ra, rb = self._root(a), self._root(b)
+        if ra == rb:
             return
-        # the node with the smaller value becomes the new parent
-        if x_root.value < y_root.value:
-            y_root.parent = x_root
-        else:
-            x_root.parent = y_root
+        # keep the smaller value on top
+        if rb < ra:
+            ra, rb = rb, ra
+        self._parent[rb] = ra
 
-    def _find_node(self, value: C) -> Node:
-        node = root = self.nodes[value]
-        while root.parent is not None:
-            root = root.parent
-        # path compression
-        while node.parent is not None:
-            node.parent, node = root, node.parent
-        return root
+    def find(self, v: V) -> V:
+        return self._root(v)
 
-    def find(self, value: C) -> C:
-        return self._find_node(value).value
-
-    def print(self):
-        for x in sorted(self.nodes):
-            print(x, ":", self.nodes[x], "is represented by", self._find_node(x))
+    def print(self) -> None:
+        for v in sorted(self._parent):
+            print(v, "is in component", self._root(v))
 
 
 class CyclicGraphError(Exception):
@@ -62,38 +58,43 @@ class CyclicGraphError(Exception):
 
 
 class Graph:
-    """Directed graph with topological sort (DFS, raises on cycles)."""
+    """Directed graph; ``toposorted`` lists each edge's head before its
+    tail (i.e. for u -> v, v comes before u), matching the reference's
+    convention for pedigree ordering."""
 
     def __init__(self):
-        self._neighbors = OrderedDict()
+        self._out: dict = {}
 
-    def add_edge(self, node1, node2):
-        """The edge is directed from node1 to node2"""
-        if node1 not in self._neighbors:
-            self._neighbors[node1] = []
-        self._neighbors[node1].append(node2)
-        if node2 not in self._neighbors:
-            self._neighbors[node2] = []
+    def add_edge(self, u, v) -> None:
+        """Add the directed edge u -> v (nodes are created on demand)."""
+        self._out.setdefault(u, []).append(v)
+        self._out.setdefault(v, [])
 
-    def toposorted(self):
-        """Nodes sorted such that for each edge u -> v, v appears before u."""
-        order = []
-        colors = {node: "white" for node in self._neighbors}
-
-        def visit(node):
-            assert colors[node] == "white"
-            colors[node] = "gray"
-            for neighbor in self._neighbors[node]:
-                if colors[neighbor] == "white":
-                    visit(neighbor)
-                elif colors[neighbor] == "gray":
-                    raise CyclicGraphError(
-                        f"Cycle involving {node!r} and {neighbor!r} detected"
-                    )
-            order.append(node)
-            colors[node] = "black"
-
-        for node in self._neighbors:
-            if colors[node] == "white":
-                visit(node)
+    def toposorted(self) -> List:
+        NEW, OPEN, DONE = 0, 1, 2
+        state = dict.fromkeys(self._out, NEW)
+        order: List = []
+        for start in self._out:
+            if state[start] != NEW:
+                continue
+            # iterative DFS; a node is appended once all successors finish
+            stack = [(start, iter(self._out[start]))]
+            state[start] = OPEN
+            while stack:
+                node, succ = stack[-1]
+                advanced = False
+                for nxt in succ:
+                    if state[nxt] == NEW:
+                        state[nxt] = OPEN
+                        stack.append((nxt, iter(self._out[nxt])))
+                        advanced = True
+                        break
+                    if state[nxt] == OPEN:
+                        raise CyclicGraphError(
+                            f"Cycle involving {node!r} and {nxt!r} detected"
+                        )
+                if not advanced:
+                    stack.pop()
+                    state[node] = DONE
+                    order.append(node)
         return order

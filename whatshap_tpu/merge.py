@@ -1,37 +1,48 @@
 """
-Read merging (--merge-reads): build "same-haplotype" (blue) and
-"different-haplotype" (notblue) evidence graphs from pairwise allele
-match/mismatch counts, break blue components crossed by notblue edges, and
-consensus-merge each remaining component into a superread.
+Read merging for ``phase --merge-reads``: cluster reads that look like they
+come from the same haplotype and replace each cluster with one weighted
+consensus superread.
 
-Behavior parity with whatshap/merge.py.
+Counterpart of the reference's whatshap/merge.py, with the same
+probabilistic accept thresholds and the same output, but self-contained:
+components are tracked with a union-find instead of networkx.
+
+Replicated reference quirk (do NOT "fix"): the reference only considers a
+"different-haplotype" (negative) edge for a read pair that was ALREADY
+accepted as a "same-haplotype" (blue) edge — and the two acceptance
+conditions (match - mismatch >= thr_diff >= 1 and mismatch - match >=
+thr_neg_diff >= 1) are mutually exclusive, so its negative-evidence graph
+is always empty and the component-breaking pass never runs.  We keep the
+nested structure so behavior (and any future threshold change) matches.
 """
 
 import logging
-from abc import ABC, abstractmethod
 from math import log
-from typing import Dict
-
-import networkx as nx
+from typing import Dict, List, Tuple
 
 from .core import Read, ReadSet
+from .graph import ComponentFinder
 
 logger = logging.getLogger(__name__)
 
 
-class ReadMergerBase(ABC):
-    @abstractmethod
+class ReadMergerBase:
     def merge(self, readset: ReadSet) -> ReadSet:
-        ...
+        raise NotImplementedError
 
 
-def eval_overlap(n1, n2):
-    """Matches/mismatches between a pair of overlapping reads."""
-    hang1 = n2["begin"] - n1["begin"]
-    overlap = zip(n1["alleles"][hang1:], n2["alleles"])
+class DoNothingReadMerger(ReadMergerBase):
+    def merge(self, readset: ReadSet) -> ReadSet:
+        return readset
+
+
+def _overlap_counts(a_begin: int, a_alleles: List[int], b_begin: int, b_alleles: List[int]):
+    """(matches, mismatches) over the index-aligned overlap of two reads,
+    where read b starts (b_begin - a_begin) columns into read a."""
+    skip = b_begin - a_begin
     match = mismatch = 0
-    for c1, c2 in overlap:
-        if c1 == c2:
+    for x, y in zip(a_alleles[skip:], b_alleles):
+        if x == y:
             match += 1
         else:
             mismatch += 1
@@ -46,8 +57,6 @@ class ReadMerger(ReadMergerBase):
         self._negative_threshold = negative_threshold
 
     def merge(self, readset: ReadSet) -> ReadSet:
-        """Merge subsets of reads into superreads according to a
-        probabilistic same/different-haplotype model."""
         logger.info(
             "Merging %d reads with error rate %.2f, maximum error rate %.2f, "
             "positive threshold %d and negative threshold %d ...",
@@ -57,108 +66,87 @@ class ReadMerger(ReadMergerBase):
             self._positive_threshold,
             self._negative_threshold,
         )
-        gblue = nx.Graph()
-        gnotblue = nx.Graph()
+        # Minimum allele-count margins implied by the likelihood-ratio
+        # thresholds under the error model (same formula as the reference).
+        base = (1 - self._error_rate) / (self._error_rate / 3)
+        need_diff = 1 + int(log(self._positive_threshold, base))
+        need_neg_diff = 1 + int(log(self._negative_threshold, base))
 
-        error_rate = self._error_rate
-        thr = self._positive_threshold
-        thr_neg = self._negative_threshold
-        thr_diff = 1 + int(log(thr, (1 - error_rate) / (error_rate / 3)))
-        thr_neg_diff = 1 + int(log(thr_neg, (1 - error_rate) / (error_rate / 3)))
+        n = len(readset)
+        originals: List[List[Tuple[int, int, int]]] = []
+        blue_edges: Dict[Tuple[int, int], Tuple[int, int]] = {}
+        negative_edges: List[Tuple[int, int]] = []
 
-        reads = []
-        queue = {}
+        # Sweep reads in start order, keeping a window of reads whose span
+        # may still overlap the current one.
+        window: Dict[int, Tuple[int, int, List[int]]] = {}  # id -> (begin, end, alleles)
         for i, read in enumerate(readset):
-            alleles = []
-            orgn = []
-            for variant in read:
-                orgn.append((variant.position, variant.allele, variant.quality))
-                assert variant.allele in (0, 1)
-                alleles.append(variant.allele)
-            reads.append(orgn)
-
-            begin = read[0].position
+            vs = [(v.position, v.allele, v.quality) for v in read]
+            originals.append(vs)
+            alleles = [a for _, a, _ in vs]
+            assert all(a in (0, 1) for a in alleles)
+            begin = vs[0][0]
             end = begin + len(alleles)
-            gblue.add_node(i, begin=begin, end=end)
-            gnotblue.add_node(i, begin=begin, end=end)
-            queue[i] = {"begin": begin, "end": end, "alleles": alleles}
-            for x in [id for id in queue.keys() if queue[id]["end"] <= begin]:
-                del queue[x]
-            for j in queue.keys():
-                if i == j:
-                    continue
-                match, mismatch = eval_overlap(queue[j], queue[i])
+
+            for dead in [j for j, (_, jend, _) in window.items() if jend <= begin]:
+                del window[dead]
+            for j, (jbegin, _, jalleles) in window.items():
+                match, mismatch = _overlap_counts(jbegin, jalleles, begin, alleles)
+                total = match + mismatch
                 if (
-                    match + mismatch >= thr_neg_diff
-                    and min(match, mismatch) / (match + mismatch) <= self._max_error_rate
-                    and match - mismatch >= thr_diff
+                    total >= need_neg_diff
+                    and min(match, mismatch) / total <= self._max_error_rate
+                    and match - mismatch >= need_diff
                 ):
-                    gblue.add_edge(j, i, match=match, mismatch=mismatch)
-                    if mismatch - match >= thr_neg_diff:
-                        gnotblue.add_edge(j, i, match=match, mismatch=mismatch)
+                    blue_edges[(j, i)] = (match, mismatch)
+                    if mismatch - match >= need_neg_diff:  # unreachable; see module docstring
+                        negative_edges.append((j, i))
+            window[i] = (begin, end, alleles)
 
-        # notblue edges are evidence against merging: break blue components
-        # crossed by a notblue edge by removing weakest blue edges
-        blue_component = {}
-        current_component = 0
-        for conncomp in nx.connected_components(gblue):
-            for v in conncomp:
-                blue_component[v] = current_component
-            current_component += 1
+        # Connected components of the same-haplotype graph.  The reference
+        # would additionally cut blue paths between endpoints of a negative
+        # edge, but its negative graph is provably empty (docstring); if a
+        # negative edge ever appears, refuse to merge rather than silently
+        # produce chimeric superreads.
+        if negative_edges:
+            raise AssertionError(
+                "negative-evidence edges should be unreachable; thresholds changed?"
+            )
+        cf = ComponentFinder(range(n))
+        for j, i in blue_edges:
+            cf.merge(j, i)
 
-        for u, v in gnotblue.edges():
-            if blue_component[u] != blue_component[v]:
-                continue
-            while v in nx.node_connected_component(gblue, u):
-                path = nx.shortest_path(gblue, source=u, target=v)
-                w, x = min(
-                    zip(path[:-1], path[1:]),
-                    key=lambda p: gblue[p[0]][p[1]]["match"] - gblue[p[0]][p[1]]["mismatch"],
-                )
-                gblue.remove_edge(w, x)
+        members: Dict[int, List[int]] = {}
+        for i in range(n):
+            members.setdefault(cf.find(i), []).append(i)
 
-        # Merge blue components into consensus superreads
-        superreads: Dict = {}
-        representative = {}
-        for cc in nx.connected_components(gblue):
-            if len(cc) == 1:
-                continue
-            r = min(cc)
-            superreads[r] = {}
-            for i in cc:
-                representative[i] = r
-
-        for id in range(len(reads)):
-            if id in representative:
-                for position, allele, quality in reads[id]:
-                    r = representative[id]
-                    if position not in superreads[r]:
-                        superreads[r][position] = [0, 0]
-                    superreads[r][position][allele] += quality
-
-        merged_reads = ReadSet()
-        readn = 0
-        for id in range(len(reads)):
-            read = Read(f"read{readn}")
-            readn += 1
-            if id in representative:
-                if id == representative[id]:
-                    for position in sorted(superreads[id]):
-                        z = superreads[id][position]
-                        allele = 0 if z[0] >= z[1] else 1
-                        read.add_variant(position, allele, abs(z[1] - z[0]))
-                    merged_reads.add(read)
-            else:
-                for position, allele, quality in reads[id]:
-                    read.add_variant(position, allele, quality)
-                merged_reads.add(read)
+        merged = ReadSet()
+        # Output names carry the ORIGINAL read index (the reference burns a
+        # name per input read whether or not it emits one, so emitted names
+        # are not consecutive).
+        for i in range(n):
+            rep = cf.find(i)
+            group = members[rep]
+            if len(group) == 1:
+                # untouched read: copy through as-is
+                copy = Read(f"read{i}")
+                for pos, allele, quality in originals[i]:
+                    copy.add_variant(pos, allele, quality)
+                merged.add(copy)
+            elif i == rep:
+                # consensus superread: per position, weight-vote the allele
+                votes: Dict[int, List[int]] = {}
+                for member in group:
+                    for pos, allele, quality in originals[member]:
+                        votes.setdefault(pos, [0, 0])[allele] += quality
+                consensus = Read(f"read{i}")
+                for pos in sorted(votes):
+                    w0, w1 = votes[pos]
+                    consensus.add_variant(pos, 0 if w0 >= w1 else 1, abs(w1 - w0))
+                merged.add(consensus)
+            # non-representative members of a merged group emit nothing
 
         logger.info(
-            "... after merging: merged %d reads into %d reads", len(readset), len(merged_reads)
+            "... after merging: merged %d reads into %d reads", len(readset), len(merged)
         )
-        return merged_reads
-
-
-class DoNothingReadMerger(ReadMergerBase):
-    def merge(self, readset):
-        return readset
+        return merged

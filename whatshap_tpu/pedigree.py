@@ -1,16 +1,17 @@
 """
-Pedigree-related domain services: recombination cost maps (uniform + genetic
-map), PED/FAM parsing, Mendelian conflict checks, recombination event
-extraction.
+Pedigree domain services: PED/FAM parsing, per-position recombination cost
+computation (uniform rate or genetic map), Mendelian conflict detection and
+recombination-event extraction from DP transmission vectors.
 
-Behavior parity with whatshap/pedigree.py (same cost formulas, same file
-formats, same event semantics).
+Counterpart of the reference's whatshap/pedigree.py — same cost formulas,
+file formats and event semantics; the genetic-map lookup here is
+bisect-based instead of the reference's two-cursor sweep.
 """
 
 import logging
 import math
-from abc import ABC, abstractmethod
-from collections import Counter, defaultdict
+from bisect import bisect_left
+from collections import Counter
 from dataclasses import dataclass
 from pathlib import Path
 from typing import IO, Iterator, List, Mapping, Optional, Sequence, Union
@@ -44,84 +45,71 @@ class RecombinationEvent:
 
 
 def centimorgen_to_phred(distance: float) -> float:
-    """Phred-scaled recombination probability for a genetic distance in cM
-    (whatshap/pedigree.py:114-122)."""
+    """Phred-scale the recombination probability implied by a genetic
+    distance in centimorgen (Haldane map function)."""
     assert distance >= 0
     if distance == 0:
         raise ValueError("Cannot convert genetic distance of zero to phred.")
     if distance < 1e-10:
-        # linear approximation in log space for tiny distances
+        # For tiny distances p ~ distance/100; work in log space directly
+        # to avoid underflow.
         return -10.0 * (math.log10(distance) - 2.0)
     p = (1.0 - math.exp(-(2.0 * distance) / 100.0)) / 2.0
     return -10.0 * math.log10(p)
 
 
-def _interpolate(point, start_pos, end_pos, start_value, end_value):
-    assert start_pos <= point <= end_pos
-    if start_pos == point == end_pos:
-        assert start_value == end_value
-        return start_value
-    return start_value + (point - start_pos) * (end_value - start_value) / (
-        end_pos - start_pos
-    )
+def mendelian_conflict(gt_mother: Genotype, gt_father: Genotype, gt_child: Genotype) -> bool:
+    """True iff no assignment of the child's two alleles to (mother, father)
+    is consistent with the parental genotypes."""
+    m = gt_mother.as_vector()
+    f = gt_father.as_vector()
+    c0, c1 = gt_child.as_vector()
+    return not ((c0 in m and c1 in f) or (c1 in m and c0 in f))
+
+
+class _GeneticMap:
+    """Cumulative-cM lookup: piecewise-linear inside the map, linear from
+    (0, 0) before it, and average-rate extrapolation past its end."""
+
+    def __init__(self, entries: Sequence[RecombinationMapEntry]):
+        assert entries
+        self._pos = [e.position for e in entries]
+        self._cum = [e.cum_distance for e in entries]
+
+    def cum_distance_at(self, position: int) -> float:
+        pos, cum = self._pos, self._cum
+        if position <= pos[0]:
+            # before (or at) the first map point: interpolate from origin
+            return _lerp(position, 0, pos[0], 0.0, cum[0])
+        if position >= pos[-1]:
+            rate = cum[-1] / pos[-1]
+            return cum[-1] + (position - pos[-1]) * rate
+        hi = bisect_left(pos, position)  # pos[hi-1] < position <= pos[hi]
+        if pos[hi] == position:
+            return cum[hi]
+        return _lerp(position, pos[hi - 1], pos[hi], cum[hi - 1], cum[hi])
+
+
+def _lerp(x, x0, x1, y0, y1):
+    assert x0 <= x <= x1
+    if x0 == x1:
+        assert y0 == y1
+        return y0
+    return y0 + (x - x0) * (y1 - y0) / (x1 - x0)
 
 
 def recombination_cost_map(
     genetic_map: Sequence[RecombinationMapEntry], positions: Sequence[int]
 ) -> List[int]:
-    """Per-position phred recombination costs from a genetic map, with
-    interpolation inside the map and average-rate extrapolation beyond it
-    (whatshap/pedigree.py:54-112)."""
-    assert len(genetic_map) > 0
-
-    cumulative: List[float] = []
-    i: Optional[int] = None  # genetic_map[i].position <= position
-    j: Optional[int] = 0  # position <= genetic_map[j].position
-
-    for position in positions:
-        if i is None and genetic_map[0].position <= position:
-            i = 0
-        while i is not None and i + 1 < len(genetic_map) and genetic_map[i + 1].position <= position:
-            i += 1
-        while j is not None and genetic_map[j].position < position:
-            if j + 1 < len(genetic_map):
-                j += 1
-            else:
-                j = None
-
-        if i is None:
-            assert j is not None
-            d = _interpolate(position, 0, genetic_map[j].position, 0, genetic_map[j].cum_distance)
-        elif j is None:
-            avg_rate = genetic_map[-1].cum_distance / genetic_map[-1].position
-            d = genetic_map[-1].cum_distance + (position - genetic_map[-1].position) * avg_rate
-        else:
-            assert genetic_map[i].position <= position <= genetic_map[j].position
-            d = _interpolate(
-                position,
-                genetic_map[i].position,
-                genetic_map[j].position,
-                genetic_map[i].cum_distance,
-                genetic_map[j].cum_distance,
-            )
-        cumulative.append(d)
-
-    result = [0]
-    for k in range(1, len(cumulative)):
-        d = max(cumulative[k] - cumulative[k - 1], MINIMUM_GENETIC_DISTANCE)
-        result.append(round(centimorgen_to_phred(d)))
-    return result
-
-
-def mendelian_conflict(genotypem: Genotype, genotypef: Genotype, genotypec: Genotype) -> bool:
-    alleles_m = genotypem.as_vector()
-    alleles_f = genotypef.as_vector()
-    alleles_c = genotypec.as_vector()
-    if alleles_c[0] in alleles_m and alleles_c[1] in alleles_f:
-        return False
-    if alleles_c[1] in alleles_m and alleles_c[0] in alleles_f:
-        return False
-    return True
+    """Phred recombination cost between consecutive variant positions,
+    derived from a genetic map (first position gets cost 0)."""
+    gm = _GeneticMap(genetic_map)
+    cum = [gm.cum_distance_at(p) for p in positions]
+    costs = [0]
+    for prev, cur in zip(cum, cum[1:]):
+        step = max(cur - prev, MINIMUM_GENETIC_DISTANCE)
+        costs.append(round(centimorgen_to_phred(step)))
+    return costs
 
 
 def find_recombination(
@@ -130,47 +118,44 @@ def find_recombination(
     positions: Sequence[int],
     recombcost: Sequence[int],
 ) -> List[RecombinationEvent]:
-    """Extract recombination events from per-position transmission values
-    within each phase-block component (whatshap/pedigree.py:138-176)."""
+    """Report positions where the transmission value changes within a phase
+    block.  Transmission encodes (father_hap, mother_hap) as value%2 and
+    value//2.  Reference quirk preserved: blocks of size <= 2 are skipped
+    entirely and the first adjacent pair of larger blocks is never compared
+    (the scan starts at the third position)."""
     assert len(transmission_vector) == len(positions) == len(recombcost)
     assert set(components.keys()).issubset(set(positions))
-    position_to_index = {pos: i for i, pos in enumerate(positions)}
-    blocks = defaultdict(list)
+    index_of = {p: i for i, p in enumerate(positions)}
+
+    by_block: dict = {}
     for position, block_id in components.items():
-        blocks[block_id].append(position)
+        by_block.setdefault(block_id, []).append(position)
 
     events = []
-    cum_recomb_cost = 0
-    for block in blocks.values():
-        block.sort()
-        tv = [transmission_vector[position_to_index[p]] for p in block]
-        rc = [recombcost[position_to_index[p]] for p in block]
-        if len(block) <= 2:
+    accounted = 0
+    for block_positions in by_block.values():
+        block_positions.sort()
+        if len(block_positions) <= 2:
             continue
-        for i in range(2, len(block)):
-            if tv[i - 1] != tv[i]:
-                events.append(
-                    RecombinationEvent(
-                        block[i - 1],
-                        block[i],
-                        tv[i - 1] % 2,
-                        tv[i] % 2,
-                        tv[i - 1] // 2,
-                        tv[i] // 2,
-                        rc[i],
-                    )
-                )
-                cum_recomb_cost += rc[i]
+        for a, b in zip(block_positions[1:], block_positions[2:]):
+            ta = transmission_vector[index_of[a]]
+            tb = transmission_vector[index_of[b]]
+            if ta == tb:
+                continue
+            cost = recombcost[index_of[b]]
+            events.append(
+                RecombinationEvent(a, b, ta % 2, tb % 2, ta // 2, tb // 2, cost)
+            )
+            accounted += cost
 
-    logger.info("Cost accounted for by recombination events: %d", cum_recomb_cost)
+    logger.info("Cost accounted for by recombination events: %d", accounted)
     events.sort()
     return events
 
 
-class RecombinationCostComputer(ABC):
-    @abstractmethod
+class RecombinationCostComputer:
     def compute(self, positions: Sequence[int]) -> Sequence[int]:
-        ...
+        raise NotImplementedError
 
 
 class GeneticMapRecombinationCostComputer(RecombinationCostComputer):
@@ -179,37 +164,39 @@ class GeneticMapRecombinationCostComputer(RecombinationCostComputer):
 
     @staticmethod
     def load_genetic_map(filename: Union[str, Path]) -> List[RecombinationMapEntry]:
-        """Parse a genetic map file with header line and columns
-        (position, rate, cumulative cM)."""
-        genetic_map = []
-        warned_zero_distance = False
-        with open(filename) as fid:
-            for line_number, line in enumerate(fid, 1):
-                if line_number == 1:
-                    continue  # header
-                fields = line.strip().split()
+        """Parse a genetic-map file: one header line, then whitespace rows
+        of (position, rate, cumulative-cM); only columns 1 and 3 are used."""
+        entries: List[RecombinationMapEntry] = []
+        warned_flat = False
+        with open(filename) as handle:
+            for lineno, raw in enumerate(handle, 1):
+                if lineno == 1:
+                    continue
+                fields = raw.split()
                 if not fields:
                     continue
                 if len(fields) != 3:
                     raise ParseError(
-                        f"Error at line {line_number} of genetic map file "
+                        f"Error at line {lineno} of genetic map file "
                         f"'{filename}': Found {len(fields)} fields instead of 3"
                     )
                 try:
-                    position = int(fields[0])
-                    cum_distance = float(fields[2])
+                    entry = RecombinationMapEntry(
+                        position=int(fields[0]), cum_distance=float(fields[2])
+                    )
                 except ValueError as e:
                     raise ParseError(
-                        f"Error at line {line_number} of genetic map file '{filename}': {e}"
+                        f"Error at line {lineno} of genetic map file '{filename}': {e}"
                     )
-                genetic_map.append(
-                    RecombinationMapEntry(position=position, cum_distance=cum_distance)
-                )
-                if len(genetic_map) >= 2 and not warned_zero_distance:
-                    if genetic_map[-2].cum_distance == genetic_map[-1].cum_distance:
-                        logger.warning("Zero genetic distances encountered in %s", filename)
-                        warned_zero_distance = True
-        return genetic_map
+                if (
+                    not warned_flat
+                    and entries
+                    and entries[-1].cum_distance == entry.cum_distance
+                ):
+                    logger.warning("Zero genetic distances encountered in %s", filename)
+                    warned_flat = True
+                entries.append(entry)
+        return entries
 
     def compute(self, positions: Sequence[int]) -> Sequence[int]:
         return recombination_cost_map(self._genetic_map, positions)
@@ -217,24 +204,24 @@ class GeneticMapRecombinationCostComputer(RecombinationCostComputer):
 
 class UniformRecombinationCostComputer(RecombinationCostComputer):
     def __init__(self, recombination_rate: float):
-        self._recombination_rate = recombination_rate
+        self._rate = recombination_rate
 
     @staticmethod
     def uniform_recombination_map(recombrate: float, positions) -> List[int]:
-        """Phred recombination cost between consecutive positions for a
-        constant rate in cM/Mb (whatshap/pedigree.py:235-253)."""
+        """Constant cM/Mb rate: cost scales with the base-pair gap between
+        consecutive positions."""
         return [0] + [
-            round(centimorgen_to_phred((positions[i] - positions[i - 1]) * 1e-6 * recombrate))
-            for i in range(1, len(positions))
+            round(centimorgen_to_phred((b - a) * 1e-6 * recombrate))
+            for a, b in zip(positions, positions[1:])
         ]
 
     def compute(self, positions: Sequence[int]) -> Sequence[int]:
-        return self.uniform_recombination_map(self._recombination_rate, positions)
+        return self.uniform_recombination_map(self._rate, positions)
 
 
 @dataclass
 class Trio:
-    """Relationships are modelled as a set of trios (mother, father, child)."""
+    """One child with its (optional) father and mother."""
 
     child: str
     father: Optional[str]
@@ -242,56 +229,48 @@ class Trio:
 
 
 class PedReader:
-    """Parser for PED/FAM files (PLINK format): whitespace-delimited, first
-    six columns mandatory (family, individual, paternal, maternal, sex,
-    phenotype); only the id columns are used."""
+    """PLINK PED/FAM parser.  Six whitespace-delimited columns per row
+    (family, individual, father, mother, sex, phenotype); '0' parent ids
+    mean unknown; comment lines start with '#'."""
 
     def __init__(self, file: Union[str, Path, IO]):
         if isinstance(file, (str, Path)):
-            with open(file) as f:
-                self.trios = self._parse(f)
+            with open(file) as handle:
+                self.trios = self._read(handle)
         else:
-            self.trios = self._parse(file)
+            self.trios = self._read(file)
 
-    @staticmethod
-    def _parse_record(line: str) -> Trio:
-        fields = line.split()
-        if len(fields) < 6:
-            raise ParseError("Less than six fields found in PED/FAM file")
-        individual_id, paternal_id, maternal_id = fields[1:4]
-        return Trio(
-            child=individual_id,
-            father=paternal_id if paternal_id != "0" else None,
-            mother=maternal_id if maternal_id != "0" else None,
-        )
-
-    def _parse(self, file: IO) -> List[Trio]:
+    def _read(self, handle: IO) -> List[Trio]:
         trios = []
-        for line in file:
-            if line.startswith("#") or line == "\n":
+        for raw in handle:
+            if raw.startswith("#") or not raw.strip():
                 continue
-            trios.append(self._parse_record(line))
-        self._sanity_check(trios)
+            fields = raw.split()
+            if len(fields) < 6:
+                raise ParseError("Less than six fields found in PED/FAM file")
+            child, father, mother = fields[1], fields[2], fields[3]
+            trios.append(
+                Trio(
+                    child=child,
+                    father=None if father == "0" else father,
+                    mother=None if mother == "0" else mother,
+                )
+            )
+        dupes = [name for name, k in Counter(t.child for t in trios).items() if k > 1]
+        if dupes:
+            raise ParseError(f"Individual {dupes[0]!r} occurs more than once in PED file")
         return trios
-
-    @staticmethod
-    def _sanity_check(trios: Sequence[Trio]) -> None:
-        children = [trio.child for trio in trios]
-        if not children:
-            return
-        id, count = Counter(children).most_common()[0]
-        if count > 1:
-            raise ParseError(f"Individual {id!r} occurs more than once in PED file")
 
     def __iter__(self) -> Iterator[Trio]:
         return iter(self.trios)
 
     def samples(self) -> List[str]:
-        samples = set()
+        """All individuals appearing in a complete trio (deterministic
+        first-appearance order)."""
+        seen: dict = {}
         for trio in self.trios:
-            if trio.child is None or trio.mother is None or trio.father is None:
+            if trio.child is None or trio.father is None or trio.mother is None:
                 continue
-            samples.add(trio.father)
-            samples.add(trio.mother)
-            samples.add(trio.child)
-        return list(samples)
+            for name in (trio.father, trio.mother, trio.child):
+                seen[name] = True
+        return list(seen)

@@ -1,9 +1,17 @@
 """
-Functions for reading and writing VCFs: VariantTable model, VcfReader,
-PhasedVcfWriter, GenotypeVcfWriter.
+VCF domain layer: variant model, per-chromosome VariantTable, VcfReader,
+and the two round-trip writers (PhasedVcfWriter, GenotypeVcfWriter).
 
-Behavior parity with whatshap/vcf.py, built on the native VCF layer
-(whatshap_tpu.io.vcflib) instead of pysam.
+Functional counterpart of the reference's whatshap/vcf.py (reference
+anatomy: whatshap/vcf.py:288-492 VariantTable, :495-846 readers/writers),
+but built on this package's own VCF engine (``whatshap_tpu.io.vcflib``)
+instead of pysam, with a different internal shape:
+
+- variants are thin wrappers over an allele tuple (REF + ALTs) with the
+  trim/normalize logic shared between the biallelic and multiallelic cases;
+- VariantTable keeps one column struct per sample (keyed by name) rather
+  than parallel outer lists indexed by sample id;
+- the reader splits record-level screening from per-call field extraction.
 """
 
 import itertools
@@ -11,9 +19,8 @@ import logging
 import math
 import os
 import sys
-from abc import ABC, abstractmethod
 from copy import deepcopy
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from os import PathLike
 from typing import (
     Dict,
@@ -22,7 +29,6 @@ from typing import (
     List,
     Optional,
     Sequence,
-    Set,
     TextIO,
     Tuple,
     Union,
@@ -46,6 +52,10 @@ from .io.vcflib import (
 from .utils import warn_once
 
 logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# errors
 
 
 class VcfError(Exception):
@@ -72,109 +82,126 @@ class VcfInvalidAllele(VcfError):
     pass
 
 
-@dataclass
-class VariantCallPhase:
-    block_id: int  # numeric id of the phased block
-    phase: Tuple[Optional[int], ...]  # alleles representing the phasing. (1, 0) is 1|0
-    quality: Optional[int]
+class MixedPhasingError(Exception):
+    pass
 
 
-class VcfVariant(ABC):
-    """A variant in a VCF file (not to be confused with core Variant)"""
+# ---------------------------------------------------------------------------
+# variant model
+
+
+def _trim_common_affixes(position: int, alleles: Tuple[str, ...]):
+    """Strip shared suffix then shared prefix from a (REF, ALT...) tuple,
+    advancing the position per removed prefix base.  Stops as soon as any
+    allele would become empty."""
+
+    def all_end_equal(seq):
+        tail = seq[0][-1]
+        return all(a and a[-1] == tail for a in seq)
+
+    def all_start_equal(seq):
+        head = seq[0][0]
+        return all(a and a[0] == head for a in seq)
+
+    while alleles[0] and all_end_equal(alleles):
+        alleles = tuple(a[:-1] for a in alleles)
+    while alleles[0] and all_start_equal(alleles):
+        alleles = tuple(a[1:] for a in alleles)
+        position += 1
+    return position, alleles
+
+
+class VcfVariant:
+    """One VCF site: a position plus REF and one or more ALT alleles.
+
+    Base class carrying all shared behavior; the two concrete classes
+    below only differ in their stored attribute layout (kept for API
+    compatibility with the reference's model).
+    """
 
     position: int
     reference_allele: str
 
-    @abstractmethod
-    def get_ref_allele(self):
-        ...
+    def get_ref_allele(self) -> str:
+        return self.reference_allele
 
-    @abstractmethod
-    def get_alt_allele(self):
-        ...
+    def get_alt_allele_list(self) -> Sequence[str]:
+        raise NotImplementedError
 
-    @abstractmethod
-    def get_alt_allele_list(self):
-        ...
+    def get_alt_allele(self) -> str:
+        return self.get_alt_allele_list()[0]
 
-    @abstractmethod
-    def is_snv(self):
-        ...
+    def get_allele(self, a: int) -> str:
+        if a == 0:
+            return self.reference_allele
+        alts = self.get_alt_allele_list()
+        if a - 1 >= len(alts):
+            raise VcfInvalidAllele(f"Querying invalid allele {a} (highest id was {len(alts)}")
+        return alts[a - 1]
 
-    @abstractmethod
-    def normalized(self):
-        ...
+    def is_snv(self) -> bool:
+        alts = self.get_alt_allele_list()
+        return (
+            len(self.reference_allele) == 1
+            and all(len(a) == 1 for a in alts)
+            and any(a != self.reference_allele for a in alts)
+        )
+
+    def _key(self):
+        raise NotImplementedError
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return self._key() == other._key()
 
 
 class BiallelicVcfVariant(VcfVariant):
     __slots__ = ("position", "reference_allele", "alternative_allele")
 
     def __init__(self, position: int, reference_allele: str, alternative_allele: str):
-        """Multi-ALT sites are not modelled."""
         self.position = position
         self.reference_allele = reference_allele
         self.alternative_allele = alternative_allele
 
     def __repr__(self):
-        return "BiallelicVcfVariant({}, {!r}, {!r})".format(
-            self.position, self.reference_allele, self.alternative_allele
-        )
-
-    def __hash__(self):
-        return hash((self.position, self.reference_allele, self.alternative_allele))
-
-    def __eq__(self, other):
         return (
-            (self.position == other.position)
-            and (self.reference_allele == other.reference_allele)
-            and (self.alternative_allele == other.alternative_allele)
+            f"BiallelicVcfVariant({self.position}, "
+            f"{self.reference_allele!r}, {self.alternative_allele!r})"
         )
+
+    def _key(self):
+        return (self.position, self.reference_allele, self.alternative_allele)
 
     def __lt__(self, other):
-        return (self.position, self.reference_allele, self.alternative_allele) < (
-            other.position,
-            other.reference_allele,
-            other.alternative_allele,
-        )
+        return self._key() < other._key()
 
-    def get_ref_allele(self):
-        return self.reference_allele
-
-    def get_alt_allele(self):
-        return self.alternative_allele
-
-    def get_alt_allele_list(self):
+    def get_alt_allele_list(self) -> Sequence[str]:
         return [self.alternative_allele]
 
-    def get_allele(self, a):
+    def get_allele(self, a: int) -> str:
+        # keep the reference's exact error text for the biallelic case
         if a == 0:
             return self.reference_allele
-        elif a == 1:
+        if a == 1:
             return self.alternative_allele
-        else:
-            raise VcfInvalidAllele(f"Querying invalid allele {a} (highest id was 1")
+        raise VcfInvalidAllele(f"Querying invalid allele {a} (highest id was 1")
 
     def is_snv(self) -> bool:
-        return (self.reference_allele != self.alternative_allele) and (
+        return self.reference_allele != self.alternative_allele and (
             len(self.reference_allele) == len(self.alternative_allele) == 1
         )
 
     def normalized(self) -> "BiallelicVcfVariant":
-        """
-        Return a normalized version of this variant.
-
-        Common prefixes and/or suffixes between the reference and alternative
-        allele are removed, and the position is adjusted as necessary.
+        """Trim shared prefix/suffix bases and shift the position.
 
         >>> BiallelicVcfVariant(100, 'GCTGTT', 'GCTAAATT').normalized()
         BiallelicVcfVariant(103, 'G', 'AAA')
         """
-        pos, ref, alt = self.position, self.reference_allele, self.alternative_allele
-        while len(ref) >= 1 and len(alt) >= 1 and ref[-1] == alt[-1]:
-            ref, alt = ref[:-1], alt[:-1]
-        while len(ref) >= 1 and len(alt) >= 1 and ref[0] == alt[0]:
-            ref, alt = ref[1:], alt[1:]
-            pos += 1
+        pos, (ref, alt) = _trim_common_affixes(
+            self.position, (self.reference_allele, self.alternative_allele)
+        )
         return BiallelicVcfVariant(pos, ref, alt)
 
 
@@ -187,70 +214,47 @@ class MultiallelicVcfVariant(VcfVariant):
         self.alternative_alleles = tuple(alternative_alleles)
 
     def __repr__(self):
-        return "MultiallelicVcfVariant({}, {!r}, {!r})".format(
-            self.position, self.reference_allele, self.alternative_alleles
-        )
-
-    def __hash__(self):
-        return hash((self.position, self.reference_allele, self.alternative_alleles))
-
-    def __eq__(self, other):
         return (
-            (self.position == other.position)
-            and (self.reference_allele == other.reference_allele)
-            and (len(self.alternative_alleles) == len(other.alternative_alleles))
-            and all(a == b for a, b in zip(self.alternative_alleles, other.alternative_alleles))
+            f"MultiallelicVcfVariant({self.position}, "
+            f"{self.reference_allele!r}, {self.alternative_alleles!r})"
         )
+
+    def _key(self):
+        return (self.position, self.reference_allele, self.alternative_alleles)
 
     def __lt__(self, other):
-        if (self.position, self.reference_allele) != (other.position, other.reference_allele):
-            return (self.position, self.reference_allele) < (other.position, other.reference_allele)
-        if len(self.alternative_alleles) != len(other.alternative_alleles):
-            return len(self.alternative_alleles) < len(other.alternative_alleles)
-        for alt_self, alt_other in zip(
-            sorted(self.alternative_alleles), sorted(other.alternative_alleles)
-        ):
-            if alt_self != alt_other:
-                return alt_self < alt_other
-        return False
+        """Order by (position, ref), then by ALT count, then by the sorted
+        ALT lists lexicographically."""
+        a = (self.position, self.reference_allele, len(self.alternative_alleles))
+        b = (other.position, other.reference_allele, len(other.alternative_alleles))
+        if a != b:
+            return a < b
+        return sorted(self.alternative_alleles) < sorted(other.alternative_alleles)
 
-    def get_ref_allele(self):
-        return self.reference_allele
-
-    def get_alt_allele(self):
-        return self.alternative_alleles[0]
-
-    def get_alt_allele_list(self):
+    def get_alt_allele_list(self) -> Sequence[str]:
         return self.alternative_alleles
 
-    def get_allele(self, a):
-        if a == 0:
-            return self.reference_allele
-        else:
-            return self.alternative_alleles[a - 1]
-
-    def is_snv(self) -> bool:
-        return any(self.reference_allele != alt for alt in self.alternative_alleles) and (
-            len(self.reference_allele) == 1
-            and all(len(alt) == 1 for alt in self.alternative_alleles)
-        )
-
     def normalized(self) -> "MultiallelicVcfVariant":
-        """Remove common prefixes/suffixes of REF and all ALTs."""
-        pos, ref, alts = self.position, self.reference_allele, self.alternative_alleles
-        while ref and all(alts) and all(ref[-1] == alt[-1] for alt in alts):
-            ref, alts = ref[:-1], tuple(alt[:-1] for alt in alts)
-        while ref and all(alts) and all(ref[0] == alt[0] for alt in alts):
-            ref, alts = ref[1:], tuple(alt[1:] for alt in alts)
-            pos += 1
-        return MultiallelicVcfVariant(pos, ref, alts)
+        pos, alleles = _trim_common_affixes(
+            self.position, (self.reference_allele,) + self.alternative_alleles
+        )
+        return MultiallelicVcfVariant(pos, alleles[0], alleles[1:])
+
+
+@dataclass
+class VariantCallPhase:
+    block_id: int  # numeric id of the phased block
+    phase: Tuple[Optional[int], ...]  # alleles in haplotype order; (1, 0) is 1|0
+    quality: Optional[int]
 
 
 class GenotypeLikelihoods:
-    __slots__ = "log_prob_genotypes"
+    """Genotype likelihoods as log10 probabilities, one per genotype in
+    canonical VCF order."""
+
+    __slots__ = ("log_prob_genotypes",)
 
     def __init__(self, log_prob_genotypes: List[float]):
-        """Likelihoods of all genotypes given as log10 probabilities."""
         self.log_prob_genotypes = log_prob_genotypes
 
     def __repr__(self):
@@ -267,45 +271,77 @@ class GenotypeLikelihoods:
         return self.log_prob_genotypes
 
     def log10_prob_of(self, genotype_index: int) -> float:
-        return self.log10_probs()[genotype_index]
+        return self.log_prob_genotypes[genotype_index]
 
     def as_phred(
         self, ploidy: int = 2, regularizer: Optional[float] = None
     ) -> PhredGenotypeLikelihoods:
         if regularizer is None:
-            # shift log likelihoods such that the largest one is zero
-            m = max(self.log_prob_genotypes)
-            return PhredGenotypeLikelihoods(
-                [round((prob - m) * -10) for prob in self.log_prob_genotypes], ploidy=ploidy
-            )
+            # shift so the best genotype sits at phred 0
+            best = max(self.log_prob_genotypes)
+            scaled = [round((lp - best) * -10) for lp in self.log_prob_genotypes]
         else:
-            p = [10**x for x in self.log_prob_genotypes]
-            s = sum(p)
-            p = [x / s + regularizer for x in p]
-            m = max(p)
-            return PhredGenotypeLikelihoods(
-                [round(-10 * math.log10(x / m)) for x in p], ploidy=ploidy
-            )
+            linear = [10**lp for lp in self.log_prob_genotypes]
+            norm = sum(linear)
+            regularized = [p / norm + regularizer for p in linear]
+            best = max(regularized)
+            scaled = [round(-10 * math.log10(p / best)) for p in regularized]
+        return PhredGenotypeLikelihoods(scaled, ploidy=ploidy)
+
+
+# ---------------------------------------------------------------------------
+# VariantTable
+
+
+@dataclass
+class _SampleColumns:
+    """All per-sample columns of a VariantTable, kept side by side."""
+
+    genotypes: List[Genotype] = field(default_factory=list)
+    phases: List[Optional[VariantCallPhase]] = field(default_factory=list)
+    likelihoods: List[Optional[GenotypeLikelihoods]] = field(default_factory=list)
+    depths: List[Optional[int]] = field(default_factory=list)
 
 
 class VariantTable:
-    """
-    For a single chromosome, store variants and their genotypes.  Each row of
-    this table contains a variant, each column the genotypes of one sample.
+    """All variants of one chromosome with per-sample genotype, phase,
+    likelihood and allele-depth columns.
+
+    Attribute-compatibility note: ``genotypes``, ``phases``,
+    ``genotype_likelihoods`` and ``allele_depths`` are exposed as lists
+    indexed by sample id (like the reference); internally the columns are
+    stored per sample name.
     """
 
     def __init__(self, chromosome: str, samples: List[str]):
         self.chromosome = chromosome
-        self.samples = samples
-        self.genotypes: List[List[Genotype]] = [[] for _ in samples]
-        self.phases: List[List[Optional[VariantCallPhase]]] = [[] for _ in samples]
-        self.allele_depths: List[List[Optional[int]]] = [[] for _ in samples]
-        self.genotype_likelihoods: List[List[Optional[GenotypeLikelihoods]]] = [[] for _ in samples]
+        self.samples = list(samples)
         self.variants: List[VcfVariant] = []
-        self._sample_to_index = {sample: index for index, sample in enumerate(samples)}
+        self._columns: Dict[str, _SampleColumns] = {s: _SampleColumns() for s in samples}
+
+    # -- sample-id-indexed views (reference-compatible attribute access)
+
+    @property
+    def genotypes(self) -> List[List[Genotype]]:
+        return [self._columns[s].genotypes for s in self.samples]
+
+    @property
+    def phases(self) -> List[List[Optional[VariantCallPhase]]]:
+        return [self._columns[s].phases for s in self.samples]
+
+    @property
+    def genotype_likelihoods(self) -> List[List[Optional[GenotypeLikelihoods]]]:
+        return [self._columns[s].likelihoods for s in self.samples]
+
+    @property
+    def allele_depths(self) -> List[List[Optional[int]]]:
+        return [self._columns[s].depths for s in self.samples]
 
     def __len__(self) -> int:
         return len(self.variants)
+
+    def id_of(self, sample: str) -> int:
+        return self.samples.index(sample)
 
     def add_variant(
         self,
@@ -315,106 +351,89 @@ class VariantTable:
         genotype_likelihoods: Sequence[Optional[GenotypeLikelihoods]],
         allele_depths: Sequence[Optional[int]],
     ) -> None:
-        """Add a row to the table"""
-        if len(genotypes) != len(self.genotypes):
+        """Append one row across all columns."""
+        n = len(self.samples)
+        if len(genotypes) != n:
             raise ValueError("Expecting as many genotypes as there are samples")
-        if len(phases) != len(self.phases):
+        if len(phases) != n:
             raise ValueError("Expecting as many phases as there are samples")
-        if len(allele_depths) != len(self.allele_depths):
+        if len(allele_depths) != n:
             raise ValueError("Expecting as many allele_depths as there are samples")
         self.variants.append(variant)
-        for i, genotype in enumerate(genotypes):
-            assert isinstance(genotype, Genotype)
-            self.genotypes[i].append(genotype)
-        for i, phase in enumerate(phases):
-            self.phases[i].append(phase)
-        for i, gl in enumerate(genotype_likelihoods):
-            self.genotype_likelihoods[i].append(gl)
-        for i, depth in enumerate(allele_depths):
-            self.allele_depths[i].append(depth)
+        for i, sample in enumerate(self.samples):
+            assert isinstance(genotypes[i], Genotype)
+            col = self._columns[sample]
+            col.genotypes.append(genotypes[i])
+            col.phases.append(phases[i])
+            col.likelihoods.append(genotype_likelihoods[i])
+            col.depths.append(allele_depths[i])
+
+    # -- per-sample accessors
 
     def genotypes_of(self, sample: str) -> List[Genotype]:
-        return self.genotypes[self._sample_to_index[sample]]
+        return self._columns[sample].genotypes
 
     def set_genotypes_of(self, sample: str, genotypes: List[Genotype]) -> None:
         assert len(genotypes) == len(self.variants)
-        self.genotypes[self._sample_to_index[sample]] = genotypes
+        self._columns[sample].genotypes = genotypes
 
     def genotype_likelihoods_of(self, sample: str) -> List[Optional[GenotypeLikelihoods]]:
-        return self.genotype_likelihoods[self._sample_to_index[sample]]
+        return self._columns[sample].likelihoods
 
     def set_genotype_likelihoods_of(
-        self, sample: str, genotype_likelihoods: List[Optional[GenotypeLikelihoods]]
+        self, sample: str, likelihoods: List[Optional[GenotypeLikelihoods]]
     ) -> None:
-        assert len(genotype_likelihoods) == len(self.variants)
-        self.genotype_likelihoods[self._sample_to_index[sample]] = genotype_likelihoods
+        assert len(likelihoods) == len(self.variants)
+        self._columns[sample].likelihoods = likelihoods
 
     def phases_of(self, sample: str) -> List[Optional[VariantCallPhase]]:
-        return self.phases[self._sample_to_index[sample]]
+        return self._columns[sample].phases
 
     def num_of_blocks_of(self, sample: str) -> int:
-        return len(
-            {i.block_id for i in self.phases[self._sample_to_index[sample]] if i is not None}
-        )
+        return len({p.block_id for p in self._columns[sample].phases if p is not None})
 
     def allele_depths_of(self, sample: str) -> List[Tuple[int, ...]]:
-        depths: List[Tuple[int, ...]] = []
-        for depth_code in self.allele_depths[self._sample_to_index[sample]]:
-            assert depth_code is not None
-            c = depth_code
-            depth = []
-            while c > 0:
-                depth.append(c & 4095)
-                c = c >> 12
-            depths.append(tuple(depth))
-        return depths
+        """Decode the 12-bit-packed per-allele depth codes (see
+        VcfReader._extract_AD_depth) back into tuples."""
+        out = []
+        for code in self._columns[sample].depths:
+            assert code is not None
+            counts = []
+            while code > 0:
+                counts.append(code & 0xFFF)
+                code >>= 12
+            out.append(tuple(counts))
+        return out
 
-    def id_of(self, sample: str) -> int:
-        return self._sample_to_index[sample]
+    # -- row filtering
 
     def remove_rows_by_index(self, indices: Iterable[int]) -> None:
-        """Remove variants given by their index in the variant list"""
-        for i in sorted(indices, reverse=True):
-            del self.variants[i]
-            for gt in self.genotypes:
-                del gt[i]
-            for ad in self.allele_depths:
-                del ad[i]
-            for ph in self.phases:
-                del ph[i]
-            for gl in self.genotype_likelihoods:
-                del gl[i]
-
-        for gt in self.genotypes:
-            assert len(self.variants) == len(gt)
-        for ph in self.phases:
-            assert len(self.variants) == len(ph)
-        for gl in self.genotype_likelihoods:
-            assert len(self.variants) == len(gl)
-        assert (
-            len(self.samples)
-            == len(self.genotypes)
-            == len(self.phases)
-            == len(self.genotype_likelihoods)
-        )
+        """Drop the given variant rows (by index) from every column."""
+        drop = set(indices)
+        keep = [i for i in range(len(self.variants)) if i not in drop]
+        self.variants = [self.variants[i] for i in keep]
+        for col in self._columns.values():
+            col.genotypes = [col.genotypes[i] for i in keep]
+            col.phases = [col.phases[i] for i in keep]
+            col.likelihoods = [col.likelihoods[i] for i in keep]
+            col.depths = [col.depths[i] for i in keep]
 
     def subset_rows_by_position(self, positions: Iterable[int]) -> None:
-        """Keep only rows given in positions, discard the rest"""
-        positions = frozenset(positions)
-        to_discard = [i for i, v in enumerate(self.variants) if v.position not in positions]
-        self.remove_rows_by_index(to_discard)
+        """Keep only rows whose variant position is in ``positions``."""
+        wanted = frozenset(positions)
+        self.remove_rows_by_index(
+            i for i, v in enumerate(self.variants) if v.position not in wanted
+        )
 
     def create_subtable(self, samples: List[str]) -> "VariantTable":
-        """Keep only the given samples; return as a new table"""
-        subtable = VariantTable(self.chromosome, samples)
-        subtable.variants = deepcopy(self.variants)
-        subtable._sample_to_index = {sample: index for index, sample in enumerate(samples)}
-        for i, sample in enumerate(samples):
-            subtable.genotypes[i] = deepcopy(self.genotypes_of(sample))
-            subtable.phases[i] = deepcopy(self.phases_of(sample))
-            subtable.genotype_likelihoods[i] = deepcopy(self.genotype_likelihoods_of(sample))
-            subtable.allele_depths[i] = deepcopy(self.allele_depths[self._sample_to_index[sample]])
-        return subtable
+        """A deep copy restricted to the given samples."""
+        sub = VariantTable(self.chromosome, samples)
+        sub.variants = deepcopy(self.variants)
+        for sample in samples:
+            sub._columns[sample] = deepcopy(self._columns[sample])
+        return sub
+
+    # -- phased-VCF input as pseudo-reads
 
     def phased_blocks_as_reads(
         self,
@@ -426,56 +445,53 @@ class VariantTable:
         mapq: int = 100,
         target_ploidy: int = 2,
     ):
-        """
-        Yields one sorted core Read object per phased block, encoding the
-        phase information as if the block was a single sequencing read.
-        """
-        try:
-            sample_index = self._sample_to_index[sample]
-        except KeyError:
+        """Turn each phased block of ``sample`` into ``target_ploidy``
+        pseudo-reads (one per haplotype) carrying the block's phased
+        alleles; blocks contribute only variants present in
+        ``input_variants``, and only blocks with >= 2 usable variants are
+        yielded."""
+        if sample not in self._columns:
             return
-        input_variant_set = set(input_variants)
-        read_map: Dict[int, List[Read]] = {}
-        assert (
-            len(self.variants)
-            == len(self.genotypes[sample_index])
-            == len(self.phases[sample_index])
-        )
-        for variant, genotype, phase in zip(
-            self.variants, self.genotypes[sample_index], self.phases[sample_index]
-        ):
-            if len(genotype.as_vector()) != target_ploidy:
-                continue
-            if variant not in input_variant_set:
-                continue
-            if genotype.is_homozygous():
-                continue
-            if phase is None or phase.phase[0] is None:
+        eligible = set(input_variants)
+        col = self._columns[sample]
+        assert len(self.variants) == len(col.genotypes) == len(col.phases)
+        block_reads: Dict[int, List[Read]] = {}
+        for variant, genotype, phase in zip(self.variants, col.genotypes, col.phases):
+            if (
+                len(genotype.as_vector()) != target_ploidy
+                or variant not in eligible
+                or genotype.is_homozygous()
+                or phase is None
+                or phase.phase[0] is None
+            ):
                 continue
             quality = default_quality if phase.quality is None else phase.quality
-            if phase.block_id in read_map:
-                for i, allele in enumerate(phase.phase):
-                    read_map[phase.block_id][i].add_variant(variant.position, allele, quality)
-            else:
-                read_map[phase.block_id] = []
-                for i, allele in enumerate(phase.phase):
-                    name = f"{sample}_phase_{i}_block_{phase.block_id}"
-                    r = Read(name, mapq, source_id, numeric_sample_id)
-                    r.add_variant(variant.position, allele, quality)
-                    read_map[phase.block_id].append(r)
-        for read_list in read_map.values():
-            for read in read_list:
+            reads = block_reads.get(phase.block_id)
+            if reads is None:
+                reads = block_reads[phase.block_id] = [
+                    Read(
+                        f"{sample}_phase_{i}_block_{phase.block_id}",
+                        mapq,
+                        source_id,
+                        numeric_sample_id,
+                    )
+                    for i in range(len(phase.phase))
+                ]
+            for i, allele in enumerate(phase.phase):
+                reads[i].add_variant(variant.position, allele, quality)
+        for reads in block_reads.values():
+            for read in reads:
                 if len(read) > 1:
                     read.sort()
                     yield read
 
 
-class MixedPhasingError(Exception):
-    pass
+# ---------------------------------------------------------------------------
+# reading
 
 
 class VcfReader:
-    """Read a VCF file chromosome by chromosome."""
+    """Parse a VCF/BCF into VariantTable objects, one per chromosome."""
 
     def __init__(
         self,
@@ -488,17 +504,20 @@ class VcfReader:
         mav: bool = False,
         allele_depth: bool = False,
     ):
-        self._only_snvs = only_snvs
-        self._vcf_reader = VariantFile(os.fspath(path))
+        self._vcf = VariantFile(os.fspath(path))
         self._path = path
-        self._phases = phases
-        self._genotype_likelihoods = genotype_likelihoods
+        self._only_snvs = only_snvs
+        self._want_phases = phases
+        self._want_likelihoods = genotype_likelihoods
         self._ignore_genotypes = ignore_genotypes
-        self.samples = list(self._vcf_reader.header.samples)  # intentionally public
-        self.contigs = self._vcf_reader.header.contigs
+        self.samples = list(self._vcf.header.samples)  # intentionally public
+        self.contigs = self._vcf.header.contigs
         self.ploidy = ploidy
         self.mav = mav
         self.allele_depth = allele_depth
+        # which phase representation (HP vs GT+PS) the file uses; mixing is
+        # an error
+        self._phase_style: Optional[str] = None
         logger.debug("Found %d sample(s) in the VCF file.", len(self.samples))
 
     def __enter__(self):
@@ -508,266 +527,268 @@ class VcfReader:
         self.close()
 
     def close(self):
-        self._vcf_reader.close()
+        self._vcf.close()
 
     @property
     def path(self) -> str:
-        return self._vcf_reader.filename.decode()
+        return self._vcf.filename.decode()
 
     def index_exists(self) -> bool:
-        return self._vcf_reader.index is not None
+        return self._vcf.index is not None
 
     def _fetch(self, chromosome: str, start: int = 0, end: Optional[int] = None):
         try:
-            records = self._vcf_reader.fetch(chromosome, start=start, stop=end)
+            return self._vcf.fetch(chromosome, start=start, stop=end)
         except ValueError as e:
-            if "invalid contig" in e.args[0]:
-                raise VcfInvalidChromosome(e.args[0]) from None
-            elif "fetch requires an index" in e.args[0]:
+            message = e.args[0]
+            if "invalid contig" in message:
+                raise VcfInvalidChromosome(message) from None
+            if "fetch requires an index" in message:
                 raise VcfIndexMissing(
                     f"{self._path} is missing an index (.tbi or .csi)"
                 ) from None
-            else:
-                raise
-        return records
+            raise
 
     def fetch(self, chromosome: str, start: int = 0, end: Optional[int] = None) -> VariantTable:
-        """Fetch records from a single chromosome, optionally restricted to
-        a region.  Return a VariantTable object."""
-        records = list(self._fetch(chromosome, start=start, end=end))
-        return self._process_single_chromosome(chromosome, records)
+        return self._build_table(chromosome, list(self._fetch(chromosome, start, end)))
 
     def fetch_regions(
         self, chromosome: str, regions: Iterable[Tuple[int, Optional[int]]]
     ) -> VariantTable:
-        records = []
+        records: List[VariantRecord] = []
         for start, end in regions:
-            records.extend(list(self._fetch(chromosome, start=start, end=end)))
-        return self._process_single_chromosome(chromosome, records)
+            records.extend(self._fetch(chromosome, start, end))
+        return self._build_table(chromosome, records)
 
     def __iter__(self) -> Iterator[VariantTable]:
-        """Yield VariantTable objects for each chromosome."""
-        for chromosome, records in itertools.groupby(
-            self._vcf_reader, lambda record: record.chrom
-        ):
-            yield self._process_single_chromosome(chromosome, records)
+        for chromosome, records in itertools.groupby(self._vcf, lambda rec: rec.chrom):
+            yield self._build_table(chromosome, records)
+
+    # -- per-call field extraction
 
     @staticmethod
     def _extract_HP_phase(call: VariantRecordSample) -> Optional[VariantCallPhase]:
+        """HP-style phase: entries like '1-2' = (block 1, haplotype 2)."""
         hp = call.get("HP")
         if hp is None or hp == (".",):
             return None
         if isinstance(hp, str):
             hp = (hp,)
-        fields = [[int(x) for x in s.split("-")] for s in hp]
-        for i in range(len(fields)):
-            assert fields[0][0] == fields[i][0]
-        block_id = fields[0][0]
-        order = [field[1] - 1 for field in fields]
-        phase = call["GT"]
-        phase = tuple(phase[order.index(i)] for i in range(len(order)))
+        parsed = [tuple(int(x) for x in item.split("-")) for item in hp]
+        block_id = parsed[0][0]
+        assert all(block == block_id for block, _ in parsed)
+        # invert: haplotype slot -> which GT entry sits there
+        slot_of = [hap - 1 for _, hap in parsed]
+        gt = call["GT"]
+        phase = tuple(gt[slot_of.index(i)] for i in range(len(slot_of)))
         return VariantCallPhase(block_id=block_id, phase=phase, quality=call.get("PQ", None))
 
     @staticmethod
     def _extract_GT_PS_phase(call: VariantRecordSample) -> Optional[VariantCallPhase]:
+        """Native VCF phase: phased GT with optional PS block id."""
         if not call.phased:
             return None
-        is_het = not all(x == call["GT"][0] for x in call["GT"])
-        if not is_het:
-            return None
-        block_id = call.get("PS", 0)
-        phase = call["GT"]
-        return VariantCallPhase(block_id=block_id, phase=phase, quality=call.get("PQ", None))
+        gt = call["GT"]
+        if all(allele == gt[0] for allele in gt):
+            return None  # homozygous: no phase information
+        return VariantCallPhase(
+            block_id=call.get("PS", 0), phase=gt, quality=call.get("PQ", None)
+        )
 
     @staticmethod
     def _extract_AD_depth(call: VariantRecordSample) -> int:
-        """Allele depths packed 12 bits per allele (max 4095)."""
+        """Pack per-allele depths into one int, 12 bits per allele
+        (capped at 4095), first allele in the low bits."""
         depths = call.get("AD")
         if isinstance(depths, int):
             depths = (depths,)
-        depth_code = 0
+        code = 0
         if depths and None not in depths:
             for depth in reversed(depths):
-                if depth > 4095:
+                if depth > 0xFFF:
                     warn_once(
                         logger,
                         "Allele depths of 4096 or higher detected. Cutting them off to 4095",
                     )
-                cnt = min(4095, depth)
-                depth_code = (depth_code << 12) + cnt
-        return depth_code
+                code = (code << 12) | min(0xFFF, depth)
+        return code
 
-    def _process_single_chromosome(self, chromosome: str, records) -> VariantTable:
-        phase_detected = None
-        n_snvs = 0
-        n_other = 0
-        n_multi = 0
+    def _check_ploidy(self, ploidy: int) -> None:
+        if ploidy > get_max_genotype_ploidy():
+            raise PloidyError(
+                f"Ploidies higher than {get_max_genotype_ploidy()} are not supported."
+            )
+        if self.ploidy is None:
+            self.ploidy = ploidy
+        elif ploidy != self.ploidy:
+            raise PloidyError(f"Inconsistent ploidy ({self.ploidy} and {ploidy})")
+
+    def _phase_of_call(self, call: VariantRecordSample) -> Optional[VariantCallPhase]:
+        """Try both phase representations; record which one the file uses
+        and reject files mixing them."""
+        phase = None
+        for style, extractor in (
+            ("HP", self._extract_HP_phase),
+            ("GT_PS", self._extract_GT_PS_phase),
+        ):
+            extracted = extractor(call)
+            if extracted is None:
+                continue
+            if self._phase_style is None:
+                self._phase_style = style
+            elif self._phase_style != style:
+                raise MixedPhasingError(
+                    "Mixed phasing information in input VCF (e.g. mixing PS and HP fields)"
+                )
+            phase = extracted
+            phase_ploidy = len(extracted.phase)
+            if phase_ploidy > get_max_genotype_ploidy():
+                raise PloidyError(
+                    f"Ploidies higher than {get_max_genotype_ploidy()} are not supported."
+                )
+            if self.ploidy is None:
+                self.ploidy = phase_ploidy
+            elif phase_ploidy != self.ploidy:
+                raise PloidyError(
+                    "Phasing information contains inconsistent ploidy "
+                    f"({self.ploidy} and {phase_ploidy})"
+                )
+        return phase
+
+    @staticmethod
+    def _likelihoods_of_call(call: VariantRecordSample) -> Optional[GenotypeLikelihoods]:
+        """GL (log10 floats) preferred over PL (phred ints)."""
+        gl = call.get("GL", None)
+        if gl is not None:
+            if not isinstance(gl, tuple):
+                gl = (gl,)
+            return GenotypeLikelihoods(list(gl))
+        pl = call.get("PL", None)
+        if pl is not None:
+            if not isinstance(pl, tuple):
+                pl = (pl,)
+            return GenotypeLikelihoods([(x / -10) if x is not None else None for x in pl])
+        return None
+
+    # -- table construction
+
+    def _build_table(self, chromosome: str, records) -> VariantTable:
         table = VariantTable(chromosome, self.samples)
-        prev_position = None
+        counts = {"snv": 0, "other": 0, "multi": 0}
+        last_pos = None
         for record in records:
             if not record.alts:
                 continue
-            if len(record.alts) > 1:
-                n_multi += 1
-                if not self.mav or len(record.alts) >= get_max_genotype_alleles():
+            alts = [str(a) for a in record.alts]
+            if len(alts) > 1:
+                counts["multi"] += 1
+                if not self.mav or len(alts) >= get_max_genotype_alleles():
                     continue
 
-            pos, ref, alts = record.start, str(record.ref), [str(alt) for alt in record.alts]
-            if len(ref) == 1 and all(len(alt) == 1 for alt in alts):
-                n_snvs += 1
+            pos, ref = record.start, str(record.ref)
+            if len(ref) == 1 and all(len(a) == 1 for a in alts):
+                counts["snv"] += 1
             else:
-                n_other += 1
+                counts["other"] += 1
                 if self._only_snvs:
                     continue
 
-            if (prev_position is not None) and (prev_position > pos):
+            if last_pos is not None and last_pos > pos:
                 raise VcfNotSortedError(
-                    "VCF not ordered: {}:{} appears before {}:{}".format(
-                        chromosome, prev_position + 1, chromosome, pos + 1
-                    )
+                    f"VCF not ordered: {chromosome}:{last_pos + 1} appears before "
+                    f"{chromosome}:{pos + 1}"
                 )
-
-            if prev_position == pos:
+            if last_pos == pos:
                 warn_once(
                     logger, "Skipping duplicated position %s on chromosome %r", pos + 1, chromosome
                 )
                 continue
-            prev_position = pos
+            last_pos = pos
 
-            # Phasing information (GT/PS or HP, but not mixed), if requested
-            if self._phases:
-                phases = []
-                for call in record.samples.values():
-                    phase = None
-                    for extract_phase, phase_name in [
-                        (self._extract_HP_phase, "HP"),
-                        (self._extract_GT_PS_phase, "GT_PS"),
-                    ]:
-                        p = extract_phase(call)
-                        if p is not None:
-                            if phase_detected is None:
-                                phase_detected = phase_name
-                            elif phase_detected != phase_name:
-                                raise MixedPhasingError(
-                                    "Mixed phasing information in input VCF (e.g. mixing PS "
-                                    "and HP fields)"
-                                )
-                            phase = p
-                            phase_ploidy = len(p.phase)
-                            if phase_ploidy > get_max_genotype_ploidy():
-                                raise PloidyError(
-                                    "Ploidies higher than {} are not supported."
-                                    "".format(get_max_genotype_ploidy())
-                                )
-                            elif p is None or p.block_id is None or p.phase is None:
-                                pass
-                            elif self.ploidy is None:
-                                self.ploidy = phase_ploidy
-                            elif phase_ploidy != self.ploidy:
-                                raise PloidyError(
-                                    "Phasing information contains inconsistent ploidy ({} and "
-                                    "{})".format(self.ploidy, phase_ploidy)
-                                )
-                    phases.append(phase)
+            calls = list(record.samples.values())
+            if self._want_phases:
+                phases = [self._phase_of_call(c) for c in calls]
             else:
-                phases = [None] * len(record.samples)
+                phases = [None] * len(calls)
 
-            # Genotype likelihoods, if requested
-            if self._genotype_likelihoods:
-                genotype_likelihoods: List[Optional[GenotypeLikelihoods]] = []
-                for call in record.samples.values():
-                    GL = call.get("GL", None)
-                    PL = call.get("PL", None)
-                    # Prefer GLs (floats) over PLs (ints) if both are present
-                    if GL is not None:
-                        if not isinstance(GL, tuple):
-                            GL = (GL,)
-                        genotype_likelihoods.append(GenotypeLikelihoods(list(GL)))
-                    elif PL is not None:
-                        if not isinstance(PL, tuple):
-                            PL = (PL,)
-                        likelihoods = [(pl / -10) if pl is not None else None for pl in PL]
-                        genotype_likelihoods.append(GenotypeLikelihoods(likelihoods))
-                    else:
-                        genotype_likelihoods.append(None)
+            if self._want_likelihoods:
+                likelihoods = [self._likelihoods_of_call(c) for c in calls]
             else:
-                genotype_likelihoods = [None] * len(record.samples)
+                likelihoods = [None] * len(calls)
 
-            if not self._ignore_genotypes:
-                genotype_lists = [call.get("GT", None) for call in record.samples.values()]
-                for geno in genotype_lists:
-                    if geno is None or None in geno:
-                        continue
-                    geno_ploidy = len(geno)
-                    if geno_ploidy > get_max_genotype_ploidy():
-                        raise PloidyError(
-                            "Ploidies higher than {} are not supported."
-                            "".format(get_max_genotype_ploidy())
-                        )
-                    elif self.ploidy is None:
-                        self.ploidy = geno_ploidy
-                    elif geno_ploidy != self.ploidy:
-                        raise PloidyError(
-                            "Inconsistent ploidy ({} and {})".format(self.ploidy, geno_ploidy)
-                        )
-                genotypes = [genotype_code(geno_list) for geno_list in genotype_lists]
-            else:
+            if self._ignore_genotypes:
                 genotypes = [Genotype([]) for _ in self.samples]
                 phases = [None] * len(self.samples)
+            else:
+                raw_gts = [c.get("GT", None) for c in calls]
+                for gt in raw_gts:
+                    if gt is not None and None not in gt:
+                        self._check_ploidy(len(gt))
+                genotypes = [genotype_code(gt) for gt in raw_gts]
 
             if self.allele_depth:
-                depths: List[Optional[int]] = [
-                    self._extract_AD_depth(call) for call in record.samples.values()
-                ]
+                depths: List[Optional[int]] = [self._extract_AD_depth(c) for c in calls]
             else:
-                depths = [None] * len(record.samples)
+                depths = [None] * len(calls)
 
+            variant: VcfVariant
             if len(alts) == 1:
-                variant: VcfVariant = BiallelicVcfVariant(
-                    position=pos, reference_allele=ref, alternative_allele=alts[0]
-                )
+                variant = BiallelicVcfVariant(pos, ref, alts[0])
             else:
-                variant = MultiallelicVcfVariant(
-                    position=pos, reference_allele=ref, alternative_alleles=alts
-                )
-            table.add_variant(variant, genotypes, phases, genotype_likelihoods, depths)
+                variant = MultiallelicVcfVariant(pos, ref, alts)
+            table.add_variant(variant, genotypes, phases, likelihoods, depths)
 
         logger.debug(
-            "Parsed %s SNVs and %s non-SNVs. Also found %s multi-ALTs.", n_snvs, n_other, n_multi
+            "Parsed %s SNVs and %s non-SNVs. Also found %s multi-ALTs.",
+            counts["snv"],
+            counts["other"],
+            counts["multi"],
         )
         return table
 
 
+def genotype_code(gt: Optional[Tuple[Optional[int], ...]]) -> Genotype:
+    """Core Genotype from a VCF GT tuple; missing or partial calls map to
+    the empty genotype."""
+    if gt is None or any(allele is None for allele in gt):
+        return Genotype([])
+    return Genotype(list(gt))
+
+
 def remove_overlapping_calls(calls):
-    """Filter out overlapping variants (currently a no-op, as in the
-    reference: whatshap/vcf.py:806-821)."""
+    """Filter out overlapping variants.  Deliberately a no-op, matching the
+    reference (whatshap/vcf.py:806-821 returns its input unchanged)."""
     return calls
+
+
+# ---------------------------------------------------------------------------
+# header bookkeeping for the writers
+
+
+def _meta_line(kind: str, id_: str, number, typ: str, description: str) -> str:
+    return f'##{kind}=<ID={id_},Number={number},Type={typ},Description="{description}">'
 
 
 @dataclass
 class VcfHeader:
+    """One FORMAT/INFO header definition (kept for API parity)."""
+
     format_or_info: str
     id: str
     number: Union[str, int]
     typ: str
     description: str
 
-    def line(self):
-        return (
-            "##{format_or_info}=<ID={id},Number={number},Type={typ},"
-            'Description="{description}">'.format(
-                format_or_info=self.format_or_info,
-                id=self.id,
-                number=self.number,
-                typ=self.typ,
-                description=self.description,
-            )
-        )
+    def line(self) -> str:
+        return _meta_line(self.format_or_info, self.id, self.number, self.typ, self.description)
 
 
-PREDEFINED_FORMATS = {
-    "GL": VcfHeader(
-        "FORMAT",
+def _fmt(id_, number, typ, description) -> VcfHeader:
+    return VcfHeader("FORMAT", id_, number, typ, description)
+
+
+PREDEFINED_FORMATS: Dict[str, VcfHeader] = {
+    "GL": _fmt(
         "GL",
         "G",
         "Float",
@@ -775,16 +796,16 @@ PREDEFINED_FORMATS = {
         " called genotype for each possible genotype generated from the"
         " reference and alternate alleles given the sample ploidy",
     ),
-    "GQ": VcfHeader("FORMAT", "GQ", 1, "Integer", "Phred-scaled genotype quality"),
-    "GT": VcfHeader("FORMAT", "GT", 1, "String", "Genotype"),
-    "HP": VcfHeader("FORMAT", "HP", ".", "String", "Phasing haplotype identifier"),
-    "PQ": VcfHeader("FORMAT", "PQ", 1, "Float", "Phasing quality"),
-    "PS": VcfHeader("FORMAT", "PS", 1, "Integer", "Phase set identifier"),
-    "HS": VcfHeader("FORMAT", "HS", ".", "Integer", "Haploid phase set identifier"),
-    "AD": VcfHeader("FORMAT", "AD", ".", "Integer", "Observed allele depths"),
+    "GQ": _fmt("GQ", 1, "Integer", "Phred-scaled genotype quality"),
+    "GT": _fmt("GT", 1, "String", "Genotype"),
+    "HP": _fmt("HP", ".", "String", "Phasing haplotype identifier"),
+    "PQ": _fmt("PQ", 1, "Float", "Phasing quality"),
+    "PS": _fmt("PS", 1, "Integer", "Phase set identifier"),
+    "HS": _fmt("HS", ".", "Integer", "Haploid phase set identifier"),
+    "AD": _fmt("AD", ".", "Integer", "Observed allele depths"),
 }
 
-PREDEFINED_INFOS = {
+PREDEFINED_INFOS: Dict[str, VcfHeader] = {
     "AC": VcfHeader(
         "INFO",
         "AC",
@@ -792,7 +813,9 @@ PREDEFINED_INFOS = {
         "Integer",
         "Allele count in genotypes, for each ALT allele, in the same order as listed",
     ),
-    "AN": VcfHeader("INFO", "AN", "A", "Integer", "Total number of alleles in called genotypes"),
+    "AN": VcfHeader(
+        "INFO", "AN", "A", "Integer", "Total number of alleles in called genotypes"
+    ),
     "END": VcfHeader("INFO", "END", 1, "Integer", "Stop position of the interval"),
     "SVLEN": VcfHeader(
         "INFO", "SVLEN", ".", "Integer", "Difference in length between REF and ALT alleles"
@@ -801,71 +824,77 @@ PREDEFINED_INFOS = {
 }
 
 
-def augment_header(header: VariantHeader, contigs: List[str], formats: List[str], infos: List[str]):
-    """Add contigs, formats and infos to a VariantHeader (in place)."""
+def augment_header(
+    header: VariantHeader, contigs: List[str], formats: List[str], infos: List[str]
+) -> None:
+    """Add missing contig/FORMAT/INFO definitions to a header in place;
+    FORMATs already present are replaced by the predefined definition."""
     for contig in contigs:
         header.add_contig(contig)
-
     for fmt in formats:
+        if fmt not in PREDEFINED_FORMATS:
+            raise VcfError(f"FORMAT {fmt!r} not defined in VCF header")
         if fmt in header.formats:
             header.remove_format(fmt)
-        try:
-            h = PREDEFINED_FORMATS[fmt]
-        except KeyError:
-            raise VcfError(f"FORMAT {fmt!r} not defined in VCF header") from None
-        header.add_line(h.line())
-
+        header.add_line(PREDEFINED_FORMATS[fmt].line())
     for info in infos:
-        try:
-            h = PREDEFINED_INFOS[info]
-        except KeyError:
-            raise VcfError(f"INFO {info!r} not defined in VCF header") from None
-        header.add_line(h.line())
+        if info not in PREDEFINED_INFOS:
+            raise VcfError(f"INFO {info!r} not defined in VCF header")
+        header.add_line(PREDEFINED_INFOS[info].line())
 
 
 def missing_headers(path: str) -> Tuple[List[str], List[str], List[str]]:
-    """Find contigs, FORMATs and INFOs used in the body of a VCF but missing
-    from (or mistyped in) its header."""
-    with VariantFile(path) as variant_file:
-        header = variant_file.header.copy()
-        incorrect_formats = []
-        for fmt, v in variant_file.header.formats.items():
-            if fmt not in PREDEFINED_FORMATS:
-                continue
-            h = PREDEFINED_FORMATS[fmt]
-            if str(v.number) != str(h.number) or (
-                v.type != h.typ and not (v.type == "Float" and h.typ == "Integer")
-            ):
-                if fmt == "PS" and v.type != h.typ:
-                    raise VcfError(
-                        "The input VCF/BCF contains phase set ('PS') tags that are of the"
-                        " non-standard type '{}' instead of 'Integer'. WhatsHap cannot"
-                        " overwrite these as it could produce inconsistent files."
-                        " To proceed, you can use 'whatshap unphase' to remove phasing"
-                        " information from the input file".format(v.type)
-                    )
-                incorrect_formats.append(fmt)
+    """Scan a VCF body for contigs/FORMATs/INFOs that its header does not
+    declare (or declares with the wrong type/number).  Returns
+    (missing contigs, wrong-or-missing formats, missing infos)."""
+    with VariantFile(path) as vf:
+        header = vf.header.copy()
 
-        contigs = dict()  # encountered contigs, in order
-        formats = dict()  # encountered FORMATs, in order
-        seen_infos: Set[str] = set()
+        retype_formats = []
+        for fmt, declared in vf.header.formats.items():
+            expected = PREDEFINED_FORMATS.get(fmt)
+            if expected is None:
+                continue
+            number_ok = str(declared.number) == str(expected.number)
+            # an Integer field declared as Float is tolerated
+            type_ok = declared.type == expected.typ or (
+                declared.type == "Float" and expected.typ == "Integer"
+            )
+            if number_ok and type_ok:
+                continue
+            if fmt == "PS" and declared.type != expected.typ:
+                raise VcfError(
+                    "The input VCF/BCF contains phase set ('PS') tags that are of the"
+                    " non-standard type '{}' instead of 'Integer'. WhatsHap cannot"
+                    " overwrite these as it could produce inconsistent files."
+                    " To proceed, you can use 'whatshap unphase' to remove phasing"
+                    " information from the input file".format(declared.type)
+                )
+            retype_formats.append(fmt)
+
+        seen_contigs: Dict[str, None] = {}
+        seen_formats: Dict[str, None] = {}
+        seen_infos: Dict[str, None] = {}
         try:
-            for record in variant_file:
-                seen_infos.update(record.info)
+            for record in vf:
+                for info in record.info:
+                    seen_infos[info] = None
                 if any(alt.startswith("<") for alt in record.alts or []):
-                    seen_infos.add("END")
-                contigs[record.contig] = None
+                    seen_infos["END"] = None
+                seen_contigs[record.contig] = None
                 for fmt in record.format:
-                    formats[fmt] = None
+                    seen_formats[fmt] = None
         except ValueError as e:
             raise VcfError(e)
 
-    header_contigs = set(header.contigs)
-    missing_contigs = [contig for contig in contigs if contig not in header_contigs]
-    header_formats = set(header.formats)
-    missing_formats = [fmt for fmt in formats if fmt not in header_formats]
-    missing_infos = list(set(seen_infos) - set(header.infos))
-    return (missing_contigs, incorrect_formats + missing_formats, missing_infos)
+    known_contigs = set(header.contigs)
+    known_formats = set(header.formats)
+    known_infos = set(header.infos)
+    return (
+        [c for c in seen_contigs if c not in known_contigs],
+        retype_formats + [f for f in seen_formats if f not in known_formats],
+        [i for i in seen_infos if i not in known_infos],
+    )
 
 
 @dataclass
@@ -877,7 +906,15 @@ class GenotypeChange:
     new_gt: Genotype
 
 
-class VcfAugmenter(ABC):
+# ---------------------------------------------------------------------------
+# writing
+
+
+class VcfAugmenter:
+    """Copy a VCF through while modifying records chromosome by
+    chromosome.  Subclasses declare extra header lines via setup_header
+    and drive _record_modifier per chromosome."""
+
     def __init__(
         self,
         in_path: str,
@@ -885,11 +922,6 @@ class VcfAugmenter(ABC):
         out_file: TextIO = sys.stdout,
         include_haploid_phase_sets: bool = False,
     ):
-        """
-        in_path -- Path to input VCF, used as template.
-        command_line -- A string added as a VCF header entry (None to skip).
-        out_file -- Open file-like object (or path) to which VCF is written.
-        """
         logger.debug("Reading the input VCF to find possibly missing headers")
         contigs, formats, infos = missing_headers(in_path)
         logger.debug("Missing contigs: %s", contigs)
@@ -900,18 +932,17 @@ class VcfAugmenter(ABC):
         self._reader = VariantFile(in_path)
         augment_header(self._reader.header, contigs, formats, infos)
         if command_line is not None:
-            command_line = '"' + command_line.replace('"', "") + '"'
-            self._reader.header.add_meta("commandline", command_line)
+            self._reader.header.add_meta("commandline", '"' + command_line.replace('"', "") + '"')
         self.setup_header(self._reader.header)
         self._writer = VariantFile(out_file, mode="w", header=self._reader.header)
-        self._unprocessed_record: Optional[VariantRecord] = None
-        self._reader_iter = iter(self._reader)
+        self._records = iter(self._reader)
+        # one-record lookahead buffer for chromosome hand-off
+        self._buffered: Optional[VariantRecord] = None
 
-    @abstractmethod
-    def setup_header(self, header):
-        ...
+    def setup_header(self, header) -> None:
+        raise NotImplementedError
 
-    def close(self):
+    def close(self) -> None:
         self._writer.close()
 
     def __enter__(self):
@@ -924,25 +955,27 @@ class VcfAugmenter(ABC):
     def samples(self) -> List[str]:
         return list(self._reader.header.samples)
 
-    def _record_modifier(self, chromosome: str):
-        for record in self._iterrecords(chromosome):
-            yield record
-            self._writer.write(record)
-
-    def _iterrecords(self, chromosome: str) -> Iterable[VariantRecord]:
-        """Yield all records for the target chromosome"""
-        n = 0
-        if self._unprocessed_record is not None:
-            assert self._unprocessed_record.chrom == chromosome
-            yield self._unprocessed_record
-            n += 1
-        for record in self._reader_iter:
-            n += 1
+    def _iterrecords(self, chromosome: str) -> Iterator[VariantRecord]:
+        """All input records of ``chromosome``; the first record of the
+        following chromosome is buffered for the next call."""
+        emitted = 0
+        if self._buffered is not None:
+            assert self._buffered.chrom == chromosome
+            yield self._buffered
+            self._buffered = None
+            emitted += 1
+        for record in self._records:
             if record.chrom != chromosome:
-                self._unprocessed_record = record
-                assert n != 1
+                self._buffered = record
+                assert emitted > 0
                 return
+            emitted += 1
             yield record
+
+    def _record_modifier(self, chromosome: str) -> Iterator[VariantRecord]:
+        for record in self._iterrecords(chromosome):
+            yield record  # caller mutates it here
+            self._writer.write(record)
 
     def write_unchanged(self, chromosome: str) -> None:
         for record in self._iterrecords(chromosome):
@@ -950,8 +983,8 @@ class VcfAugmenter(ABC):
 
 
 class PhasedVcfWriter(VcfAugmenter):
-    """Read in a VCF file and write it back out with added phasing
-    information (PS or HP tags)."""
+    """Copy a VCF through, adding phasing (PS or HP tags) from computed
+    superreads."""
 
     def __init__(
         self,
@@ -969,41 +1002,49 @@ class PhasedVcfWriter(VcfAugmenter):
         self.tag = tag
         self.ploidy = ploidy
         super().__init__(in_path, command_line, out_file, include_haploid_sets)
-        self._phase_tag_found_warned = False
-        self._set_phasing_tags = self._set_HP if tag == "HP" else self._set_PS
+        self._warned_existing_tag = False
         self._only_snvs = only_snvs
         self._mav = mav
 
-    def setup_header(self, header: VariantHeader):
-        """Called by baseclass constructor"""
+    def setup_header(self, header: VariantHeader) -> None:
         header.remove_meta_key("phasing")
         header.add_line(PREDEFINED_FORMATS[self.tag].line())
 
-    def _set_HP(
-        self,
-        call: VariantRecordSample,
-        component: int,
-        phase: Tuple[int, ...],
-        haploid_component: Optional[Iterable[int]] = None,
-    ):
-        assert all(allele in [0, 1] or self._mav for allele in phase)
-        call["HP"] = ",".join(f"{component + 1}-{allele + 1}" for allele in phase)
-        if haploid_component:
-            call["HS"] = [comp + 1 for comp in haploid_component]
+    # -- tag emission
 
-    def _set_PS(
+    def _alleles_ok(self, phase: Tuple[int, ...]) -> bool:
+        return all(allele in (0, 1) or self._mav for allele in phase)
+
+    def _apply_phase(
         self,
         call: VariantRecordSample,
-        component: int,
+        block_id: int,
         phase: Tuple[int, ...],
-        haploid_component: Optional[Iterable[int]] = None,
-    ):
-        assert all(allele in [0, 1] or self._mav for allele in phase)
-        call["PS"] = component + 1
-        call["GT"] = phase
+        haploid_component: Optional[Iterable[int]],
+    ) -> None:
+        assert self._alleles_ok(phase)
+        if self.tag == "HP":
+            call["HP"] = ",".join(f"{block_id + 1}-{a + 1}" for a in phase)
+        else:
+            call["PS"] = block_id + 1
+            call["GT"] = phase
+            call.phased = True
         if haploid_component:
-            call["HS"] = [comp + 1 for comp in haploid_component]
-        call.phased = True
+            call["HS"] = [c + 1 for c in haploid_component]
+
+    def _remove_existing_phasing(self, record: VariantRecord, samples: Iterable[str]) -> None:
+        if self.tag != "PS":
+            return
+        for sample in samples:
+            call = record.samples[sample]
+            if "GT" not in call:
+                continue
+            call.phased = False
+            gt = call["GT"]
+            if gt is not None and None not in gt:
+                call["GT"] = tuple(sorted(gt))
+
+    # -- main entry
 
     def write(
         self,
@@ -1011,196 +1052,170 @@ class PhasedVcfWriter(VcfAugmenter):
         sample_superreads: Dict[str, ReadSet],
         sample_components: Dict,
         sample_haploid_components=None,
-    ):
-        """
-        Add phasing information to all variants on a single chromosome.
-
-        sample_components maps sample -> {variant position -> component id}
-        where a component is identified by the position of its left-most
-        variant.  Returns a list of GenotypeChange objects.
-        """
-        genotype_changes = []
-        sample_phases: Dict[str, Dict] = dict()
-        sample_genotypes: Dict[str, Dict] = dict()
+    ) -> List[GenotypeChange]:
+        """Phase one chromosome's records.  ``sample_components`` maps
+        sample -> {position -> block id (leftmost variant position)}.
+        Returns the genotype corrections that were applied."""
+        # per sample: position -> (phase tuple, implied genotype)
+        phase_of: Dict[str, Dict[int, Tuple[Tuple[int, ...], Genotype]]] = {}
         for sample, superreads in sample_superreads.items():
-            sample_phases[sample] = {}
-            sample_genotypes[sample] = {}
-            for variants in zip(*superreads):
-                phasing = tuple(v.allele for v in variants)
-                allowed_alleles = all(
-                    allele in [0, 1] or self._mav for allele in phasing
-                )
-                if allowed_alleles:
-                    sample_phases[sample][variants[0].position] = phasing
-                    sample_genotypes[sample][variants[0].position] = Genotype(list(phasing))
+            per_pos = phase_of[sample] = {}
+            for haplotype_slices in zip(*superreads):
+                phasing = tuple(v.allele for v in haplotype_slices)
+                if self._alleles_ok(phasing):
+                    per_pos[haplotype_slices[0].position] = (phasing, Genotype(list(phasing)))
 
+        genotype_changes: List[GenotypeChange] = []
+        target_samples = list(sample_superreads)
         prev_pos = None
         for record in self._record_modifier(chromosome):
-            self._remove_existing_phasing(record, list(sample_superreads))
-            pos = record.start
+            self._remove_existing_phasing(record, target_samples)
             if not record.alts:
                 continue
             if len(record.alts) > 1 and not self._mav:
                 continue
+            pos = record.start
             if pos == prev_pos:
                 continue
-            is_snv = len(str(record.ref)) == 1 and len(str(record.alts[0])) == 1
-            if self._only_snvs and not is_snv:
+            if self._only_snvs and not (
+                len(str(record.ref)) == 1 and len(str(record.alts[0])) == 1
+            ):
                 continue
 
-            # Determine whether the variant is phased in any sample
-            for sample in self.samples:
-                if sample in sample_superreads:
-                    components = sample_components[sample]
-                    phases = sample_phases[sample]
-                    if pos in components and pos in phases:
-                        break
-            else:
-                continue
+            if not any(
+                pos in sample_components.get(s, ()) and pos in phase_of.get(s, ())
+                for s in self.samples
+                if s in sample_superreads
+            ):
+                continue  # this variant is phased in no sample
 
-            # Set phase tag for all target samples
-            for sample in sample_superreads:
+            for sample in target_samples:
                 call = record.samples[sample]
-                components = sample_components[sample]
-                haploid_components = (
-                    sample_haploid_components[sample] if sample_haploid_components else None
+                self._warn_about_existing_tag(call)
+                genotype_changes.extend(
+                    self._phase_one_call(record, chromosome, sample, call, pos, phase_of[sample],
+                                         sample_components[sample], sample_haploid_components)
                 )
-                phases = sample_phases[sample]
-                genotypes = sample_genotypes[sample]
-
-                if (
-                    self.tag in call
-                    and call[self.tag] is not None
-                    and not self._phase_tag_found_warned
-                ):
-                    logger.warning(
-                        "Ignoring existing phasing information "
-                        "found in input VCF ({} tag exists).".format(self.tag)
-                    )
-                    self._phase_tag_found_warned = True
-
-                gt_type = genotype_code(call["GT"])
-                is_het = not gt_type.is_homozygous()
-
-                # is genotype to be changed?
-                if pos in genotypes and genotypes[pos] != gt_type:
-                    call["GT"] = tuple(genotypes[pos].as_vector())
-                    variant: VcfVariant
-                    if len(record.alts) > 1:
-                        variant = MultiallelicVcfVariant(record.start, record.ref, record.alts)
-                    else:
-                        variant = BiallelicVcfVariant(record.start, record.ref, record.alts[0])
-                    genotype_changes.append(
-                        GenotypeChange(sample, chromosome, variant, gt_type, genotypes[pos])
-                    )
-                    is_het = not genotypes[pos].is_homozygous()
-
-                if pos in components and pos in phases and is_het:
-                    haploid_component = (
-                        haploid_components[pos]
-                        if (
-                            haploid_components
-                            and pos in haploid_components
-                            and len(haploid_components[pos]) == self.ploidy
-                        )
-                        else None
-                    )
-                    self._set_phasing_tags(call, components[pos], phases[pos], haploid_component)
-                else:
-                    # Unphased
-                    call[self.tag] = None
             prev_pos = pos
         return genotype_changes
 
-    def _remove_existing_phasing(self, record: VariantRecord, samples: Iterable[str]):
-        if self.tag == "PS":
-            for sample in samples:
-                call = record.samples[sample]
-                if "GT" not in call:
-                    continue
-                call.phased = False
-                if call["GT"] is not None and all(allele is not None for allele in call["GT"]):
-                    call["GT"] = tuple(sorted(call["GT"]))
+    def _warn_about_existing_tag(self, call: VariantRecordSample) -> None:
+        if self._warned_existing_tag:
+            return
+        if self.tag in call and call[self.tag] is not None:
+            logger.warning(
+                "Ignoring existing phasing information "
+                "found in input VCF ({} tag exists).".format(self.tag)
+            )
+            self._warned_existing_tag = True
 
+    def _phase_one_call(
+        self,
+        record: VariantRecord,
+        chromosome: str,
+        sample: str,
+        call: VariantRecordSample,
+        pos: int,
+        phases: Dict[int, Tuple[Tuple[int, ...], Genotype]],
+        components: Dict[int, int],
+        sample_haploid_components,
+    ) -> List[GenotypeChange]:
+        changes: List[GenotypeChange] = []
+        current_gt = genotype_code(call["GT"])
+        is_het = not current_gt.is_homozygous()
 
-def genotype_code(gt: Optional[Tuple[Optional[int], ...]]) -> Genotype:
-    """Return genotype encoded as a core Genotype object"""
-    if gt is None:
-        result = Genotype([])
-    elif any(allele is None for allele in gt):
-        result = Genotype([])
-    else:
-        result = Genotype([allele for allele in gt])
-    return result
+        entry = phases.get(pos)
+        if entry is not None:
+            phasing, implied_gt = entry
+            if implied_gt != current_gt:
+                # solver corrected the genotype (distrust-genotypes mode)
+                call["GT"] = tuple(implied_gt.as_vector())
+                alts = record.alts
+                variant: VcfVariant
+                if len(alts) > 1:
+                    variant = MultiallelicVcfVariant(record.start, record.ref, alts)
+                else:
+                    variant = BiallelicVcfVariant(record.start, record.ref, alts[0])
+                changes.append(
+                    GenotypeChange(sample, chromosome, variant, current_gt, implied_gt)
+                )
+                is_het = not implied_gt.is_homozygous()
+
+        if entry is not None and pos in components and is_het:
+            haploid_component = None
+            if sample_haploid_components:
+                hc = sample_haploid_components[sample]
+                if pos in hc and len(hc[pos]) == self.ploidy:
+                    haploid_component = hc[pos]
+            self._apply_phase(call, components[pos], entry[0], haploid_component)
+        else:
+            call[self.tag] = None
+        return changes
 
 
 class GenotypeVcfWriter(VcfAugmenter):
-    """Read in a VCF file and write it back out with added genotyping
-    information (GT/GQ/GL)."""
+    """Copy a VCF through, replacing genotype calls (GT/GQ/GL) with the
+    re-genotyping results."""
 
     def __init__(self, in_path: str, command_line: Optional[str], out_file: TextIO = sys.stdout):
         super().__init__(in_path, command_line, out_file)
 
-    def setup_header(self, header: VariantHeader):
-        """Called by baseclass constructor"""
+    def setup_header(self, header: VariantHeader) -> None:
         header.add_line(
-            '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype computed by WhatsHap genotyping algorithm">'
+            '##FORMAT=<ID=GT,Number=1,Type=String,Description="'
+            'Genotype computed by WhatsHap genotyping algorithm">'
         )
         header.add_line(
-            '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Phred-scaled genotype quality computed by WhatsHap genotyping algorithm">'
+            '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="'
+            'Phred-scaled genotype quality computed by WhatsHap genotyping algorithm">'
         )
         header.add_line(
-            '##FORMAT=<ID=GL,Number=G,Type=Float,Description="Log10-scaled likelihoods for genotypes: 0/0, 0/1, 1/1, computed by WhatsHap genotyping algorithm">'
+            '##FORMAT=<ID=GL,Number=G,Type=Float,Description="'
+            'Log10-scaled likelihoods for genotypes: 0/0, 0/1, 1/1, '
+            'computed by WhatsHap genotyping algorithm">'
         )
 
     def write_genotypes(
         self, chromosome: str, variant_table: VariantTable, only_snvs, ploidy: int = 2
     ) -> None:
-        """Add genotyping information to all variants on a single chromosome."""
-        genotyped_variants = dict()
-        for i in range(len(variant_table)):
-            genotyped_variants[variant_table.variants[i].position] = i
+        """Write re-genotyped records for one chromosome."""
+        row_of = {v.position: i for i, v in enumerate(variant_table.variants)}
 
-        GT_GL_GQ = frozenset(["GT", "GL", "GQ"])
+        KEEP_TAGS = frozenset(["GT", "GL", "GQ"])
         for record in self._record_modifier(chromosome):
-            pos = record.start
             if not record.alts:
                 continue
+            pos = record.start
+            n_alleles = 1 + len(record.alts)
+            n_genotypes = int(binomial_coefficient(ploidy + n_alleles - 1, n_alleles - 1))
 
             for sample, call in record.samples.items():
-                geno = Genotype([])
-                n_alleles = 1 + len(record.alts)
-                n_genotypes = binomial_coefficient(ploidy + n_alleles - 1, n_alleles - 1)
-                geno_l = [1 / n_genotypes] * int(n_genotypes)
+                # defaults: no call, flat likelihood over all genotypes
+                genotype = Genotype([])
+                likelihoods: List[float] = [1 / n_genotypes] * n_genotypes
 
-                if pos in genotyped_variants:
-                    likelihoods = variant_table.genotype_likelihoods_of(sample)[
-                        genotyped_variants[pos]
-                    ]
-                    # likelihoods can be 'None' if position was not accessible
-                    if likelihoods is not None:
-                        geno_l = [l for l in likelihoods]
-                        geno = variant_table.genotypes_of(sample)[genotyped_variants[pos]]
+                row = row_of.get(pos)
+                if row is not None:
+                    gl = variant_table.genotype_likelihoods_of(sample)[row]
+                    # gl is None when the position was inaccessible
+                    if gl is not None:
+                        likelihoods = list(gl)
+                        genotype = variant_table.genotypes_of(sample)[row]
 
-                # Compute GQ
-                geno_index = geno.get_index()
-                geno_q = sum(geno_l[i] for i in range(n_genotypes) if i != geno_index)
+                call["GT"] = tuple(genotype.as_vector())
+                call["GL"] = [
+                    max(math.log10(p), -1000) if p > 0 else -1000 for p in likelihoods
+                ]
 
-                call["GT"] = tuple(geno.as_vector())
-                call["GL"] = [max(math.log10(j), -1000) if j > 0 else -1000 for j in geno_l]
-
-                # store quality as phred score
-                if not geno.is_none():
-                    assert geno_q is not None
-                    if geno_q > 0:
-                        call["GQ"] = min(round(-10.0 * math.log10(geno_q)), 10000)
-                    else:
-                        call["GQ"] = 10000
-                else:
+                # GQ = phred probability that the call is wrong
+                if genotype.is_none():
                     call["GQ"] = None
+                else:
+                    wrong = sum(
+                        likelihoods[i] for i in range(n_genotypes) if i != genotype.get_index()
+                    )
+                    call["GQ"] = min(round(-10.0 * math.log10(wrong)), 10000) if wrong > 0 else 10000
 
                 record.qual = None
-
-                # delete all other genotype information present before
-                for tag in set(call.keys()) - GT_GL_GQ:
+                for tag in set(call.keys()) - KEEP_TAGS:
                     del call[tag]

@@ -1,55 +1,64 @@
 """
-Internal correctness oracle: recompute the MEC score from the reported
-partitioning and compare to the DP-reported optimum
-(parity with whatshap/verification.py).
+Self-check oracle for DP results: independently recompute the MEC score
+implied by the solver's reported superreads/partitioning and require it to
+equal the solver's reported optimum (counterpart of the reference's
+whatshap/verification.py, used by tests and debugging sessions).
 """
 
-from .core import Read
+EQUAL_SCORES = 3
 
 
-def verify_mec_score_and_partitioning(dp_table, reads):
-    """Check that the reported partitioning leads to the reported MEC score."""
-    superreads, transmission_vector = dp_table.get_super_reads()
-    assert len(superreads) == 1
-    superreads = superreads[0]
-    assert len(superreads) == 2
-    # create new superreads that don't contain 3s (EQUAL COST)
-    new_superreads = [Read("superread0", 0), Read("superread1", 0)]
-    assert len(superreads[0]) == len(superreads[1])
-    for i in range(len(superreads[0])):
-        for j in range(2):
-            v = superreads[j][i]
-            allele = v.allele
-            if allele == 3:
-                allele = j
-            new_superreads[j].add_variant(v.position, allele, v.quality)
+def verify_mec_score_and_partitioning(dp_table, reads) -> None:
+    """Recompute the MEC score from ``dp_table``'s own superreads and check
+    it against ``get_optimal_cost()``; also check that every read with a
+    cost preference sits on its cheaper haplotype (modulo one global
+    haplotype swap, which the DP is free to choose)."""
+    superread_sets, _ = dp_table.get_super_reads()
+    assert len(superread_sets) == 1, "single-individual verification only"
+    pair = superread_sets[0]
+    assert len(pair) == 2
+    assert len(pair[0]) == len(pair[1])
+
+    # Haplotype alleles by position; EQUAL_SCORES (either allele ties)
+    # resolves to haplotype h's default so the two haplotypes stay
+    # complementary at tied sites.
+    hap_allele = [{}, {}]
+    for h in (0, 1):
+        for v in pair[h]:
+            hap_allele[h][v.position] = h if v.allele == EQUAL_SCORES else v.allele
+
+    # Per-read disagreement cost against each haplotype.
+    def read_costs(read):
+        c0 = c1 = 0
+        for v in read:
+            if v.position not in hap_allele[0]:
+                continue
+            if hap_allele[0][v.position] != v.allele:
+                c0 += v.quality
+            if hap_allele[1][v.position] != v.allele:
+                c1 += v.quality
+        return c0, c1
+
     partitioning = dp_table.get_optimal_partitioning()
-    position_to_index = {variant.position: index for index, variant in enumerate(new_superreads[0])}
-    swapped = False
-    mec_score = 0
-    n = 0
-    for read_index, read in enumerate(reads):
-        cost0 = 0
-        cost1 = 0
-        for variant in read:
-            if variant.position in position_to_index:
-                if new_superreads[0][position_to_index[variant.position]].allele != variant.allele:
-                    cost0 = cost0 + variant.quality
-                if new_superreads[1][position_to_index[variant.position]].allele != variant.allele:
-                    cost1 = cost1 + variant.quality
-        mec_score += min(cost0, cost1)
-        if cost0 == cost1:
+    total = 0
+    # The DP may label haplotypes in either order; infer the orientation
+    # from the first read that strictly prefers one side.
+    orientation = None
+    for idx, read in enumerate(reads):
+        c0, c1 = read_costs(read)
+        total += min(c0, c1)
+        if c0 == c1:
             continue
-        haplotype = 0 if (cost0 < cost1) != swapped else 1
-        if partitioning[read_index] != haplotype:
-            if n == 0:
-                swapped = True
-            else:
-                assert False
-        n += 1
-    print(
-        "Expected MEC score: {}, obtained MEC score: {}".format(
-            mec_score, dp_table.get_optimal_cost()
-        )
-    )
-    assert mec_score == dp_table.get_optimal_cost()
+        preferred = 0 if c0 < c1 else 1
+        assigned = partitioning[idx]
+        if orientation is None:
+            orientation = preferred == assigned
+        else:
+            assert (preferred == assigned) == orientation, (
+                f"read {idx} assigned to haplotype {assigned} but strictly "
+                f"prefers {preferred} (costs {c0}/{c1})"
+            )
+
+    reported = dp_table.get_optimal_cost()
+    print(f"Expected MEC score: {total}, obtained MEC score: {reported}")
+    assert total == reported
