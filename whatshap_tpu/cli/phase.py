@@ -12,13 +12,12 @@ from argparse import SUPPRESS
 from collections import defaultdict
 from contextlib import ExitStack
 from copy import deepcopy
+from dataclasses import dataclass
 from pathlib import Path
 from typing import (
-    IO,
     Dict,
     List,
     Mapping,
-    MutableSequence,
     Optional,
     Sequence,
     Set,
@@ -36,7 +35,7 @@ from ..core import (
     ReadSet,
 )
 from ..graph import ComponentFinder
-from ..merge import DoNothingReadMerger, ReadMerger, ReadMergerBase
+from ..merge import DoNothingReadMerger, ReadMerger
 from ..pedigree import (
     GeneticMapRecombinationCostComputer,
     ParseError,
@@ -56,6 +55,7 @@ from . import (
     CommandLineError,
     PhasedInputReader,
     log_memory_usage,
+    populate_arg_parser,
     raise_if_any_sample_not_in_vcf,
 )
 
@@ -64,74 +64,71 @@ __author__ = "Murray Patterson, Alexander Schönhuth, Tobias Marschall, Marcel M
 logger = logging.getLogger(__name__)
 
 
+# ---------------------------------------------------------------------------
+# connected components of variants
+
+
 def find_components(
     phased_positions: Sequence[int],
     reads: ReadSet,
     master_block: Optional[Sequence[int]] = None,
     heterozygous_positions: Optional[Mapping[int, Set[int]]] = None,
 ) -> Mapping[int, int]:
-    """
-    Return a dict that maps each variant position to the component it is in.
-    Variants are considered to be in the same component if a read exists that
-    covers both. A component is identified by the position of its leftmost
-    variant.
-    """
+    """Map each phasable position to its phase block, where two positions
+    share a block iff some read covers both (and, when
+    ``heterozygous_positions`` is given, both are het in that read's
+    sample).  Blocks are named by their leftmost position.  An optional
+    ``master_block`` position list is forced into one block."""
     logger.debug("Finding connected components ...")
     assert phased_positions == sorted(phased_positions)
+    position_set = set(phased_positions)
+    finder = ComponentFinder(phased_positions)
 
-    component_finder = ComponentFinder(phased_positions)
-    phased_positions_set = set(phased_positions)
-    for read in reads:
+    def usable(read):
         if heterozygous_positions is None:
-            positions = [
-                variant.position for variant in read if variant.position in phased_positions_set
-            ]
-        else:
-            positions = [
-                variant.position
-                for variant in read
-                if (variant.position in phased_positions_set)
-                and (variant.position in heterozygous_positions[read.sample_id])
-            ]
-        for position in positions[1:]:
-            component_finder.merge(positions[0], position)
+            return [v.position for v in read if v.position in position_set]
+        hets = heterozygous_positions[read.sample_id]
+        return [v.position for v in read if v.position in position_set and v.position in hets]
+
+    for read in reads:
+        covered = usable(read)
+        for later in covered[1:]:
+            finder.merge(covered[0], later)
     if master_block is not None:
-        for position in master_block[1:]:
-            component_finder.merge(master_block[0], position)
-    components = {position: component_finder.find(position) for position in phased_positions_set}
-    return components
+        for later in master_block[1:]:
+            finder.merge(master_block[0], later)
+    return {position: finder.find(position) for position in position_set}
 
 
 def find_largest_component(components: Mapping[int, int]) -> Sequence[int]:
-    """Sorted list of positions in the largest component."""
-    blocks = defaultdict(list)
+    """Sorted positions of the biggest phase block."""
+    by_block: Dict[int, List[int]] = defaultdict(list)
     for position, block_id in components.items():
-        blocks[block_id].append(position)
-    largest: List[int] = []
-    for block in blocks.values():
-        if len(block) > len(largest):
-            largest = block
-    largest.sort()
-    return largest
+        by_block[block_id].append(position)
+    if not by_block:
+        return []
+    biggest = max(by_block.values(), key=len)
+    biggest.sort()
+    return biggest
 
 
 def best_case_blocks(reads: ReadSet) -> Tuple[int, int]:
-    """Number of connected components and non-singleton components if every
-    variant could be phased."""
-    positions = set()
+    """(number of components, number of non-singleton components) reachable
+    if every covered variant could be phased."""
+    positions = {v.position for read in reads for v in read}
+    finder = ComponentFinder(positions)
     for read in reads:
-        for variant in read:
-            positions.add(variant.position)
-    component_finder = ComponentFinder(positions)
-    for read in reads:
-        read_positions = [variant.position for variant in read]
-        for position in read_positions[1:]:
-            component_finder.merge(read_positions[0], position)
-    component_sizes: Dict[int, int] = defaultdict(int)
+        covered = [v.position for v in read]
+        for later in covered[1:]:
+            finder.merge(covered[0], later)
+    sizes: Dict[int, int] = defaultdict(int)
     for position in positions:
-        component_sizes[component_finder.find(position)] += 1
-    non_singletons = [component for component, size in component_sizes.items() if size > 1]
-    return len(component_sizes), len(non_singletons)
+        sizes[finder.find(position)] += 1
+    return len(sizes), sum(1 for size in sizes.values() if size > 1)
+
+
+# ---------------------------------------------------------------------------
+# read selection
 
 
 def select_reads(
@@ -140,37 +137,37 @@ def select_reads(
     logger.debug(
         "Reducing coverage to at most %dX by selecting most informative reads ...", max_coverage
     )
-    selected_indices = readselection(readset, max_coverage, preferred_source_ids)
-    selected_reads = readset.subset(selected_indices)
+    picked = readselection(readset, max_coverage, preferred_source_ids)
+    selection = readset.subset(picked)
     logger.info(
         "Selected %d most phase-informative reads covering %d variants",
-        len(selected_reads),
-        len(selected_reads.get_positions()),
+        len(selection),
+        len(selection.get_positions()),
     )
-    return selected_reads
+    return selection
 
 
 class ReadList:
-    """Write a list of reads that have been used for phasing to a file"""
+    """Tab-separated dump of the reads that went into phasing."""
+
+    _COLUMNS = (
+        "#readname",
+        "source_id",
+        "sample",
+        "phaseset",
+        "haplotype",
+        "covered_variants",
+        "first_variant_pos",
+        "last_variant_pos",
+    )
 
     def __init__(self, path: str):
         self._path = path
-        self._file: Optional[IO] = None
+        self._file = None
 
     def __enter__(self):
         self._file = open(self._path, "w")
-        print(
-            "#readname",
-            "source_id",
-            "sample",
-            "phaseset",
-            "haplotype",
-            "covered_variants",
-            "first_variant_pos",
-            "last_variant_pos",
-            sep="\t",
-            file=self._file,
-        )
+        print(*self._COLUMNS, sep="\t", file=self._file)
         return self
 
     def __exit__(self, *args):
@@ -181,18 +178,17 @@ class ReadList:
         self,
         readset: ReadSet,
         bipartition: Sequence[int],
-        sample_components: Mapping[str, Sequence[int]],
+        sample_components,
         numeric_sample_ids: NumericSampleIds,
     ) -> None:
         if self._file is None:
             raise ValueError("Needs to be used as context manager (e.g. in a with statement")
         assert len(readset) == len(bipartition)
-        numeric_id_to_name = numeric_sample_ids.inverse_mapping()
+        name_of = numeric_sample_ids.inverse_mapping()
         for read, haplotype in zip(readset, bipartition):
-            sample = numeric_id_to_name[read.sample_id]
-            components = sample_components[sample]
-            phaseset = components[read[0].position] + 1
-            print(
+            sample = name_of[read.sample_id]
+            phaseset = sample_components[sample][read[0].position] + 1
+            row = (
                 read.name,
                 read.source_id,
                 sample,
@@ -201,15 +197,18 @@ class ReadList:
                 len(read),
                 read[0].position + 1,
                 read[-1].position + 1,
-                sep="\t",
-                file=self._file,
             )
+            print(*row, sep="\t", file=self._file)
+
+
+# ---------------------------------------------------------------------------
+# pedigree setup
 
 
 def setup_pedigree(ped_path: str, samples: Sequence[str]) -> Tuple[Sequence[Trio], Set[str]]:
-    """Read a PED file; keep only complete trios among the given samples."""
-    trios = []
-    pedigree_samples = set()
+    """Read a PED file, keeping only trios fully contained in ``samples``."""
+    trios: List[Trio] = []
+    members: Set[str] = set()
     for trio in PedReader(ped_path):
         if trio.child is None or trio.mother is None or trio.father is None:
             warn_once(
@@ -220,11 +219,7 @@ def setup_pedigree(ped_path: str, samples: Sequence[str]) -> Tuple[Sequence[Trio
                 trio.father,
             )
             continue
-        if (
-            (trio.mother not in samples)
-            or (trio.father not in samples)
-            or (trio.child not in samples)
-        ):
+        if not {trio.mother, trio.father, trio.child}.issubset(samples):
             warn_once(
                 logger,
                 "Relationship %s/%s/%s ignored because at least one of the "
@@ -236,11 +231,570 @@ def setup_pedigree(ped_path: str, samples: Sequence[str]) -> Tuple[Sequence[Trio
             )
             continue
         trios.append(trio)
-        pedigree_samples.add(trio.child)
-        pedigree_samples.add(trio.father)
-        pedigree_samples.add(trio.mother)
+        members.update((trio.child, trio.father, trio.mother))
+    return trios, members
 
-    return trios, pedigree_samples
+
+def setup_families(
+    samples: Sequence[str], ped_path: Optional[str], max_coverage: int
+) -> Tuple[Mapping[str, Sequence[str]], Mapping[str, Sequence[Trio]]]:
+    """Group samples into families (connected via trio relations); both
+    returned maps are keyed by the family's representative sample."""
+    finder = ComponentFinder(samples)
+    if ped_path is None:
+        all_trios: Sequence[Trio] = []
+    else:
+        all_trios, _ = setup_pedigree(ped_path, samples)
+        for trio in all_trios:
+            if trio.father is not None:
+                finder.merge(trio.father, trio.child)
+            if trio.mother is not None:
+                finder.merge(trio.mother, trio.child)
+
+    families: Dict[str, List[str]] = defaultdict(list)
+    for sample in samples:
+        families[finder.find(sample)].append(sample)
+    family_trios: Dict[str, List[Trio]] = defaultdict(list)
+    for trio in all_trios:
+        family_trios[finder.find(trio.child)].append(trio)
+
+    logger.info(
+        "Working on %d sample%s from %d famil%s",
+        len(samples),
+        plural_s(len(samples)),
+        len(families),
+        "y" if len(families) == 1 else "ies",
+    )
+    deepest = max([0] + [len(trios) for trios in family_trios.values()])
+    if max_coverage + 2 * deepest > 23:
+        logger.warning(
+            "The maximum coverage is too high! "
+            "WhatsHap may take a long time to finish and require a huge amount of memory."
+        )
+    return families, family_trios
+
+
+def make_recombination_cost_computer(
+    ped: Optional[str], genmap: Optional[str], recombrate: float
+) -> RecombinationCostComputer:
+    if ped and genmap:
+        logger.info("Using region-specific recombination rates from genetic map %s.", genmap)
+        try:
+            return GeneticMapRecombinationCostComputer(genmap)
+        except ParseError as e:
+            raise CommandLineError(e)
+    if ped:
+        logger.info("Using uniform recombination rate of %g cM/Mb.", recombrate)
+    return UniformRecombinationCostComputer(recombrate)
+
+
+def find_mendelian_conflicts(trios: Sequence[Trio], variant_table: VariantTable) -> Set[int]:
+    conflicts: Set[int] = set()
+    for trio in trios:
+        if trio.mother is None or trio.father is None:
+            continue
+        columns = zip(
+            variant_table.genotypes_of(trio.mother),
+            variant_table.genotypes_of(trio.father),
+            variant_table.genotypes_of(trio.child),
+        )
+        for index, (gt_mother, gt_father, gt_child) in enumerate(columns):
+            if gt_mother.is_none() or gt_father.is_none() or gt_child.is_none():
+                continue
+            if mendelian_conflict(gt_mother, gt_father, gt_child):
+                conflicts.add(index)
+    return conflicts
+
+
+def find_phaseable_variants(
+    family: Sequence[str],
+    include_homozygous: bool,
+    trios: Sequence[Trio],
+    variant_table: VariantTable,
+) -> Tuple[Sequence[int], VariantTable]:
+    """Classify variant rows and return (positions homozygous in some
+    family member among retained rows, table restricted to phasable rows)."""
+    missing: Set[int] = set()
+    heterozygous: Set[int] = set()
+    homozygous: Set[int] = set()
+    for sample in family:
+        for index, gt in enumerate(variant_table.genotypes_of(sample)):
+            if gt.is_none():
+                missing.add(index)
+            elif gt.is_homozygous():
+                assert gt.is_diploid_and_biallelic()
+                homozygous.add(index)
+            else:
+                heterozygous.add(index)
+
+    conflicts = find_mendelian_conflicts(trios, variant_table)
+    all_rows = set(range(len(variant_table)))
+    retained = (all_rows if include_homozygous else heterozygous) - missing - conflicts
+
+    # Positions of retained variants homozygous in >= 1 individual feed the
+    # genetic-haplotyping master block.
+    homozygous_positions = [
+        variant_table.variants[i].position for i in retained & homozygous
+    ]
+    phasable = deepcopy(variant_table)
+    phasable.remove_rows_by_index(all_rows - retained)
+
+    if len(family) == 1:
+        logger.info(
+            "Found %d usable%s variants (%d skipped due to missing genotypes)",
+            len(phasable),
+            "" if include_homozygous else " heterozygous",
+            len(missing),
+        )
+    else:
+        logger.info(
+            "Found %d usable variants (%d skipped due to Mendelian conflicts)",
+            len(phasable),
+            len(conflicts),
+        )
+    return homozygous_positions, phasable
+
+
+def create_pedigree(
+    default_gq,
+    distrust_genotypes,
+    family,
+    gl_regularizer,
+    numeric_sample_ids,
+    phasable_variant_table,
+    trios,
+) -> Pedigree:
+    pedigree = Pedigree(numeric_sample_ids)
+    for sample in family:
+        genotypes = phasable_variant_table.genotypes_of(sample)
+        if not distrust_genotypes:
+            likelihoods = None
+        else:
+            likelihoods = []
+            raw = phasable_variant_table.genotype_likelihoods_of(sample)
+            for gt, gl in zip(genotypes, raw):
+                assert gt.is_diploid_and_biallelic()
+                if gl is None:
+                    # flat default_gq everywhere except the called genotype
+                    phred = [default_gq] * 3
+                    phred[gt.get_index()] = 0
+                    likelihoods.append(PhredGenotypeLikelihoods(phred))
+                else:
+                    likelihoods.append(gl.as_phred(regularizer=gl_regularizer))
+        pedigree.add_individual(sample, genotypes, likelihoods)
+    for trio in trios:
+        pedigree.add_relationship(
+            father_id=trio.father, mother_id=trio.mother, child_id=trio.child
+        )
+    return pedigree
+
+
+# ---------------------------------------------------------------------------
+# report files
+
+
+def write_changed_genotypes(gtchange_list_filename, changed_genotypes) -> None:
+    with open(gtchange_list_filename, "w") as f:
+        print(
+            "#sample", "chromosome", "position", "REF", "ALT", "old_gt", "new_gt", sep="\t", file=f
+        )
+        for change in changed_genotypes:
+            row = (
+                change.sample,
+                change.chromosome,
+                change.variant.position,
+                change.variant.reference_allele,
+                change.variant.alternative_allele,
+                repr(change.old_gt),
+                repr(change.new_gt),
+            )
+            print(*row, sep="\t", file=f)
+
+
+def write_recombination_list(
+    path: Union[str, Path],
+    chromosome: str,
+    accessible_positions: Sequence[int],
+    overall_components: Mapping[int, int],
+    recombination_costs: Sequence[int],
+    transmission_vector: Sequence[int],
+    trios: Sequence[Trio],
+) -> int:
+    """Write putative recombination events; returns how many."""
+    # decompose the packed transmission value: 2 bits per trio, child order
+    per_child: Dict[str, List[int]] = defaultdict(list)
+    for value in transmission_vector:
+        for trio in trios:
+            per_child[trio.child].append(value % 4)
+            value //= 4
+    header = (
+        "#child_id",
+        "chromosome",
+        "position1",
+        "position2",
+        "transmitted_hap_father1",
+        "transmitted_hap_father2",
+        "transmitted_hap_mother1",
+        "transmitted_hap_mother2",
+        "recombination_cost",
+    )
+    count = 0
+    with open(path, "w") as f:
+        print(*header, file=f)
+        for trio in trios:
+            events = find_recombination(
+                per_child[trio.child],
+                overall_components,
+                accessible_positions,
+                recombination_costs,
+            )
+            for e in events:
+                print(
+                    trio.child,
+                    chromosome,
+                    e.position1 + 1,
+                    e.position2 + 1,
+                    e.transmitted_hap_father1,
+                    e.transmitted_hap_father2,
+                    e.transmitted_hap_mother1,
+                    e.transmitted_hap_mother2,
+                    e.recombination_cost,
+                    file=f,
+                )
+            count += len(events)
+    return count
+
+
+# ---------------------------------------------------------------------------
+# the pipeline
+
+
+@dataclass
+class _Config:
+    """Everything run_whatshap was called with, minus the I/O resources."""
+
+    max_coverage: int
+    row_limit: int
+    distrust_genotypes: bool
+    include_homozygous: bool
+    genetic_haplotyping: bool
+    algorithm: str
+    default_gq: int
+    gl_regularizer: Optional[float]
+    recombination_list_filename: Optional[str]
+    gtchange_list_filename: Optional[str]
+
+
+class _PhasingPipeline:
+    """Per-run state and the chromosome/family/sample loops."""
+
+    def __init__(
+        self,
+        config: _Config,
+        phased_input_reader: PhasedInputReader,
+        vcf_writer: PhasedVcfWriter,
+        recombination_cost_computer: RecombinationCostComputer,
+        read_merger,
+        families,
+        family_trios,
+        numeric_sample_ids: NumericSampleIds,
+        read_list: Optional[ReadList],
+        timers: StageTimer,
+    ):
+        self.config = config
+        self.phased_input_reader = phased_input_reader
+        self.vcf_writer = vcf_writer
+        self.recombination_cost_computer = recombination_cost_computer
+        self.read_merger = read_merger
+        self.families = families
+        self.family_trios = family_trios
+        self.numeric_sample_ids = numeric_sample_ids
+        self.read_list = read_list
+        self.timers = timers
+
+    # -- per-sample input
+
+    def _load_sample_reads(self, chromosome, variants, sample, max_cov, distrust):
+        cfg = self.config
+        with self.timers("read_bam"):
+            readset, vcf_source_ids = self.phased_input_reader.read(
+                chromosome, variants, sample
+            )
+        with self.timers("select"):
+            readset = readset.subset([i for i, read in enumerate(readset) if len(read) >= 2])
+            logger.info("Kept %d reads that cover at least two variants each", len(readset))
+            merged = self.read_merger.merge(readset)
+            if cfg.algorithm == "heuristic":
+                selection = merged
+            else:
+                selection = select_reads(merged, max_cov, preferred_source_ids=vcf_source_ids)
+        return readset, selection
+
+    # -- solver dispatch
+
+    def _solve(self, all_reads, recombination_costs, pedigree, accessible_positions):
+        cfg = self.config
+        solver: PhasingAlgorithm
+        if cfg.algorithm == "hapchat":
+            from ..solver.hapchat import HapChatCore
+
+            solver = HapChatCore(all_reads)
+        elif cfg.algorithm == "heuristic":
+            from ..solver.heuristic import PedMecHeuristic
+
+            all_reads.sort()
+            solver = PedMecHeuristic(
+                all_reads,
+                recombination_costs,
+                pedigree,
+                cfg.row_limit,
+                distrust_genotypes=cfg.distrust_genotypes,
+                positions=accessible_positions,
+                allow_mutations=True,
+                verbosity=0,
+            )
+        else:
+            # exact wMEC/PedMEC on the TPU-native DP (ops.wmec: batched
+            # Pallas/XLA when big or forced, numpy mirror for tiny blocks)
+            solver = PedigreeDPTable(
+                all_reads,
+                recombination_costs,
+                pedigree,
+                cfg.distrust_genotypes,
+                accessible_positions,
+            )
+        return solver
+
+    # -- per-family phasing
+
+    def _phase_family(self, chromosome, variant_table, representative, family):
+        cfg = self.config
+        logger.info("")
+        if len(family) == 1:
+            logger.info("# Working on contig %s in individual %s", chromosome, representative)
+        else:
+            logger.info(
+                "# Working on contig %s in family individuals %s", chromosome, ",".join(family)
+            )
+        max_cov_per_sample = max(1, cfg.max_coverage // len(family))
+        logger.debug("Using maximum coverage per sample of %dX", max_cov_per_sample)
+        trios = self.family_trios[representative]
+        assert len(family) == 1 or len(trios) > 0
+
+        homozygous_positions, phasable_table = find_phaseable_variants(
+            family, cfg.include_homozygous, trios, variant_table
+        )
+
+        readsets = {}
+        for sample in family:
+            raw_readset, selection = self._load_sample_reads(
+                chromosome, phasable_table.variants, sample, max_cov_per_sample,
+                cfg.distrust_genotypes,
+            )
+            readsets[sample] = selection
+            if len(family) == 1 and not cfg.distrust_genotypes:
+                self._log_best_case(raw_readset, selection)
+
+        all_reads = ReadSet()
+        for readset in readsets.values():
+            for read in readset:
+                assert read.is_sorted(), "Add a read.sort() here"
+                all_reads.add(read)
+        all_reads.sort()
+
+        accessible_positions = sorted(all_reads.get_positions())
+        logger.debug(
+            "Variants covered by at least one phase-informative "
+            "read in at least one individual after read selection: %d",
+            len(accessible_positions),
+        )
+        if len(family) > 1 and cfg.genetic_haplotyping:
+            accessible_positions = sorted(set(accessible_positions) | set(homozygous_positions))
+            logger.info(
+                "Variants either covered by phase-informative read or homozygous "
+                "in at least one individual: %d",
+                len(accessible_positions),
+            )
+        phasable_table.subset_rows_by_position(accessible_positions)
+        assert len(phasable_table.variants) == len(accessible_positions)
+
+        pedigree = create_pedigree(
+            cfg.default_gq,
+            cfg.distrust_genotypes,
+            family,
+            cfg.gl_regularizer,
+            self.numeric_sample_ids,
+            phasable_table,
+            trios,
+        )
+        recombination_costs = self.recombination_cost_computer.compute(accessible_positions)
+
+        with self.timers("phase"):
+            problem_name = "MEC" if len(family) == 1 else "PedMEC"
+            logger.info(
+                "Phasing %d sample%s by solving the %s problem ...",
+                len(family),
+                plural_s(len(family)),
+                problem_name,
+            )
+            solver = self._solve(all_reads, recombination_costs, pedigree, accessible_positions)
+            superreads_list, transmission_vector = solver.get_super_reads()
+            logger.debug("%s cost: %d", problem_name, solver.get_optimal_cost())
+
+        with self.timers("components"):
+            overall_components = self._components_for_family(
+                accessible_positions,
+                all_reads,
+                family,
+                homozygous_positions,
+                superreads_list,
+            )
+            self._log_component_stats(overall_components, len(accessible_positions))
+
+        if cfg.recombination_list_filename:
+            assert transmission_vector is not None
+            n_events = write_recombination_list(
+                cfg.recombination_list_filename,
+                chromosome,
+                accessible_positions,
+                overall_components,
+                recombination_costs,
+                transmission_vector,
+                trios,
+            )
+            logger.info("Total no. of detected recombination events: %d", n_events)
+
+        return family, superreads_list, overall_components, all_reads, solver
+
+    def _components_for_family(
+        self, accessible_positions, all_reads, family, homozygous_positions, superreads_list
+    ):
+        cfg = self.config
+        accessible = set(accessible_positions)
+        master_block = None
+        het_by_sample: Optional[Dict[int, Set[int]]] = None
+        if cfg.distrust_genotypes:
+            # genotypes may have been changed by the solver: classify from
+            # the superreads, not the input table
+            hom_in_any = set()
+            het_by_sample = {}
+            hets = frozenset({(0, 1), (1, 0)})
+            homs = frozenset({(0, 0), (1, 1)})
+            for sample, superreads in zip(family, superreads_list):
+                sample_hets = set()
+                for v0, v1 in zip(*superreads):
+                    assert v0.position == v1.position
+                    if v0.position not in accessible:
+                        continue
+                    pair = (v0.allele, v1.allele)
+                    if pair in hets:
+                        sample_hets.add(v0.position)
+                    elif pair in homs:
+                        hom_in_any.add(v0.position)
+                het_by_sample[self.numeric_sample_ids[sample]] = sample_hets
+            if len(family) > 1 and cfg.genetic_haplotyping:
+                master_block = sorted(hom_in_any)
+        elif len(family) > 1 and cfg.genetic_haplotyping:
+            master_block = sorted(set(homozygous_positions) & accessible)
+        return find_components(accessible_positions, all_reads, master_block, het_by_sample)
+
+    @staticmethod
+    def _log_component_stats(components, n_accessible) -> None:
+        n_blocks = len(set(components.values()))
+        largest = find_largest_component(components)
+        if largest:
+            logger.info(
+                "%s",
+                f"Largest block contains {len(largest)} variants"
+                f" ({len(largest) / n_accessible:.1%} of accessible variants)"
+                f" between position {largest[0] + 1} and {largest[-1] + 1}",
+            )
+        else:
+            logger.info(f"No. of phased blocks: {n_blocks}")
+
+    @staticmethod
+    def _log_best_case(readset, selection) -> None:
+        n_all, n_nonsingleton_all = best_case_blocks(readset)
+        n_cov, n_nonsingleton_cov = best_case_blocks(selection)
+        logger.info(
+            "Best-case phasing would result in %d non-singleton phased block%s (%d singletons). ",
+            n_nonsingleton_cov,
+            plural_s(n_nonsingleton_cov),
+            n_cov - n_nonsingleton_cov,
+        )
+        logger.debug(
+            "... would be %d non-singleton phased blocks without read selection",
+            n_nonsingleton_all,
+        )
+
+    # -- per-chromosome driver
+
+    def process_chromosome(self, variant_table) -> None:
+        cfg = self.config
+        chromosome = variant_table.chromosome
+        superreads: Dict[str, ReadSet] = {}
+        components: Dict = {}
+
+        for representative, family in sorted(self.families.items()):
+            (family_, superreads_list, overall_components, all_reads, solver) = (
+                self._phase_family(chromosome, variant_table, representative, family)
+            )
+            # superreads arrive in pedigree (family) order
+            for sample, sample_superreads in zip(family_, superreads_list):
+                superreads[sample] = sample_superreads
+                assert len(sample_superreads) == 2
+                assert (
+                    sample_superreads[0].sample_id
+                    == sample_superreads[1].sample_id
+                    == self.numeric_sample_ids[sample]
+                )
+                components[sample] = overall_components  # same for all samples
+
+            if self.read_list:
+                self.read_list.write(
+                    all_reads,
+                    solver.get_optimal_partitioning(),
+                    components,
+                    self.numeric_sample_ids,
+                )
+
+        with self.timers("write_vcf"):
+            logger.debug("Writing phasing result to output VCF")
+            changed_genotypes = self.vcf_writer.write(chromosome, superreads, components)
+            if changed_genotypes:
+                assert cfg.distrust_genotypes
+                logger.info("Changed %d genotypes while writing VCF", len(changed_genotypes))
+        if cfg.gtchange_list_filename:
+            logger.info("Writing list of changed genotypes to %r", cfg.gtchange_list_filename)
+            write_changed_genotypes(cfg.gtchange_list_filename, changed_genotypes)
+
+        logger.debug("Chromosome %r finished", chromosome)
+
+    def skip_chromosome(self, chromosome) -> None:
+        logger.info(
+            "Leaving chromosome %r unchanged (present in VCF but not requested by --chromosome)",
+            chromosome,
+        )
+        with self.timers("write_vcf"):
+            self.vcf_writer.write(chromosome, {}, {})
+
+
+def _log_time_and_memory_usage(timers: StageTimer, show_phase_vcfs: bool) -> None:
+    total_time = timers.total()
+    logger.info("\n# Resource usage")
+    log_memory_usage()
+    # fmt: off
+    logger.info("Time spent reading BAM/CRAM:                 %6.1f s", timers.elapsed("read_bam"))
+    logger.info("Time spent parsing VCF:                      %6.1f s", timers.elapsed("parse_vcf"))
+    if show_phase_vcfs:
+        logger.info("Time spent parsing input phasings from VCFs: %6.1f s", timers.elapsed("parse_phasing_vcfs"))
+    logger.info("Time spent selecting reads:                  %6.1f s", timers.elapsed("select"))
+    logger.info("Time spent phasing:                          %6.1f s", timers.elapsed("phase"))
+    logger.info("Time spent writing VCF:                      %6.1f s", timers.elapsed("write_vcf"))
+    logger.info("Time spent finding components:               %6.1f s", timers.elapsed("components"))
+    logger.info("Time spent on rest:                          %6.1f s", total_time - timers.sum())
+    logger.info("Total elapsed time:                          %6.1f s", total_time)
+    # fmt: on
 
 
 def run_whatshap(
@@ -279,35 +833,32 @@ def run_whatshap(
     supplementary_distance_threshold: int = 100_000,
     algorithm: str = "whatshap",
 ) -> None:
-    """
-    Run the main phasing pipeline (see whatshap/cli/phase.py run_whatshap
-    for parameter documentation; behavior parity target).
-    """
+    """Run the whole phasing pipeline.  Parameter semantics match the
+    reference's run_whatshap (whatshap/cli/phase.py:289); the solver stack
+    underneath is TPU-native."""
     if algorithm == "hapchat" and ped is not None:
         raise CommandLineError("The hapchat algorithm cannot do pedigree phasing")
-    if samples is None:
-        samples = []
+
     timers = StageTimer()
     logger.info(
         f"This is whatshap-tpu {__version__} running under Python {platform.python_version()}"
     )
     numeric_sample_ids = NumericSampleIds()
-    command_line: Optional[str]
-    if write_command_line_header:
-        command_line = "(whatshap {}) {}".format(__version__, " ".join(sys.argv[1:]))
-    else:
-        command_line = None
-
-    read_merger: ReadMergerBase
-    if read_merging:
-        read_merger = ReadMerger(
+    command_line = (
+        "(whatshap {}) {}".format(__version__, " ".join(sys.argv[1:]))
+        if write_command_line_header
+        else None
+    )
+    read_merger = (
+        ReadMerger(
             read_merging_error_rate,
             read_merging_max_error_rate,
             read_merging_positive_threshold,
             read_merging_negative_threshold,
         )
-    else:
-        read_merger = DoNothingReadMerger()
+        if read_merging
+        else DoNothingReadMerger()
+    )
 
     with ExitStack() as stack:
         logger.debug("Creating PhasedInputReader")
@@ -324,7 +875,6 @@ def run_whatshap(
             )
         )
         show_phase_vcfs = phased_input_reader.has_vcfs
-
         if phased_input_reader.has_alignments and reference is None:
             raise CommandLineError(
                 "A reference FASTA needs to be provided with -r/--reference; "
@@ -345,7 +895,7 @@ def run_whatshap(
         except (OSError, VcfError) as e:
             raise CommandLineError(e)
 
-        # Only read genotype likelihoods from VCFs when distrusting genotypes
+        # genotype likelihoods are only needed when they may be overridden
         vcf_reader = stack.enter_context(
             VcfReader(variant_file, only_snvs=only_snvs, genotype_likelihoods=distrust_genotypes)
         )
@@ -355,689 +905,152 @@ def run_whatshap(
                 "When using --ignore-read-groups on a VCF with "
                 "multiple samples, --sample must also be used."
             )
-
         if not samples:
             samples = vcf_reader.samples
-
         if ped is not None and use_ped_samples:
             samples = PedReader(ped).samples()
-
-        assert samples is not None
         raise_if_any_sample_not_in_vcf(vcf_reader, samples)
 
         recombination_cost_computer = make_recombination_cost_computer(ped, genmap, recombrate)
-
         families, family_trios = setup_families(samples, ped, max_coverage)
         del samples
         for trios in family_trios.values():
             for trio in trios:
                 if trio.child is not None:
-                    _ = numeric_sample_ids[trio.child]
+                    numeric_sample_ids[trio.child]  # assign ids in child order
 
-        read_list = None
-        if read_list_filename:
-            read_list = stack.enter_context(ReadList(read_list_filename))
+        read_list = (
+            stack.enter_context(ReadList(read_list_filename)) if read_list_filename else None
+        )
 
         with timers("parse_phasing_vcfs"):
             phased_input_reader.read_vcfs()
 
-        superreads: Dict[str, ReadSet]
-        components: Dict
-        included_chromosomes = ChromosomeFilter(chromosomes, excluded_chromosomes)
+        pipeline = _PhasingPipeline(
+            _Config(
+                max_coverage=max_coverage,
+                row_limit=row_limit,
+                distrust_genotypes=distrust_genotypes,
+                include_homozygous=include_homozygous,
+                genetic_haplotyping=genetic_haplotyping,
+                algorithm=algorithm,
+                default_gq=default_gq,
+                gl_regularizer=gl_regularizer,
+                recombination_list_filename=recombination_list_filename,
+                gtchange_list_filename=gtchange_list_filename,
+            ),
+            phased_input_reader,
+            vcf_writer,
+            recombination_cost_computer,
+            read_merger,
+            families,
+            family_trios,
+            numeric_sample_ids,
+            read_list,
+            timers,
+        )
+
+        wanted = ChromosomeFilter(chromosomes, excluded_chromosomes)
         for variant_table in timers.iterate("parse_vcf", vcf_reader):
-            chromosome = variant_table.chromosome
-            if chromosome not in included_chromosomes:
-                logger.info(
-                    "Leaving chromosome %r unchanged "
-                    "(present in VCF but not requested by --chromosome)",
-                    chromosome,
-                )
-                with timers("write_vcf"):
-                    superreads, components = dict(), dict()
-                    vcf_writer.write(chromosome, superreads, components)
-                continue
-
-            # Phasing results for all samples on this chromosome
-            superreads, components = dict(), dict()
-
-            # One DP table per family
-            for representative_sample, family in sorted(families.items()):
-                logger.info("")
-                if len(family) == 1:
-                    logger.info(
-                        "# Working on contig %s in individual %s", chromosome, representative_sample
-                    )
-                else:
-                    logger.info(
-                        "# Working on contig %s in family individuals %s",
-                        chromosome,
-                        ",".join(family),
-                    )
-                max_coverage_per_sample = max(1, max_coverage // len(family))
-                logger.debug("Using maximum coverage per sample of %dX", max_coverage_per_sample)
-                trios = family_trios[representative_sample]
-                assert len(family) == 1 or len(trios) > 0
-
-                homozygous_positions, phasable_variant_table = find_phaseable_variants(
-                    family, include_homozygous, trios, variant_table
-                )
-
-                readsets = dict()
-                for sample in family:
-                    with timers("read_bam"):
-                        readset, vcf_source_ids = phased_input_reader.read(
-                            chromosome, phasable_variant_table.variants, sample
-                        )
-
-                    with timers("select"):
-                        readset = readset.subset(
-                            [i for i, read in enumerate(readset) if len(read) >= 2]
-                        )
-                        logger.info(
-                            "Kept %d reads that cover at least two variants each", len(readset)
-                        )
-                        merged_reads = read_merger.merge(readset)
-                        if algorithm == "heuristic":
-                            selected_reads = merged_reads
-                        else:
-                            selected_reads = select_reads(
-                                merged_reads,
-                                max_coverage_per_sample,
-                                preferred_source_ids=vcf_source_ids,
-                            )
-
-                    readsets[sample] = selected_reads
-                    if len(family) == 1 and not distrust_genotypes:
-                        log_best_case_phasing_info(readset, selected_reads)
-
-                all_reads = merge_readsets(readsets)
-
-                # Determine which variants can (in principle) be phased
-                accessible_positions = sorted(all_reads.get_positions())
-                logger.debug(
-                    "Variants covered by at least one phase-informative "
-                    "read in at least one individual after read selection: %d",
-                    len(accessible_positions),
-                )
-                if len(family) > 1 and genetic_haplotyping:
-                    accessible_positions = sorted(
-                        set(accessible_positions).union(homozygous_positions)
-                    )
-                    logger.info(
-                        "Variants either covered by phase-informative read or homozygous "
-                        "in at least one individual: %d",
-                        len(accessible_positions),
-                    )
-
-                phasable_variant_table.subset_rows_by_position(accessible_positions)
-                assert len(phasable_variant_table.variants) == len(accessible_positions)
-
-                pedigree = create_pedigree(
-                    default_gq,
-                    distrust_genotypes,
-                    family,
-                    gl_regularizer,
-                    numeric_sample_ids,
-                    phasable_variant_table,
-                    trios,
-                )
-                recombination_costs = recombination_cost_computer.compute(accessible_positions)
-
-                with timers("phase"):
-                    problem_name = "MEC" if len(family) == 1 else "PedMEC"
-                    logger.info(
-                        "Phasing %d sample%s by solving the %s problem ...",
-                        len(family),
-                        plural_s(len(family)),
-                        problem_name,
-                    )
-
-                    dp_table: PhasingAlgorithm
-                    if algorithm == "hapchat":
-                        from ..solver.hapchat import HapChatCore
-
-                        dp_table = HapChatCore(all_reads)
-                    elif algorithm == "heuristic":
-                        from ..solver.heuristic import PedMecHeuristic
-
-                        all_reads.sort()
-                        dp_table = PedMecHeuristic(
-                            all_reads,
-                            recombination_costs,
-                            pedigree,
-                            row_limit,
-                            distrust_genotypes=distrust_genotypes,
-                            positions=accessible_positions,
-                            allow_mutations=True,
-                            verbosity=0,
-                        )
-                    else:
-                        dp_table = PedigreeDPTable(
-                            all_reads,
-                            recombination_costs,
-                            pedigree,
-                            distrust_genotypes,
-                            accessible_positions,
-                        )
-                    superreads_list, transmission_vector = dp_table.get_super_reads()
-                    logger.debug("%s cost: %d", problem_name, dp_table.get_optimal_cost())
-
-                with timers("components"):
-                    overall_components = compute_overall_components(
-                        accessible_positions,
-                        all_reads,
-                        distrust_genotypes,
-                        family,
-                        genetic_haplotyping,
-                        homozygous_positions,
-                        numeric_sample_ids,
-                        superreads_list,
-                    )
-                    log_component_stats(overall_components, len(accessible_positions))
-
-                if recombination_list_filename:
-                    assert transmission_vector is not None
-                    n_recombinations = write_recombination_list(
-                        recombination_list_filename,
-                        chromosome,
-                        accessible_positions,
-                        overall_components,
-                        recombination_costs,
-                        transmission_vector,
-                        trios,
-                    )
-                    logger.info("Total no. of detected recombination events: %d", n_recombinations)
-
-                # Superreads are ordered like the individuals in the pedigree
-                for sample, sample_superreads in zip(family, superreads_list):
-                    superreads[sample] = sample_superreads
-                    assert len(sample_superreads) == 2
-                    assert (
-                        sample_superreads[0].sample_id
-                        == sample_superreads[1].sample_id
-                        == numeric_sample_ids[sample]
-                    )
-                    # identical for all samples
-                    components[sample] = overall_components
-
-                if read_list:
-                    read_list.write(
-                        all_reads,
-                        dp_table.get_optimal_partitioning(),
-                        components,
-                        numeric_sample_ids,
-                    )
-
-            with timers("write_vcf"):
-                logger.debug("Writing phasing result to output VCF")
-                changed_genotypes = vcf_writer.write(chromosome, superreads, components)
-                if changed_genotypes:
-                    assert distrust_genotypes
-                    logger.info("Changed %d genotypes while writing VCF", len(changed_genotypes))
-
-            if gtchange_list_filename:
-                logger.info("Writing list of changed genotypes to %r", gtchange_list_filename)
-                write_changed_genotypes(gtchange_list_filename, changed_genotypes)
-
-            logger.debug("Chromosome %r finished", chromosome)
-
-    log_time_and_memory_usage(timers, show_phase_vcfs=show_phase_vcfs)
-
-
-def compute_overall_components(
-    accessible_positions: Sequence[int],
-    all_reads: ReadSet,
-    distrust_genotypes: bool,
-    family: Sequence[str],
-    genetic_haplotyping: bool,
-    homozygous_positions: Sequence[int],
-    numeric_sample_ids: NumericSampleIds,
-    superreads_list: Sequence[ReadSet],
-) -> Mapping[int, int]:
-    master_block = None
-    heterozygous_positions_by_sample: Optional[Dict[int, Set[int]]] = None
-    accessible_positions_set = set(accessible_positions)
-    if distrust_genotypes:
-        hom_in_any_sample = set()
-        heterozygous_positions_by_sample = {}
-        heterozygous_gts = frozenset({(0, 1), (1, 0)})
-        homozygous_gts = frozenset({(0, 0), (1, 1)})
-        for sample, sample_superreads in zip(family, superreads_list):
-            hets = set()
-            for v1, v2 in zip(*sample_superreads):
-                assert v1.position == v2.position
-                if v1.position not in accessible_positions_set:
-                    continue
-                gt = (v1.allele, v2.allele)
-                if gt in heterozygous_gts:
-                    hets.add(v1.position)
-                elif gt in homozygous_gts:
-                    hom_in_any_sample.add(v1.position)
-            heterozygous_positions_by_sample[numeric_sample_ids[sample]] = hets
-        if len(family) > 1 and genetic_haplotyping:
-            master_block = sorted(hom_in_any_sample)
-    else:
-        if len(family) > 1 and genetic_haplotyping:
-            master_block = sorted(set(homozygous_positions).intersection(accessible_positions_set))
-    return find_components(
-        accessible_positions, all_reads, master_block, heterozygous_positions_by_sample
-    )
-
-
-def log_component_stats(components: Mapping[int, int], n_accessible_positions: int) -> None:
-    n_phased_blocks = len(set(components.values()))
-    largest = find_largest_component(components)
-    if largest:
-        logger.info(
-            "%s",
-            f"Largest block contains {len(largest)} variants"
-            f" ({len(largest) / n_accessible_positions:.1%} of accessible variants)"
-            f" between position {largest[0] + 1} and {largest[-1] + 1}",
-        )
-    else:
-        logger.info(f"No. of phased blocks: {n_phased_blocks}")
-
-
-def log_best_case_phasing_info(readset: ReadSet, selected_reads: ReadSet) -> None:
-    (n_best_case_blocks, n_best_case_nonsingleton_blocks) = best_case_blocks(readset)
-    (n_best_case_blocks_cov, n_best_case_nonsingleton_blocks_cov) = best_case_blocks(selected_reads)
-    logger.info(
-        "Best-case phasing would result in %d non-singleton phased block%s (%d singletons). ",
-        n_best_case_nonsingleton_blocks_cov,
-        plural_s(n_best_case_nonsingleton_blocks_cov),
-        n_best_case_blocks_cov - n_best_case_nonsingleton_blocks_cov,
-    )
-    logger.debug(
-        "... would be %d non-singleton phased blocks without read selection",
-        n_best_case_nonsingleton_blocks,
-    )
-
-
-def setup_families(
-    samples: Sequence[str], ped_path: Optional[str], max_coverage: int
-) -> Tuple[Mapping[str, Sequence[str]], Mapping[str, Sequence[Trio]]]:
-    """Return (families, family_trios), both keyed by family representative."""
-    family_finder = ComponentFinder(samples)
-    if ped_path is not None:
-        all_trios, pedigree_samples = setup_pedigree(ped_path, samples)
-        for trio in all_trios:
-            if trio.father is not None:
-                family_finder.merge(trio.father, trio.child)
-            if trio.mother is not None:
-                family_finder.merge(trio.mother, trio.child)
-    else:
-        all_trios = []
-
-    families: Mapping[str, MutableSequence[str]] = defaultdict(list)
-    for sample in samples:
-        families[family_finder.find(sample)].append(sample)
-
-    family_trios: Mapping[str, MutableSequence[Trio]] = defaultdict(list)
-    for trio in all_trios:
-        family_trios[family_finder.find(trio.child)].append(trio)
-    logger.info(
-        "Working on %d sample%s from %d famil%s",
-        len(samples),
-        plural_s(len(samples)),
-        len(families),
-        "y" if len(families) == 1 else "ies",
-    )
-
-    largest_trio_count = max([0] + [len(trio_list) for trio_list in family_trios.values()])
-    if max_coverage + 2 * largest_trio_count > 23:
-        logger.warning(
-            "The maximum coverage is too high! "
-            "WhatsHap may take a long time to finish and require a huge amount of memory."
-        )
-    return families, family_trios
-
-
-def make_recombination_cost_computer(
-    ped: Optional[str], genmap: Optional[str], recombrate: float
-) -> RecombinationCostComputer:
-    if ped and genmap:
-        logger.info("Using region-specific recombination rates from genetic map %s.", genmap)
-        try:
-            return GeneticMapRecombinationCostComputer(genmap)
-        except ParseError as e:
-            raise CommandLineError(e)
-    else:
-        if ped:
-            logger.info("Using uniform recombination rate of %g cM/Mb.", recombrate)
-        return UniformRecombinationCostComputer(recombrate)
-
-
-def find_phaseable_variants(
-    family: Sequence[str],
-    include_homozygous: bool,
-    trios: Sequence[Trio],
-    variant_table: VariantTable,
-) -> Tuple[Sequence[int], VariantTable]:
-    missing_genotypes = set()
-    heterozygous = set()
-    homozygous = set()
-    for sample in family:
-        genotypes = variant_table.genotypes_of(sample)
-        for index, gt in enumerate(genotypes):
-            if gt.is_none():
-                missing_genotypes.add(index)
-            elif not gt.is_homozygous():
-                heterozygous.add(index)
+            if variant_table.chromosome in wanted:
+                pipeline.process_chromosome(variant_table)
             else:
-                assert gt.is_diploid_and_biallelic()
-                homozygous.add(index)
-    mendelian_conflicts = find_mendelian_conflicts(trios, variant_table)
-    if include_homozygous:
-        to_retain = set(range(len(variant_table)))
-    else:
-        to_retain = heterozygous
-    to_retain = to_retain.difference(missing_genotypes).difference(mendelian_conflicts)
-    to_discard = set(range(len(variant_table))).difference(to_retain)
-    # Positions of retained variants homozygous in at least one individual;
-    # merged into one master block in genetic haplotyping mode.
-    homozygous_positions = [
-        variant_table.variants[i].position for i in to_retain.intersection(homozygous)
-    ]
-    phasable_variant_table = deepcopy(variant_table)
-    phasable_variant_table.remove_rows_by_index(to_discard)
+                pipeline.skip_chromosome(variant_table.chromosome)
 
-    if len(family) == 1:
-        logger.info(
-            "Found %d usable%s variants (%d skipped due to missing genotypes)",
-            len(phasable_variant_table),
-            "" if include_homozygous else " heterozygous",
-            len(missing_genotypes),
-        )
-    else:
-        logger.info(
-            "Found %d usable variants (%d skipped due to Mendelian conflicts)",
-            len(phasable_variant_table),
-            len(mendelian_conflicts),
-        )
-    return homozygous_positions, phasable_variant_table
+    _log_time_and_memory_usage(timers, show_phase_vcfs=show_phase_vcfs)
 
 
-def log_time_and_memory_usage(timers, show_phase_vcfs):
-    total_time = timers.total()
-    logger.info("\n# Resource usage")
-    log_memory_usage()
-    # fmt: off
-    logger.info("Time spent reading BAM/CRAM:                 %6.1f s", timers.elapsed("read_bam"))
-    logger.info("Time spent parsing VCF:                      %6.1f s", timers.elapsed("parse_vcf"))
-    if show_phase_vcfs:
-        logger.info("Time spent parsing input phasings from VCFs: %6.1f s", timers.elapsed("parse_phasing_vcfs"))
-    logger.info("Time spent selecting reads:                  %6.1f s", timers.elapsed("select"))
-    logger.info("Time spent phasing:                          %6.1f s", timers.elapsed("phase"))
-    logger.info("Time spent writing VCF:                      %6.1f s", timers.elapsed("write_vcf"))
-    logger.info("Time spent finding components:               %6.1f s", timers.elapsed("components"))
-    logger.info("Time spent on rest:                          %6.1f s", total_time - timers.sum())
-    logger.info("Total elapsed time:                          %6.1f s", total_time)
-    # fmt: on
+# ---------------------------------------------------------------------------
+# argument parsing
 
 
-def merge_readsets(readsets) -> ReadSet:
-    all_reads = ReadSet()
-    for sample, readset in readsets.items():
-        for read in readset:
-            assert read.is_sorted(), "Add a read.sort() here"
-            all_reads.add(read)
-    all_reads.sort()
-    return all_reads
+PHASE_ARGUMENTS = [
+    (None, [
+        ("variant_file", dict(metavar="VCF",
+            help="VCF or BCF file with variants to be phased (can be gzip-compressed)")),
+        ("phase_input_files", dict(nargs="*", metavar="PHASEINPUT",
+            help="BAM, CRAM, VCF or BCF file(s) with phase information, either through sequencing reads (BAM, CRAM) or through phased blocks (VCF, BCF)")),
+        (("-o", "--output"), dict(default=sys.stdout,
+            help="Output VCF file. Add .gz to the file name to get compressed output. If omitted, use standard output.")),
+        (("--reference", "-r"), dict(metavar="FASTA",
+            help="Reference file. Must be accompanied by .fai index (create with samtools faidx)")),
+        ("--no-reference", dict(action="store_true", default=False,
+            help="Detect alleles without requiring a reference, at the expense of phasing quality (in particular for long reads)")),
+        ("--tag", dict(choices=("PS", "HP"), default="PS",
+            help="Store phasing information with PS tag (standardized) or HP tag (used by GATK ReadBackedPhasing) (default: %(default)s)")),
+        ("--output-read-list", dict(metavar="FILE", default=None, dest="read_list_filename",
+            help="Write reads that have been used for phasing to FILE.")),
+        ("--algorithm", dict(choices=("whatshap", "hapchat", "heuristic"), default="whatshap",
+            help="Phasing algorithm to use (default: %(default)s)")),
+    ]),
+    (("Input pre-processing, selection and filtering", None), [
+        ("--merge-reads", dict(dest="read_merging", default=False, action="store_true",
+            help="Merge reads which are likely to come from the same haplotype (default: do not merge reads)")),
+        (("--max-coverage", "-H"), dict(metavar="MAXCOV", type=int,
+            dest="max_coverage_was_used", help=SUPPRESS)),
+        (("--row-limit", "-L"), dict(metavar="ROWLIMIT", type=int, default=None, dest="row_limit",
+            help="For the heuristic: Maximum number of memorized intermediate solutions. Larger values increase runtime and memory consumption, but can improve phasing quality. (default: %(default)s)")),
+        ("--internal-downsampling", dict(metavar="COVERAGE", dest="max_coverage", default=15, type=int,
+            help="Coverage reduction parameter in the internal core phasing algorithm. Higher values increase runtime *exponentially* while possibly improving phasing quality marginally. Avoid using this in the normal case! (default: %(default)s)")),
+        (("--mapping-quality", "--mapq"), dict(metavar="QUAL", default=20, type=int,
+            help="Minimum mapping quality (default: %(default)s)")),
+        ("--indels", dict(dest="indels_used", action="store_true", help=SUPPRESS)),
+        ("--only-snvs", dict(default=False, action="store_true", help="Phase only SNVs")),
+        ("--ignore-read-groups", dict(default=False, action="store_true",
+            help="Ignore read groups in BAM/CRAM header and assume all reads come from the same sample.")),
+        ("--sample", dict(dest="samples", metavar="SAMPLE", default=[], action="append",
+            help="Name of a sample to phase. If not given, all samples in the input VCF are phased. Can be used multiple times.")),
+        ("--chromosome", dict(dest="chromosomes", metavar="CHROMOSOME", default=[], action="append",
+            help="Name of chromosome to phase. If not given, all chromosomes in the input VCF are phased. Can be used multiple times.")),
+        ("--exclude-chromosome", dict(dest="excluded_chromosomes", default=[], action="append",
+            help="Name of chromosome not to phase.")),
+    ]),
+    (("Read merging", "The options in this section are only active when --merge-reads is used"), [
+        ("--error-rate", dict(dest="read_merging_error_rate", type=float, default=0.15,
+            help="The probability that a nucleotide is wrong in read merging model (default: %(default)s).")),
+        ("--maximum-error-rate", dict(dest="read_merging_max_error_rate", type=float, default=0.25,
+            help="The maximum error rate of any edge of the read merging graph before discarding it (default: %(default)s).")),
+        ("--threshold", dict(dest="read_merging_positive_threshold", type=int, default=1000000,
+            help="The threshold of the ratio between the probabilities that a pair of reads come from the same haplotype and different haplotypes in the read merging model (default: %(default)s).")),
+        ("--negative-threshold", dict(dest="read_merging_negative_threshold", type=int, default=1000,
+            help="The threshold of the ratio between the probabilities that a pair of reads come from different haplotypes and the same haplotype in the read merging model (default: %(default)s).")),
+    ]),
+    (("Genotyping", "These options are only used when --distrust-genotypes is used"), [
+        ("--full-genotyping", dict(action="store_true", default=False, help=SUPPRESS)),
+        ("--distrust-genotypes", dict(dest="distrust_genotypes", action="store_true", default=False,
+            help="Allow switching variants from hetero- to homozygous in an optimal solution (see documentation).")),
+        ("--include-homozygous", dict(dest="include_homozygous", action="store_true", default=False,
+            help="Also work on homozygous variants, which might be turned to heterozygous")),
+        ("--default-gq", dict(type=int, default=30,
+            help="Default genotype quality used as cost of changing a genotype when no genotype likelihoods are available (default %(default)s)")),
+        ("--gl-regularizer", dict(type=float, default=None,
+            help="Constant (float) to be used to regularize genotype likelihoods read from input VCF (default %(default)s).")),
+        ("--changed-genotype-list", dict(metavar="FILE", dest="gtchange_list_filename", default=None,
+            help="Write list of changed genotypes to FILE.")),
+    ]),
+    (("Pedigree phasing", None), [
+        ("--ped", dict(metavar="PED/FAM",
+            help="Use pedigree information in PED file to improve phasing (switches to PedMEC algorithm). Columns 2, 3, 4 must refer to child, father, and mother sample names as used in the VCF and BAM/CRAM. Other columns are ignored.")),
+        ("--recombination-list", dict(metavar="FILE", dest="recombination_list_filename", default=None,
+            help="Write putative recombination events to FILE.")),
+        ("--recombrate", dict(metavar="RECOMBRATE", type=float, default=1.26,
+            help="Recombination rate in cM/Mb (used with --ped). If given, a constant recombination rate is assumed (default: %(default)gcM/Mb).")),
+        ("--genmap", dict(metavar="FILE",
+            help="File with genetic map (used with --ped) to be used instead of constant recombination rate, i.e. overrides option --recombrate.")),
+        ("--no-genetic-haplotyping", dict(dest="genetic_haplotyping", action="store_false", default=True,
+            help="Do not merge blocks that are not connected by reads (i.e. solely based on genotype status). Default: when in --ped mode, merge all blocks that contain at least one homozygous genotype in at least one individual into one block.")),
+        ("--use-ped-samples", dict(dest="use_ped_samples", action="store_true", default=False,
+            help="Only work on samples mentioned in the provided PED file.")),
+        ("--use-supplementary", dict(dest="use_supplementary", action="store_true", default=False,
+            help="Use also supplementary alignments (default: ignore supplementary_ alignments)")),
+        ("--supplementary-distance", dict(metavar="DIST", type=int, dest="supplementary_distance_threshold", default=100_000,
+            help="Skip supplementary alignments further than DIST bp away from the primary alignment (default: %(default)s)")),
+    ]),
+]
 
 
-def create_pedigree(
-    default_gq,
-    distrust_genotypes,
-    family,
-    gl_regularizer,
-    numeric_sample_ids,
-    phasable_variant_table,
-    trios,
-):
-    pedigree = Pedigree(numeric_sample_ids)
-    for sample in family:
-        if distrust_genotypes:
-            genotype_likelihoods = []
-            for gt, gl in zip(
-                phasable_variant_table.genotypes_of(sample),
-                phasable_variant_table.genotype_likelihoods_of(sample),
-            ):
-                assert gt.is_diploid_and_biallelic()
-                if gl is None:
-                    # all genotypes get default_gq, except the called one
-                    x = [default_gq] * 3
-                    x[gt.get_index()] = 0
-                    genotype_likelihoods.append(PhredGenotypeLikelihoods(x))
-                else:
-                    genotype_likelihoods.append(gl.as_phred(regularizer=gl_regularizer))
-        else:
-            genotype_likelihoods = None
-        pedigree.add_individual(
-            sample, phasable_variant_table.genotypes_of(sample), genotype_likelihoods
-        )
-    for trio in trios:
-        pedigree.add_relationship(father_id=trio.father, mother_id=trio.mother, child_id=trio.child)
-    return pedigree
-
-
-def find_mendelian_conflicts(trios: Sequence[Trio], variant_table: VariantTable) -> Set[int]:
-    mendelian_conflicts = set()
-    for trio in trios:
-        if trio.mother is None or trio.father is None:
-            continue
-        genotypes_mother = variant_table.genotypes_of(trio.mother)
-        genotypes_father = variant_table.genotypes_of(trio.father)
-        genotypes_child = variant_table.genotypes_of(trio.child)
-
-        for index, (gt_mother, gt_father, gt_child) in enumerate(
-            zip(genotypes_mother, genotypes_father, genotypes_child)
-        ):
-            if (not gt_mother.is_none()) and (not gt_father.is_none()) and (not gt_child.is_none()):
-                if mendelian_conflict(gt_mother, gt_father, gt_child):
-                    mendelian_conflicts.add(index)
-    return mendelian_conflicts
-
-
-def write_changed_genotypes(gtchange_list_filename, changed_genotypes):
-    with open(gtchange_list_filename, "w") as f:
-        print(
-            "#sample", "chromosome", "position", "REF", "ALT", "old_gt", "new_gt", sep="\t", file=f
-        )
-        for changed_genotype in changed_genotypes:
-            print(
-                changed_genotype.sample,
-                changed_genotype.chromosome,
-                changed_genotype.variant.position,
-                changed_genotype.variant.reference_allele,
-                changed_genotype.variant.alternative_allele,
-                repr(changed_genotype.old_gt),
-                repr(changed_genotype.new_gt),
-                sep="\t",
-                file=f,
-            )
-
-
-def write_recombination_list(
-    path: Union[str, Path],
-    chromosome: str,
-    accessible_positions: Sequence[int],
-    overall_components: Mapping[int, int],
-    recombination_costs: Sequence[int],
-    transmission_vector: Sequence[int],
-    trios: Sequence[Trio],
-) -> int:
-    """Return total number of recombinations"""
-    transmission_vector_trio: Mapping[str, MutableSequence[int]] = defaultdict(list)
-    for transmission_vector_value in transmission_vector:
-        for trio in trios:
-            value = transmission_vector_value % 4
-            transmission_vector_value = transmission_vector_value // 4
-            transmission_vector_trio[trio.child].append(value)
-    with open(path, "w") as f:
-        n = 0
-        print(
-            "#child_id",
-            "chromosome",
-            "position1",
-            "position2",
-            "transmitted_hap_father1",
-            "transmitted_hap_father2",
-            "transmitted_hap_mother1",
-            "transmitted_hap_mother2",
-            "recombination_cost",
-            file=f,
-        )
-        for trio in trios:
-            recombination_events = find_recombination(
-                transmission_vector_trio[trio.child],
-                overall_components,
-                accessible_positions,
-                recombination_costs,
-            )
-            for e in recombination_events:
-                print(
-                    trio.child,
-                    chromosome,
-                    e.position1 + 1,
-                    e.position2 + 1,
-                    e.transmitted_hap_father1,
-                    e.transmitted_hap_father2,
-                    e.transmitted_hap_mother1,
-                    e.transmitted_hap_mother2,
-                    e.recombination_cost,
-                    file=f,
-                )
-            n += len(recombination_events)
-    return n
-
-
-# fmt: off
 def add_arguments(parser):
-    arg = parser.add_argument
-    # Positional arguments
-    arg("variant_file", metavar="VCF",
-        help="VCF or BCF file with variants to be phased (can be gzip-compressed)")
-    arg("phase_input_files", nargs="*", metavar="PHASEINPUT",
-        help="BAM, CRAM, VCF or BCF file(s) with phase information, either through "
-        "sequencing reads (BAM, CRAM) or through phased blocks (VCF, BCF)")
-
-    arg("-o", "--output", default=sys.stdout,
-        help="Output VCF file. Add .gz to the file name to get compressed output. "
-        "If omitted, use standard output.")
-    arg("--reference", "-r", metavar="FASTA",
-        help="Reference file. Must be accompanied by .fai index (create with samtools faidx)")
-    arg("--no-reference", action="store_true", default=False,
-        help="Detect alleles without requiring a reference, at the expense of phasing quality "
-        "(in particular for long reads)")
-    arg("--tag", choices=("PS", "HP"), default="PS",
-        help="Store phasing information with PS tag (standardized) or "
-        "HP tag (used by GATK ReadBackedPhasing) (default: %(default)s)")
-    arg("--output-read-list", metavar="FILE", default=None, dest="read_list_filename",
-        help="Write reads that have been used for phasing to FILE.")
-    arg("--algorithm", choices=("whatshap", "hapchat", "heuristic"), default="whatshap",
-        help="Phasing algorithm to use (default: %(default)s)")
-
-    arg = parser.add_argument_group("Input pre-processing, selection and filtering").add_argument
-    arg("--merge-reads", dest="read_merging", default=False, action="store_true",
-        help="Merge reads which are likely to come from the same haplotype "
-        "(default: do not merge reads)")
-    arg("--max-coverage", "-H", metavar="MAXCOV", type=int,
-        dest="max_coverage_was_used", help=SUPPRESS)
-    arg("--row-limit", "-L", metavar="ROWLIMIT", type=int, default=None, dest="row_limit",
-        help="For the heuristic: Maximum number of memorized "
-        "intermediate solutions. Larger values increase runtime and memory consumption, but can "
-        "improve phasing quality. (default: %(default)s)")
-    arg("--internal-downsampling", metavar="COVERAGE", dest="max_coverage", default=15, type=int,
-        help="Coverage reduction parameter in the internal core phasing algorithm. "
-        "Higher values increase runtime *exponentially* while possibly improving phasing "
-        "quality marginally. Avoid using this in the normal case! (default: %(default)s)")
-    arg("--mapping-quality", "--mapq", metavar="QUAL",
-        default=20, type=int, help="Minimum mapping quality (default: %(default)s)")
-    arg("--indels", dest="indels_used", action="store_true", help=SUPPRESS)
-    arg("--only-snvs", default=False, action="store_true", help="Phase only SNVs")
-    arg("--ignore-read-groups", default=False, action="store_true",
-        help="Ignore read groups in BAM/CRAM header and assume all reads come "
-        "from the same sample.")
-    arg("--sample", dest="samples", metavar="SAMPLE", default=[], action="append",
-        help="Name of a sample to phase. If not given, all samples in the "
-        "input VCF are phased. Can be used multiple times.")
-    arg("--chromosome", dest="chromosomes", metavar="CHROMOSOME", default=[], action="append",
-        help="Name of chromosome to phase. If not given, all chromosomes in the "
-        "input VCF are phased. Can be used multiple times.")
-    arg("--exclude-chromosome", dest="excluded_chromosomes", default=[], action="append",
-        help="Name of chromosome not to phase.")
-    arg = parser.add_argument_group(
-        "Read merging",
-        "The options in this section are only active when --merge-reads is used"
-    ).add_argument
-    arg("--error-rate", dest="read_merging_error_rate",
-        type=float, default=0.15,
-        help="The probability that a nucleotide is wrong in read merging model "
-        "(default: %(default)s).")
-    arg("--maximum-error-rate", dest="read_merging_max_error_rate",
-        type=float, default=0.25,
-        help="The maximum error rate of any edge of the read merging graph "
-        "before discarding it (default: %(default)s).")
-    arg("--threshold", dest="read_merging_positive_threshold",
-        type=int, default=1000000,
-        help="The threshold of the ratio between the probabilities that a pair "
-        "of reads come from the same haplotype and different haplotypes in the "
-        "read merging model (default: %(default)s).")
-    arg("--negative-threshold", dest="read_merging_negative_threshold",
-        type=int, default=1000,
-        help="The threshold of the ratio between the probabilities that a pair "
-        "of reads come from different haplotypes and the same haplotype in the "
-        "read merging model (default: %(default)s).")
-
-    arg = parser.add_argument_group(
-        "Genotyping",
-        "These options are only used when --distrust-genotypes is used"
-    ).add_argument
-    arg("--full-genotyping", action="store_true", default=False, help=SUPPRESS)
-    arg("--distrust-genotypes", dest="distrust_genotypes",
-        action="store_true", default=False,
-        help="Allow switching variants from hetero- to homozygous in an "
-        "optimal solution (see documentation).")
-    arg("--include-homozygous", dest="include_homozygous",
-        action="store_true", default=False,
-        help="Also work on homozygous variants, which might be turned to "
-        "heterozygous")
-    arg("--default-gq", type=int, default=30,
-        help="Default genotype quality used as cost of changing a genotype "
-        "when no genotype likelihoods are available (default %(default)s)")
-    arg("--gl-regularizer", type=float, default=None,
-        help="Constant (float) to be used to regularize genotype likelihoods read "
-        "from input VCF (default %(default)s).")
-    arg("--changed-genotype-list", metavar="FILE", dest="gtchange_list_filename", default=None,
-        help="Write list of changed genotypes to FILE.")
-
-    arg = parser.add_argument_group("Pedigree phasing").add_argument
-    arg("--ped", metavar="PED/FAM",
-        help="Use pedigree information in PED file to improve phasing "
-        "(switches to PedMEC algorithm). Columns 2, 3, 4 must refer to child, "
-        "father, and mother sample names as used in the VCF and BAM/CRAM. "
-        "Other columns are ignored.")
-    arg("--recombination-list", metavar="FILE", dest="recombination_list_filename", default=None,
-        help="Write putative recombination events to FILE.")
-    arg("--recombrate", metavar="RECOMBRATE", type=float, default=1.26,
-        help="Recombination rate in cM/Mb (used with --ped). If given, a constant recombination "
-        "rate is assumed (default: %(default)gcM/Mb).")
-    arg("--genmap", metavar="FILE",
-        help="File with genetic map (used with --ped) to be used instead of constant recombination "
-        "rate, i.e. overrides option --recombrate.")
-    arg("--no-genetic-haplotyping", dest="genetic_haplotyping",
-        action="store_false", default=True,
-        help="Do not merge blocks that are not connected by reads (i.e. solely based on genotype "
-        "status). Default: when in --ped mode, merge all blocks that contain at least one "
-        "homozygous genotype in at least one individual into one block.")
-    arg("--use-ped-samples", dest="use_ped_samples",
-        action="store_true", default=False,
-        help="Only work on samples mentioned in the provided PED file.")
-    arg("--use-supplementary", dest="use_supplementary", action="store_true", default=False,
-        help="Use also supplementary alignments (default: ignore supplementary_ alignments)")
-    arg("--supplementary-distance", metavar="DIST", type=int, dest="supplementary_distance_threshold", default=100_000,
-        help="Skip supplementary alignments further than DIST bp away from the primary alignment (default: %(default)s)")
-# fmt: on
+    populate_arg_parser(parser, PHASE_ARGUMENTS)
 
 
 def validate(args, parser):
@@ -1072,11 +1085,10 @@ def validate(args, parser):
         )
     if args.row_limit is None:
         args.row_limit = 256
-    else:
-        if args.algorithm != "heuristic":
-            logger.warning("Ignoring --row-limit as heuristic is not used as algorithm.")
-        elif args.row_limit > 65535:
-            parser.error("Row limit parameter must not exceed 65535.")
+    elif args.algorithm != "heuristic":
+        logger.warning("Ignoring --row-limit as heuristic is not used as algorithm.")
+    elif args.row_limit > 65535:
+        parser.error("Row limit parameter must not exceed 65535.")
     if args.full_genotyping:
         parser.error(
             "The experimental --full-genotyping option has been removed. Instead, please run "

@@ -34,6 +34,7 @@ bipartition index in *active-read-rank* bit order.  We compute gray_rank for
 all padded slot-space indices with a second small matmul plus a XOR prefix.
 """
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import List, Optional, Sequence, Tuple
@@ -581,12 +582,117 @@ def _next_pow2(n: int, lo: int = 8) -> int:
     return v
 
 
+def connected_column_ranges(packed: PackedProblem) -> List[Tuple[int, int]]:
+    """Split the column axis into maximal ranges not crossed by any read.
+
+    A new range starts at column c when no slot is occupied by the same
+    read in both c-1 and c (i.e. every occupant either died or the slot was
+    re-assigned).  Within the DP, such boundaries fold the whole state away,
+    so the ranges are independent subproblems — for T == 1 exactly (there is
+    no transmission state to couple them).
+    """
+    C = packed.n_cols
+    starts = [0]
+    for c in range(1, C):
+        crossing = packed.active[c - 1] & packed.active[c] & ~packed.die_prev[c]
+        if not crossing.any():
+            starts.append(c)
+    return list(zip(starts, starts[1:] + [C]))
+
+
+def run_dp_batched(packed: PackedProblem) -> Optional[DPResult]:
+    """Solve a single-sample (T == 1) instance by splitting it into
+    read-connected blocks, bucketing the blocks by padded column count and
+    solving each bucket as one batched device launch.
+
+    This is the production CLI route onto the batched Pallas/XLA kernels
+    (`solve_batched_auto`): one chromosome usually decomposes into many
+    short blocks, which batch into a few fixed-shape launches instead of C
+    sequential scan steps per block.  Costs, partitionings and superreads
+    are bit-identical to the monolithic solve; index-path bits of inactive
+    slots (don't-cares for all outputs) may differ.
+
+    Returns None when the instance has transmission state (T > 1) or only
+    one block — callers fall back to the monolithic path.
+    """
+    from . import wmec_pallas
+    from ..parallel.blocks import PaddedArrays, pad_block, stack_blocks
+
+    C, K, T, P = packed.n_cols, packed.K, packed.T, packed.P
+    if C == 0 or T != 1:
+        return None
+    ranges = connected_column_ranges(packed)
+    if len(ranges) <= 1:
+        return None
+
+    use_pallas = (
+        jax.default_backend() != "cpu" and wmec_pallas.kernel_supported(max(K, 7), T, P)
+    )
+    k_run = max(K, wmec_pallas.LANE_BITS) if use_pallas else K
+
+    # Slice out each block as an independent padded problem.  die_prev of a
+    # block's first column may keep stale True flags; folding a fresh
+    # uniform-zero state is a no-op, so they are harmless.
+    rankw_full = np.where(
+        packed.rank >= 0, (1 << np.maximum(packed.rank, 0).astype(np.int64)), 0
+    ).astype(np.float32)
+    wdiff_full = packed.wdiff.reshape(C, K, T * P * 2).astype(np.float32)
+
+    buckets: dict = {}  # c_pad -> list of (range_index, PaddedArrays)
+    for ri, (a, b) in enumerate(ranges):
+        n = b - a
+        c_pad = _next_pow2(n)
+        nA = 1 << P
+        arrs = PaddedArrays(
+            wdiff=np.zeros((c_pad, k_run, T * P * 2), dtype=np.float32),
+            wbase=np.zeros((c_pad, T, P, 2), dtype=np.int32),
+            rankw=np.zeros((c_pad, k_run), dtype=np.float32),
+            acost=np.zeros((c_pad, T, nA), dtype=np.int32),
+            die_prev=np.zeros((c_pad, k_run), dtype=bool),
+            rc=np.full(c_pad, INF, dtype=np.int32),
+            n_cols=n,
+        )
+        arrs.wdiff[:n, :K] = wdiff_full[a:b]
+        arrs.wbase[:n] = packed.wbase[a:b]
+        arrs.rankw[:n, :K] = rankw_full[a:b]
+        arrs.acost[:n] = packed.acost[a:b]
+        arrs.die_prev[:n, :K] = packed.die_prev[a:b]
+        arrs.rc[:n] = packed.rc[a:b]
+        if c_pad > n:
+            arrs.rankw[n:, :K] = rankw_full[b - 1]
+        buckets.setdefault(c_pad, []).append((ri, arrs))
+
+    total_cost = 0
+    index_path = np.zeros(C, dtype=np.int64)
+    trans_path = np.zeros(C, dtype=np.int64)
+    for c_pad, members in buckets.items():
+        stacked = stack_blocks([arrs for _, arrs in members])
+        costs, index_paths, trans_paths = solve_batched_auto(
+            k_run, T, P, *[jnp.asarray(x) for x in stacked]
+        )
+        costs = np.asarray(jax.device_get(costs))
+        index_paths = np.asarray(jax.device_get(index_paths), dtype=np.int64)
+        trans_paths = np.asarray(jax.device_get(trans_paths), dtype=np.int64)
+        for bi, (ri, arrs) in enumerate(members):
+            a, b = ranges[ri]
+            total_cost += int(costs[bi])
+            index_path[a:b] = index_paths[bi, : b - a]
+            trans_path[a:b] = trans_paths[bi, : b - a]
+    return DPResult(total_cost, index_path, trans_path)
+
+
 def run_dp(packed: PackedProblem, backend: str = "auto") -> Optional[DPResult]:
     """Run the forward scan + backtrace.  Returns None for empty problems.
 
-    backend: "auto" | "jax" | "numpy".  The numpy mirror is exact and faster
-    than a jit compile for tiny state spaces; the jax path pads the column
-    count to power-of-two buckets so jit caches are reused across blocks.
+    backend: "auto" | "jax" | "numpy" | "batched".  The numpy mirror is
+    exact and faster than a jit compile for tiny state spaces; the jax path
+    pads the column count to power-of-two buckets so jit caches are reused
+    across blocks; "batched" splits single-sample instances into
+    read-connected blocks and solves them as batched device launches
+    (run_dp_batched), falling back to "jax" when not applicable.
+
+    The WHATSHAP_TPU_BACKEND environment variable overrides "auto" routing
+    (set it to numpy/jax/batched to force a path through the CLI).
     """
     C, K, T, P = packed.n_cols, packed.K, packed.T, packed.P
     if C == 0:
@@ -594,7 +700,21 @@ def run_dp(packed: PackedProblem, backend: str = "auto") -> Optional[DPResult]:
     S = 1 << K
 
     if backend == "auto":
-        backend = "numpy" if C * S * T <= (1 << 22) else "jax"
+        backend = os.environ.get("WHATSHAP_TPU_BACKEND", "")
+        if backend not in ("numpy", "jax", "batched"):
+            if C * S * T <= (1 << 22):
+                backend = "numpy"
+            elif T == 1 and jax.default_backend() != "cpu":
+                # production TPU route: block-split + batched kernel launches
+                backend = "batched"
+            else:
+                backend = "jax"
+
+    if backend == "batched":
+        result = run_dp_batched(packed)
+        if result is not None:
+            return result
+        backend = "jax"
 
     if backend == "jax":
         # forward + backtrace fully on device; only the paths come back
