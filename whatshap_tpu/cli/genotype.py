@@ -10,7 +10,7 @@ import platform
 import sys
 from argparse import SUPPRESS
 from contextlib import ExitStack
-from typing import Optional, Sequence
+from typing import Dict, Optional
 
 from .. import __version__
 from ..core import (
@@ -30,103 +30,83 @@ from ..pedigree import (
 from ..timer import StageTimer
 from ..utils import ChromosomeFilter
 from ..vcf import GenotypeVcfWriter, VcfReader
-from . import CommandLineError, PhasedInputReader, log_memory_usage
+from . import CommandLineError, PhasedInputReader, log_memory_usage, populate_arg_parser
 from .phase import select_reads, setup_families
 
 logger = logging.getLogger(__name__)
 
-
-def int_to_diploid_biallelic_gt(numeric_repr):
-    """Convert a classic numeric biallelic diploid genotype id to Genotype."""
-    if numeric_repr == 0:
-        return Genotype([0, 0])
-    elif numeric_repr == 1:
-        return Genotype([0, 1])
-    elif numeric_repr == 2:
-        return Genotype([1, 1])
-    else:
-        return Genotype([])
+# the three biallelic diploid genotypes, by canonical index
+_DIPLOID_GTS = (Genotype([0, 0]), Genotype([0, 1]), Genotype([1, 1]))
 
 
-def determine_genotype(likelihoods, threshold_prob: float):
-    """Given genotype likelihoods for 0/0, 0/1, 1/1, find likeliest genotype."""
-    to_sort = [
-        (likelihoods[int_to_diploid_biallelic_gt(0)], 0),
-        (likelihoods[int_to_diploid_biallelic_gt(1)], 1),
-        (likelihoods[int_to_diploid_biallelic_gt(2)], 2),
-    ]
-    to_sort.sort(key=lambda x: x[0])
+def int_to_diploid_biallelic_gt(numeric_repr) -> Genotype:
+    """Genotype object for a canonical biallelic diploid index (0/1/2);
+    anything else maps to the no-call genotype."""
+    if 0 <= numeric_repr <= 2:
+        return _DIPLOID_GTS[numeric_repr]
+    return Genotype([])
 
-    # unique maximum above the threshold required
-    if (to_sort[2][0] > to_sort[1][0]) and (to_sort[2][0] > threshold_prob):
-        return int_to_diploid_biallelic_gt(to_sort[2][1])
-    else:
-        return int_to_diploid_biallelic_gt(-1)
+
+def determine_genotype(likelihoods, threshold_prob: float) -> Genotype:
+    """The likeliest of 0/0, 0/1, 1/1 — but only when it is a UNIQUE
+    maximum above the threshold; otherwise the no-call genotype."""
+    scored = sorted((likelihoods[gt], i) for i, gt in enumerate(_DIPLOID_GTS))
+    best_prob, best_index = scored[2]
+    runner_up_prob = scored[1][0]
+    if best_prob > runner_up_prob and best_prob > threshold_prob:
+        return _DIPLOID_GTS[best_index]
+    return Genotype([])
+
+
+def _regularized_priors(genotype_likelihoods, constant: float, gt_prob: float):
+    """Normalize each prior GL triple with additive regularization and call
+    the prior genotype from it."""
+    genotypes = []
+    regularized = []
+    for gl in genotype_likelihoods:
+        total = gl[0] + gl[1] + gl[2] + 3 * constant
+        triple = PhredGenotypeLikelihoods(
+            [(gl[0] + constant) / total, (gl[1] + constant) / total, (gl[2] + constant) / total]
+        )
+        genotypes.append(determine_genotype(triple, gt_prob))
+        regularized.append(triple)
+    return genotypes, regularized
 
 
 def run_genotype(
-    phase_input_files,
-    variant_file,
-    reference=None,
-    output=sys.stdout,
-    samples=None,
-    chromosomes=None,
-    excluded_chromosomes=None,
-    ignore_read_groups=False,
-    only_snvs=False,
-    mapping_quality=20,
-    max_coverage=15,
-    nopriors=False,
-    ped=None,
-    recombrate=1.26,
-    genmap=None,
-    gt_qual_threshold=0,
-    prioroutput=None,
-    constant=0.0,
-    overhang=10,
-    affine_gap=False,
-    gap_start=10,
-    gap_extend=7,
-    mismatch=15,
-    write_command_line_header=True,
-    use_ped_samples=False,
-    use_kmerald=False,
-    kmeralign_costs_path=False,
-    kmer_size=7,
-    kmerald_gappenalty=40,
+    phase_input_files, variant_file, reference=None, output=sys.stdout,
+    samples=None, chromosomes=None, excluded_chromosomes=None,
+    ignore_read_groups=False, only_snvs=False, mapping_quality=20,
+    max_coverage=15, nopriors=False, ped=None, recombrate=1.26, genmap=None,
+    gt_qual_threshold=0, prioroutput=None, constant=0.0, overhang=10,
+    affine_gap=False, gap_start=10, gap_extend=7, mismatch=15,
+    write_command_line_header=True, use_ped_samples=False, use_kmerald=False,
+    kmeralign_costs_path=False, kmer_size=7, kmerald_gappenalty=40,
     kmerald_window=25,
 ):
-    """Compute genotype likelihoods for all variants via forward-backward."""
+    """Re-genotype all variants with the forward-backward HMM (reference:
+    whatshap/cli/genotype.py run_genotype)."""
     timers = StageTimer()
     logger.info(
         "This is WhatsHap (genotyping) %s running under Python %s",
         __version__,
         platform.python_version(),
     )
-    if write_command_line_header:
-        command_line = "(whatshap {}) {}".format(__version__, " ".join(sys.argv[1:]))
-    else:
-        command_line = None
+    command_line = (
+        "(whatshap {}) {}".format(__version__, " ".join(sys.argv[1:]))
+        if write_command_line_header
+        else None
+    )
     with ExitStack() as stack:
         numeric_sample_ids = NumericSampleIds()
         phased_input_reader = stack.enter_context(
             PhasedInputReader(
-                phase_input_files,
-                reference,
-                numeric_sample_ids,
-                ignore_read_groups,
-                only_snvs=only_snvs,
-                mapq_threshold=mapping_quality,
-                overhang=overhang,
-                affine=affine_gap,
-                gap_start=gap_start,
-                gap_extend=gap_extend,
-                default_mismatch=mismatch,
-                use_kmerald=use_kmerald,
-                kmeralign_costs_path=kmeralign_costs_path,
-                kmer_size=kmer_size,
-                kmerald_gappenalty=kmerald_gappenalty,
-                kmerald_window=kmerald_window,
+                phase_input_files, reference, numeric_sample_ids, ignore_read_groups,
+                only_snvs=only_snvs, mapq_threshold=mapping_quality, overhang=overhang,
+                affine=affine_gap, gap_start=gap_start, gap_extend=gap_extend,
+                default_mismatch=mismatch, use_kmerald=use_kmerald,
+                kmeralign_costs_path=kmeralign_costs_path, kmer_size=kmer_size,
+                kmerald_gappenalty=kmerald_gappenalty, kmerald_window=kmerald_window,
             )
         )
         show_phase_vcfs = phased_input_reader.has_vcfs
@@ -157,118 +137,97 @@ def run_genotype(
             )
         if not samples:
             samples = vcf_reader.samples
-
         if ped and use_ped_samples:
-            samples = set()
-            for trio in PedReader(ped):
-                if trio.child is None or trio.mother is None or trio.father is None:
-                    continue
-                samples.add(trio.mother)
-                samples.add(trio.father)
-                samples.add(trio.child)
+            samples = {
+                member
+                for trio in PedReader(ped)
+                if trio.child and trio.mother and trio.father
+                for member in (trio.mother, trio.father, trio.child)
+            }
 
-        vcf_sample_set = set(vcf_reader.samples)
+        known_samples = set(vcf_reader.samples)
         for sample in samples:
-            if sample not in vcf_sample_set:
+            if sample not in known_samples:
                 raise CommandLineError(
                     f"Sample {sample!r} requested on command-line not found in VCF"
                 )
 
         if ped and genmap:
             logger.info("Using region-specific recombination rates from genetic map %s.", genmap)
-            recombination_cost_computer = GeneticMapRecombinationCostComputer(genmap)
+            recomb_computer = GeneticMapRecombinationCostComputer(genmap)
         else:
             if ped:
                 logger.info("Using uniform recombination rate of %g cM/Mb.", recombrate)
-            recombination_cost_computer = UniformRecombinationCostComputer(recombrate)
+            recomb_computer = UniformRecombinationCostComputer(recombrate)
 
         samples = frozenset(samples)
         families, family_trios = setup_families(samples, ped, max_coverage)
         for trios in family_trios.values():
             for trio in trios:
-                _ = numeric_sample_ids[trio.child]
+                numeric_sample_ids[trio.child]
 
         with timers("parse_phasing_vcfs"):
             phased_input_reader.read_vcfs()
 
-        # genotype likelihood threshold
+        # probability-space genotype quality threshold
         gt_prob = 1.0 - (10 ** (-gt_qual_threshold / 10.0))
 
-        included_chromosomes = ChromosomeFilter(chromosomes, excluded_chromosomes)
+        wanted = ChromosomeFilter(chromosomes, excluded_chromosomes)
         for variant_table in timers.iterate("parse_vcf", vcf_reader):
-            var_to_pos = dict()
-            for i in range(len(variant_table.variants)):
-                var_to_pos[variant_table.variants[i].position] = i
-
             chromosome = variant_table.chromosome
-            if chromosome in included_chromosomes:
-                logger.info("======== Working on chromosome %r", chromosome)
-            else:
+            row_of: Dict[int, int] = {
+                v.position: i for i, v in enumerate(variant_table.variants)
+            }
+            if chromosome not in wanted:
                 logger.info(
                     "Leaving chromosome %r unchanged (present in VCF but not requested by "
                     "option --chromosome)",
                     chromosome,
                 )
                 vcf_writer.write_unchanged(chromosome)
-                if prioroutput is not None:
+                if prior_vcf_writer is not None:
                     prior_vcf_writer.write_unchanged(chromosome)
                 continue
+            logger.info("======== Working on chromosome %r", chromosome)
 
             positions = [v.position for v in variant_table.variants]
-            if not nopriors:
-                # compute prior genotype likelihoods based on all reads
+            if nopriors:
+                flat = PhredGenotypeLikelihoods([1 / 3, 1 / 3, 1 / 3])
+                for sample in samples:
+                    variant_table.set_genotype_likelihoods_of(sample, [flat] * len(positions))
+            else:
+                # per-column prior genotyping from the raw pileup
                 for sample in samples:
                     logger.info("---- Initial genotyping of %s", sample)
                     with timers("read_bam"):
-                        readset, vcf_source_ids = phased_input_reader.read(
+                        readset, _ = phased_input_reader.read(
                             chromosome, variant_table.variants, sample, read_vcf=False
                         )
                         readset.sort()
-                        genotypes, genotype_likelihoods = compute_genotypes(readset, positions)
-                        reg_genotype_likelihoods = []
-                        for gl in range(len(genotype_likelihoods)):
-                            norm_sum = (
-                                genotype_likelihoods[gl][0]
-                                + genotype_likelihoods[gl][1]
-                                + genotype_likelihoods[gl][2]
-                                + 3 * constant
-                            )
-                            regularized = PhredGenotypeLikelihoods(
-                                [
-                                    (genotype_likelihoods[gl][0] + constant) / norm_sum,
-                                    (genotype_likelihoods[gl][1] + constant) / norm_sum,
-                                    (genotype_likelihoods[gl][2] + constant) / norm_sum,
-                                ]
-                            )
-                            genotypes[gl] = determine_genotype(regularized, gt_prob)
-                            assert isinstance(genotypes[gl], Genotype)
-                            reg_genotype_likelihoods.append(regularized)
+                        _, prior_gls = compute_genotypes(readset, positions)
+                        genotypes, regularized = _regularized_priors(
+                            prior_gls, constant, gt_prob
+                        )
                         variant_table.set_genotype_likelihoods_of(
-                            sample,
-                            [PhredGenotypeLikelihoods(list(gl)) for gl in reg_genotype_likelihoods],
+                            sample, [PhredGenotypeLikelihoods(list(gl)) for gl in regularized]
                         )
                         variant_table.set_genotypes_of(sample, genotypes)
-            else:
-                for sample in samples:
-                    variant_table.set_genotype_likelihoods_of(
-                        sample, [PhredGenotypeLikelihoods([1 / 3, 1 / 3, 1 / 3])] * len(positions)
-                    )
 
-            if prioroutput is not None:
+            if prior_vcf_writer is not None:
                 prior_vcf_writer.write_genotypes(chromosome, variant_table, only_snvs)
 
-            # One forward-backward table per family
-            for representative_sample, family in sorted(families.items()):
+            # one forward-backward pass per family
+            for representative, family in sorted(families.items()):
                 if len(family) == 1:
-                    logger.info("---- Processing individual %s", representative_sample)
+                    logger.info("---- Processing individual %s", representative)
                 else:
                     logger.info("---- Processing family with individuals: %s", ",".join(family))
-                max_coverage_per_sample = max(1, max_coverage // len(family))
-                logger.info("Using maximum coverage per sample of %dX", max_coverage_per_sample)
-                trios = family_trios[representative_sample]
+                max_cov_per_sample = max(1, max_coverage // len(family))
+                logger.info("Using maximum coverage per sample of %dX", max_cov_per_sample)
+                trios = family_trios[representative]
                 assert (len(family) == 1) or (len(trios) > 0)
 
-                readsets = dict()
+                all_reads = ReadSet()
                 for sample in family:
                     with timers("read_bam"):
                         readset, vcf_source_ids = phased_input_reader.read(
@@ -281,14 +240,10 @@ def run_genotype(
                         logger.info(
                             "Kept %d reads that cover at least two variants each", len(readset)
                         )
-                        selected_reads = select_reads(
-                            readset, max_coverage_per_sample, preferred_source_ids=vcf_source_ids
+                        selection = select_reads(
+                            readset, max_cov_per_sample, preferred_source_ids=vcf_source_ids
                         )
-                    readsets[sample] = selected_reads
-
-                all_reads = ReadSet()
-                for sample, readset in readsets.items():
-                    for read in readset:
+                    for read in selection:
                         assert read.is_sorted(), "Add a read.sort() here"
                         all_reads.add(read)
                 all_reads.sort()
@@ -302,54 +257,48 @@ def run_genotype(
 
                 pedigree = Pedigree(numeric_sample_ids)
                 for sample in family:
-                    all_genotype_likelihoods = variant_table.genotype_likelihoods_of(sample)
-                    genotype_l = [
-                        all_genotype_likelihoods[var_to_pos[a_p]] for a_p in accessible_positions
-                    ]
+                    gls = variant_table.genotype_likelihoods_of(sample)
                     pedigree.add_individual(
-                        sample, [Genotype([]) for i in range(len(accessible_positions))], genotype_l
+                        sample,
+                        [Genotype([]) for _ in accessible_positions],
+                        [gls[row_of[p]] for p in accessible_positions],
                     )
                 for trio in trios:
                     pedigree.add_relationship(
                         father_id=trio.father, mother_id=trio.mother, child_id=trio.child
                     )
 
-                recombination_costs = recombination_cost_computer.compute(accessible_positions)
+                recombination_costs = recomb_computer.compute(accessible_positions)
 
                 with timers("genotyping"):
-                    problem_name = "genotyping"
                     logger.info(
-                        "Genotype %d sample%s by solving the %s problem ...",
+                        "Genotype %d sample%s by solving the genotyping problem ...",
                         len(family),
                         "s" if len(family) > 1 else "",
-                        problem_name,
                     )
-                    forward_backward_table = GenotypeDPTable(
+                    fb_table = GenotypeDPTable(
                         numeric_sample_ids,
                         all_reads,
                         recombination_costs,
                         pedigree,
                         accessible_positions,
                     )
-                    for s in family:
-                        likelihood_list = variant_table.genotype_likelihoods_of(s)
-                        genotypes_list = variant_table.genotypes_of(s)
-
-                        for pos in range(len(accessible_positions)):
-                            likelihoods = forward_backward_table.get_genotype_likelihoods(s, pos)
-                            geno = determine_genotype(likelihoods, gt_prob)
-                            assert isinstance(geno, Genotype)
-                            genotypes_list[var_to_pos[accessible_positions[pos]]] = geno
-                            likelihood_list[var_to_pos[accessible_positions[pos]]] = likelihoods
-
-                        variant_table.set_genotypes_of(s, genotypes_list)
-                        variant_table.set_genotype_likelihoods_of(s, likelihood_list)
+                    for sample in family:
+                        gl_column = variant_table.genotype_likelihoods_of(sample)
+                        gt_column = variant_table.genotypes_of(sample)
+                        for i, position in enumerate(accessible_positions):
+                            likelihoods = fb_table.get_genotype_likelihoods(sample, i)
+                            gt_column[row_of[position]] = determine_genotype(
+                                likelihoods, gt_prob
+                            )
+                            gl_column[row_of[position]] = likelihoods
+                        variant_table.set_genotypes_of(sample, gt_column)
+                        variant_table.set_genotype_likelihoods_of(sample, gl_column)
 
             with timers("write_vcf"):
                 logger.info("======== Writing VCF")
                 vcf_writer.write_genotypes(chromosome, variant_table, only_snvs)
                 logger.info("Done writing VCF")
-
             logger.debug("Chromosome %r finished", chromosome)
 
     logger.info("\n== SUMMARY ==")
@@ -371,79 +320,64 @@ def run_genotype(
     logger.info("Total elapsed time:                          %6.1f s", total_time)
 
 
-# fmt: off
+GENOTYPE_ARGUMENTS = [
+    (None, [
+        ("variant_file", dict(metavar="VCF",
+            help="VCF file with variants to be genotyped (can be gzip-compressed)")),
+        ("phase_input_files", dict(nargs="*", metavar="PHASEINPUT",
+            help="BAM or VCF file(s) with phase information, either through sequencing reads (BAM) or through phased blocks (VCF)")),
+        (("-o", "--output"), dict(default=sys.stdout,
+            help="Output VCF file. Add .gz to the file name to get compressed output. If omitted, use standard output.")),
+        (("--reference", "-r"), dict(metavar="FASTA",
+            help="Reference file. Provide this to detect alleles through re-alignment. If no index (.fai) exists, it will be created")),
+        (("--max-coverage", "-H"), dict(metavar="MAXCOV", default=15, type=int,
+            help="Reduce coverage to at most MAXCOV (default: %(default)s).")),
+        (("--mapping-quality", "--mapq"), dict(metavar="QUAL", default=20, type=int,
+            help="Minimum mapping quality (default: %(default)s)")),
+        ("--indels", dict(dest="indels_used", action="store_true", help=SUPPRESS)),
+        ("--only-snvs", dict(default=False, action="store_true", help="Genotype only SNVs")),
+        ("--ignore-read-groups", dict(default=False, action="store_true",
+            help="Ignore read groups in BAM header and assume all reads come from the same sample.")),
+        ("--sample", dict(dest="samples", metavar="SAMPLE", default=[], action="append",
+            help="Name of a sample to genotype. If not given, all samples in the input VCF are genotyped. Can be used multiple times.")),
+        ("--chromosome", dict(dest="chromosomes", metavar="CHROMOSOME", default=[], action="append",
+            help="Name of chromosome to genotyped. If not given, all chromosomes in the input VCF are genotyped. Can be used multiple times.")),
+        ("--exclude-chromosome", dict(dest="excluded_chromosomes", default=[], action="append",
+            help="Name of chromosome not to genotype.")),
+        ("--gt-qual-threshold", dict(metavar="GTQUALTHRESHOLD", type=float, default=0,
+            help="Phred scaled error probability threshold used for genotyping (default: %(default)s). Must be at least 0. If error probability of genotype is higher, genotype ./. is output.")),
+        ("--no-priors", dict(dest="nopriors", default=False, action="store_true",
+            help="Skip initial prior genotyping and use uniform priors (default: %(default)s).")),
+        ("--priors-out", dict(dest="prioroutput", default=None,
+            help="output prior genotype likelihoods to the given file (in VCF format). If not given, the priors are not output.")),
+        ("--overhang", dict(metavar="OVERHANG", default=10, type=int,
+            help="When --reference is used, extend alignment by this many bases to left and right when realigning (default: %(default)s).")),
+        ("--constant", dict(metavar="CONSTANT", default=0, type=float,
+            help="This constant is used to regularize the priors (default: %(default)s).")),
+        ("--affine-gap", dict(default=False, action="store_true",
+            help="When detecting alleles through re-alignment, use affine gap costs (EXPERIMENTAL).")),
+        ("--gap-start", dict(metavar="GAPSTART", default=10, type=float,
+            help="gap starting penalty in case affine gap costs are used (default: %(default)s).")),
+        ("--gap-extend", dict(metavar="GAPEXTEND", default=7, type=float,
+            help="gap extend penalty in case affine gap costs are used (default: %(default)s).")),
+        ("--mismatch", dict(metavar="MISMATCH", default=15, type=float,
+            help="mismatch cost in case affine gap costs are used (default: %(default)s)")),
+    ]),
+    (("Pedigree genotyping", None), [
+        ("--ped", dict(metavar="PED/FAM",
+            help="Use pedigree information in PED file to improve genotyping (switches to PedMEC algorithm). Columns 2, 3, 4 must refer to child, father, and mother sample names as used in the VCF and BAM. Other columns are ignored (EXPERIMENTAL).")),
+        ("--recombrate", dict(metavar="RECOMBRATE", type=float, default=1.26,
+            help="Recombination rate in cM/Mb (used with --ped). If given, a constant recombination rate is assumed (default: %(default)gcM/Mb).")),
+        ("--genmap", dict(metavar="FILE",
+            help="File with genetic map (used with --ped) to be used instead of constant recombination rate, i.e. overrides option --recombrate.")),
+        ("--use-ped-samples", dict(dest="use_ped_samples", action="store_true", default=False,
+            help="Only work on samples mentioned in the provided PED file.")),
+    ]),
+]
+
+
 def add_arguments(parser):
-    arg = parser.add_argument
-    arg('variant_file', metavar='VCF',
-        help='VCF file with variants to be genotyped (can be gzip-compressed)')
-    arg('phase_input_files', nargs='*', metavar='PHASEINPUT',
-        help='BAM or VCF file(s) with phase information, either through sequencing reads '
-        '(BAM) or through phased blocks (VCF)')
-
-    arg('-o', '--output', default=sys.stdout,
-        help='Output VCF file. Add .gz to the file name to get compressed output. '
-        'If omitted, use standard output.')
-    arg('--reference', '-r', metavar='FASTA',
-        help='Reference file. Provide this to detect alleles through re-alignment. '
-        'If no index (.fai) exists, it will be created')
-
-    arg('--max-coverage', '-H', metavar='MAXCOV', default=15, type=int,
-        help='Reduce coverage to at most MAXCOV (default: %(default)s).')
-    arg('--mapping-quality', '--mapq', metavar='QUAL',
-        default=20, type=int, help='Minimum mapping quality (default: %(default)s)')
-    arg('--indels', dest='indels_used', action='store_true', help=SUPPRESS)
-    arg('--only-snvs', default=False, action='store_true', help='Genotype only SNVs')
-    arg('--ignore-read-groups', default=False, action='store_true',
-        help='Ignore read groups in BAM header and assume all reads come '
-        'from the same sample.')
-    arg('--sample', dest='samples', metavar='SAMPLE', default=[], action='append',
-        help='Name of a sample to genotype. If not given, all samples in the '
-        'input VCF are genotyped. Can be used multiple times.')
-    arg('--chromosome', dest='chromosomes', metavar='CHROMOSOME', default=[], action='append',
-        help='Name of chromosome to genotyped. If not given, all chromosomes in the '
-        'input VCF are genotyped. Can be used multiple times.')
-    arg('--exclude-chromosome', dest='excluded_chromosomes', default=[], action='append',
-        help='Name of chromosome not to genotype.')
-    arg('--gt-qual-threshold', metavar='GTQUALTHRESHOLD', type=float, default=0,
-        help='Phred scaled error probability threshold used for genotyping '
-        '(default: %(default)s). Must be at least 0. If error probability of genotype '
-        'is higher, genotype ./. is output.')
-    arg('--no-priors', dest='nopriors', default=False, action='store_true',
-        help='Skip initial prior genotyping and use uniform priors (default: %(default)s).')
-    arg('--priors-out', dest='prioroutput', default=None,
-        help='output prior genotype likelihoods to the given file (in VCF format). '
-        'If not given, the priors are not output.')
-    arg('--overhang', metavar='OVERHANG', default=10, type=int,
-        help='When --reference is used, extend alignment by this many bases to left and right '
-        'when realigning (default: %(default)s).')
-    arg('--constant', metavar='CONSTANT', default=0, type=float,
-        help='This constant is used to regularize the priors (default: %(default)s).')
-    arg('--affine-gap', default=False, action='store_true',
-        help='When detecting alleles through re-alignment, use affine gap costs '
-        '(EXPERIMENTAL).')
-    arg('--gap-start', metavar='GAPSTART', default=10, type=float,
-        help='gap starting penalty in case affine gap costs are used (default: %(default)s).')
-    arg('--gap-extend', metavar='GAPEXTEND', default=7, type=float,
-        help='gap extend penalty in case affine gap costs are used (default: %(default)s).')
-    arg('--mismatch', metavar='MISMATCH', default=15, type=float,
-        help='mismatch cost in case affine gap costs are used (default: %(default)s)')
-
-    arg = parser.add_argument_group('Pedigree genotyping').add_argument
-    arg('--ped', metavar='PED/FAM',
-        help='Use pedigree information in PED file to improve genotyping '
-        '(switches to PedMEC algorithm). Columns 2, 3, 4 must refer to child, '
-        'father, and mother sample names as used in the VCF and BAM. Other '
-        'columns are ignored (EXPERIMENTAL).')
-    arg('--recombrate', metavar='RECOMBRATE', type=float, default=1.26,
-        help='Recombination rate in cM/Mb (used with --ped). If given, a constant recombination '
-        'rate is assumed (default: %(default)gcM/Mb).')
-    arg('--genmap', metavar='FILE',
-        help='File with genetic map (used with --ped) to be used instead of constant recombination '
-        'rate, i.e. overrides option --recombrate.')
-    arg('--use-ped-samples', dest='use_ped_samples',
-        action='store_true', default=False,
-        help='Only work on samples mentioned in the provided PED file.')
-# fmt: on
+    populate_arg_parser(parser, GENOTYPE_ARGUMENTS)
 
 
 def validate(args, parser):
