@@ -17,8 +17,8 @@ import itertools
 import logging
 import re
 import sys
-from collections import namedtuple
 from contextlib import ExitStack
+from dataclasses import dataclass
 
 from .. import __version__
 from ..core import Read
@@ -29,109 +29,102 @@ logger = logging.getLogger(__name__)
 
 
 def add_arguments(parser):
-    add = parser.add_argument
-    add(
+    parser.add_argument(
         "-o",
         "--output",
         default=sys.stdout,
         help="Output VCF file. If omitted, use standard output.",
     )
-    add("vcf", metavar="VCF", help="VCF file")
-    add("hapcut", metavar="HAPCUT-RESULT", help="hapCUT result file")
-
-
-HapCutVariant = namedtuple(
-    "HapCutVariant", ["chromosome", "position", "haplotype1", "haplotype2", "component_id"]
-)
+    parser.add_argument("vcf", metavar="VCF", help="VCF file")
+    parser.add_argument("hapcut", metavar="HAPCUT-RESULT", help="hapCUT result file")
 
 
 class ParseError(Exception):
     pass
 
 
-class HapCutParser:
-    """Parse HapCUT (1 or 2) result files: BLOCK headers followed by variant
-    lines, blocks terminated by '********'."""
+@dataclass
+class HapCutVariant:
+    chromosome: str
+    position: int
+    haplotype1: int
+    haplotype2: int
+    component_id: int
 
-    block_re = re.compile(
-        r"BLOCK: "
-        r"offset: (?P<offset>\d+) "
-        r"len: (?P<len>\d+) "
-        r"phased: (?P<phased>\d+) "
-        r"SPAN: (?P<span>\d+) "
-        r"(MECscore (?P<mecscore>\d+\.\d+) )?fragments (?P<fragments>\d+)"
-    )
+
+_BLOCK_HEADER = re.compile(
+    r"BLOCK: "
+    r"offset: (?P<offset>\d+) "
+    r"len: (?P<len>\d+) "
+    r"phased: (?P<phased>\d+) "
+    r"SPAN: (?P<span>\d+) "
+    r"(MECscore (?P<mecscore>\d+\.\d+) )?fragments (?P<fragments>\d+)"
+)
+
+
+def _parse_variant_line(line: str, block):
+    """One hapCUT variant row (9 fields = hapCUT 1, 11 = hapCUT 2) ->
+    HapCutVariant, or None for unphased ('-') rows."""
+    fields = line.strip().split()
+    if len(fields) not in (9, 11):
+        raise ParseError(
+            "Expected nine fields (for hapCUT 1) "
+            "or eleven fields (for hapCUT 2) in variant line"
+        )
+    variant_id, hap1, hap2, chromosome, position = fields[:5]
+
+    if len(fields) == 9:
+        # hapCUT 1 ends in a colon-joined summary field; sanity-check it
+        tail = fields[8].split(":")
+        if len(tail) == 5:
+            if tail[-1] != "FV":
+                raise ParseError('Expected "FV" after last colon')
+            tail = tail[:-1]
+        if len(tail) != 4:
+            raise ParseError("Too few elements in last (colon-separated) field")
+    if hap1 == "-" or hap2 == "-":
+        return None  # hapCUT 2 leaves some variants unphased
+    int(variant_id)  # must be numeric
+    position = int(position) - 1
+    component_id = block[0].position if block else position
+    return HapCutVariant(chromosome, position, int(hap1), int(hap2), component_id)
+
+
+class HapCutParser:
+    """Stream of BLOCK sections, each a header line, variant rows, and a
+    '********' terminator."""
 
     def __init__(self, file):
         self._file = file
 
-    def __iter__(self):
-        """Yield (chromosome, blocks) pairs"""
-        yield from self._by_chromosome()
-
     def parse_blocks(self):
-        """Yield a list of HapCutVariant objects per connected component."""
-        state = "BLOCK"  # what we expect next
+        """Yield each block as a list of HapCutVariant objects."""
+        expecting_header = True
         block = []
         for line in self._file:
-            if state == "BLOCK":
-                state = "VARIANT"
+            if expecting_header:
                 if not line.startswith("BLOCK:"):
                     raise ParseError('Expected a new block (line starting with "BLOCK:")')
-                m = self.block_re.match(line)
-                if not m:
+                if not _BLOCK_HEADER.match(line):
                     raise ParseError("BLOCK line malformed")
-            elif state == "VARIANT":
-                if line.startswith("********"):
-                    if block:
-                        yield block
-                    state = "BLOCK"
-                    block = []
-                else:
-                    fields = line.strip().split()
-                    if len(fields) not in (9, 11):
-                        raise ParseError(
-                            "Expected nine fields (for hapCUT 1) "
-                            "or eleven fields (for hapCUT 2) in variant line"
-                        )
-                    (
-                        variant_id,
-                        haplotype_1,
-                        haplotype_2,
-                        chromosome,
-                        position,
-                        reference_allele,
-                        alternative_allele,
-                        genotype,
-                    ) = fields[:8]
-
-                    if len(fields) == 9:  # hapCUT 1: validate the last field
-                        rest = fields[8]
-                        fields = rest.split(":")
-                        if len(fields) == 5:
-                            if not fields[-1] == "FV":
-                                raise ParseError('Expected "FV" after last colon')
-                            fields = fields[:-1]
-                        if not len(fields) == 4:
-                            raise ParseError("Too few elements in last (colon-separated) field")
-                    if haplotype_1 == "-" or haplotype_2 == "-":
-                        # happens in hapCUT 2 sometimes
-                        continue
-                    _ = int(variant_id)
-                    haplotype_1 = int(haplotype_1)
-                    haplotype_2 = int(haplotype_2)
-                    position = int(position) - 1
-                    component_id = block[0].position if block else position
-                    variant = HapCutVariant(
-                        chromosome, position, haplotype_1, haplotype_2, component_id
-                    )
+                expecting_header = False
+            elif line.startswith("********"):
+                if block:
+                    yield block
+                block = []
+                expecting_header = True
+            else:
+                variant = _parse_variant_line(line, block)
+                if variant is not None:
                     block.append(variant)
-        if len(block) > 0:
+        if block:
             yield block
 
-    def _by_chromosome(self):
-        for chromosome, block in itertools.groupby(self.parse_blocks(), lambda b: b[0].chromosome):
-            yield chromosome, list(block)
+    def __iter__(self):
+        """Yield (chromosome, list of blocks) pairs."""
+        grouped = itertools.groupby(self.parse_blocks(), lambda b: b[0].chromosome)
+        for chromosome, blocks in grouped:
+            yield chromosome, list(blocks)
 
 
 def run_hapcut2vcf(hapcut, vcf, output=sys.stdout):
@@ -142,27 +135,21 @@ def run_hapcut2vcf(hapcut, vcf, output=sys.stdout):
 
         writer = PhasedVcfWriter(vcf, command_line, out_file=output)
         if len(writer.samples) > 1:
-            # hapCUT does not support multi-sample VCFs
+            # hapCUT itself cannot process multi-sample VCFs
             raise CommandLineError("There is more than one sample in this VCF")
         sample = writer.samples[0]
 
-        f = stack.enter_context(open(hapcut))
-        parser = HapCutParser(f)
-        for chromosome, blocks in parser:
+        handle = stack.enter_context(open(hapcut))
+        for chromosome, blocks in HapCutParser(handle):
             logger.info("Read %d phased blocks for chromosome %s", len(blocks), chromosome)
-
-            # one Read per haplotype plus connected components
-            haplotypes = [Read(str(i)) for i in (1, 2)]
-            components = dict()
+            haplotypes = [Read("1"), Read("2")]
+            components = {}
             for block in blocks:
-                for variant in block:
-                    haplotypes[0].add_variant(variant.position, variant.haplotype1, 0)
-                    haplotypes[1].add_variant(variant.position, variant.haplotype2, 0)
-                    components[variant.position] = variant.component_id
-
-            sample_superreads = {sample: haplotypes}
-            sample_components = {sample: components}
-            writer.write(chromosome, sample_superreads, sample_components)
+                for v in block:
+                    haplotypes[0].add_variant(v.position, v.haplotype1, 0)
+                    haplotypes[1].add_variant(v.position, v.haplotype2, 0)
+                    components[v.position] = v.component_id
+            writer.write(chromosome, {sample: haplotypes}, {sample: components})
 
 
 def main(args):
