@@ -5,8 +5,6 @@ Read a VCF and one or more files with phase information (BAM/CRAM or VCF phased
 blocks) and phase the variants. The phased VCF is written to standard output.
 Requires to specify a ploidy for the phasable input. Allows to specify a block
 cut sensitivity to balance out length and accuracy of phased blocks.
-
-Behavior parity with whatshap/cli/polyphase.py.
 """
 
 import argparse
@@ -30,42 +28,105 @@ from ..polyphase.solver import AlleleMatrix
 from ..timer import StageTimer
 from ..utils import ChromosomeFilter
 from ..vcf import PhasedVcfWriter, PloidyError, VariantTable, VcfReader
-from . import CommandLineError, PhasedInputReader, log_memory_usage
+from . import CommandLineError, PhasedInputReader, log_memory_usage, populate_arg_parser
 
 __author__ = "Jana Ebler, Sven Schrinner"
 
 logger = logging.getLogger(__name__)
 
 
+POLYPHASE_ARGUMENTS = [
+    (None, [
+        ("variant_file", dict(metavar="VCF",
+            help="VCF file with variants to be phased (can be gzip-compressed)")),
+        ("phase_input_files", dict(nargs="*", metavar="PHASEINPUT",
+            help="BAM or CRAM with sequencing reads.")),
+        (("-o", "--output"), dict(default=sys.stdout,
+            help="Output VCF file. Add .gz to the file name to get compressed output. If omitted, use standard output.")),
+        (("--reference", "-r"), dict(metavar="FASTA",
+            help="Reference file. Provide this to detect alleles through re-alignment. If no index (.fai) exists, it will be created")),
+        ("--tag", dict(choices=("PS", "HP"), default="PS",
+            help="Store phasing information with PS tag (standardized) or HP tag (used by GATK ReadBackedPhasing) (default: %(default)s)")),
+    ]),
+    (("Input pre-processing, selection, and filtering", None), [
+        (("--mapping-quality", "--mapq"), dict(metavar="QUAL", default=20, type=int,
+            help="Minimum mapping quality (default: %(default)s)")),
+        ("--indels", dict(dest="indels_used", action="store_true", help=argparse.SUPPRESS)),
+        ("--only-snvs", dict(action="store_true", help="Only phase SNVs")),
+        ("--ignore-read-groups", dict(default=False, action="store_true",
+            help="Ignore read groups in BAM/CRAM header and assume all reads come from the same sample.")),
+        ("--include-haploid-sets", dict(default=False, action="store_true",
+            help="Include the phase set information for every single haplotype in a custom VCF format field 'HS'.")),
+        ("--sample", dict(dest="samples", metavar="SAMPLE", default=[], action="append",
+            help="Name of a sample to phase. If not given, all samples in the input VCF are phased. Can be used multiple times.")),
+        ("--chromosome", dict(dest="chromosomes", metavar="CHROMOSOME", default=[], action="append",
+            help="Name of chromosome to phase. If not given, all chromosomes in the input VCF are phased. Can be used multiple times.")),
+        ("--exclude-chromosome", dict(dest="excluded_chromosomes", default=[], action="append",
+            help="Name of chromosome not to phase.")),
+        ("--distrust-genotypes", dict(dest="distrust_genotypes", action="store_true", default=False,
+            help="Allows the phaser to change genotypes if beneficial for the internal model.")),
+    ]),
+    (("Parameters for phasing steps", None), [
+        (("--ploidy", "-p"), dict(metavar="PLOIDY", type=int, required=True,
+            help="The ploidy of the sample(s). Argument is required.")),
+        ("--use-prephasing", dict(dest="use_prephasing", action="store_true", default=False,
+            help="Uses existing phase set blocks in the input to increase contiguity of phasing output.")),
+        ("--min-overlap", dict(metavar="OVERLAP", type=int, default=2,
+            help="Minimum required read overlap for internal read clustering stage (default: %(default)s).")),
+        (("--block-cut-sensitivity", "-B"), dict(metavar="SENSITIVITY", type=int,
+            dest="block_cut_sensitivity", default=4,
+            help="Strategy to determine block borders. 0 yields the longest blocks with more switch errors, 5 has the shortest blocks with lowest switch error rate (default: %(default)s).")),
+        (("--threads", "-t"), dict(metavar="THREADS", type=int, default=1,
+            help="Maximum number of CPU threads used (default: %(default)s).")),
+        ("--no-mav", dict(dest="mav", default=True, action="store_false",
+            help="Disables phasing of multi-allelic variants.")),
+        ("--use-supplementary", dict(dest="use_supplementary", action="store_true", default=False,
+            help="Use also supplementary alignments (default: ignore supplementary_ alignments)")),
+        ("--supplementary-distance", dict(metavar="DIST", type=int,
+            dest="supplementary_distance_threshold", default=100_000,
+            help="Skip supplementary alignments further than DIST bp away from the primary alignment (default: %(default)s)")),
+        ("--ce-bundle-edges", dict(dest="ce_bundle_edges", default=False, action="store_true",
+            help=argparse.SUPPRESS)),
+        ("--plot-clusters", dict(dest="plot_clusters", default=False, action="store_true",
+            help=argparse.SUPPRESS)),
+        ("--plot-threading", dict(dest="plot_threading", default=False, action="store_true",
+            help=argparse.SUPPRESS)),
+        ("--verify-genotypes", dict(default=False, action="store_true", help=argparse.SUPPRESS)),
+    ]),
+]
+
+
+def add_arguments(parser):
+    populate_arg_parser(parser, POLYPHASE_ARGUMENTS)
+
+
+def validate(args, parser):
+    if args.block_cut_sensitivity > 5 or args.block_cut_sensitivity < 0:
+        parser.error("Block cut sensitivity must be an integer value between 0 and 5.")
+    if args.indels_used:
+        logger.warning("Ignoring --indels as indel phasing is default in WhatsHap 2.0+")
+    if args.verify_genotypes:
+        logger.warning("Ignoring deprecated option --verify-genotypes.")
+
+
 def run_polyphase(
-    phase_input_files: Sequence[str],
-    variant_file: str,
-    ploidy: int,
-    reference: Optional[str] = None,
-    output: TextIO = sys.stdout,
+    phase_input_files: Sequence[str], variant_file: str, ploidy: int,
+    reference: Optional[str] = None, output: TextIO = sys.stdout,
     samples: Optional[Sequence[str]] = None,
     chromosomes: Optional[List[str]] = None,
     excluded_chromosomes: Optional[List[str]] = None,
-    ignore_read_groups: bool = False,
-    only_snvs: bool = False,
-    mapping_quality: int = 20,
-    distrust_genotypes: bool = False,
-    tag: str = "PS",
-    read_list_filename: Optional[str] = None,
-    write_command_line_header: bool = True,
-    include_haploid_sets: bool = False,
-    block_cut_sensitivity=4,
-    min_overlap: int = 2,
-    mav: bool = True,
-    threads: int = 1,
-    use_supplementary: bool = False,
+    ignore_read_groups: bool = False, only_snvs: bool = False,
+    mapping_quality: int = 20, distrust_genotypes: bool = False,
+    tag: str = "PS", read_list_filename: Optional[str] = None,
+    write_command_line_header: bool = True, include_haploid_sets: bool = False,
+    block_cut_sensitivity=4, min_overlap: int = 2, mav: bool = True,
+    threads: int = 1, use_supplementary: bool = False,
     supplementary_distance_threshold: int = 100_000,
-    use_prephasing: bool = False,
-    ce_bundle_edges: bool = False,
-    plot_clusters: bool = False,
-    plot_threading: bool = False,
+    use_prephasing: bool = False, ce_bundle_edges: bool = False,
+    plot_clusters: bool = False, plot_threading: bool = False,
 ):
-    """Run polyploid phasing; see add_arguments() for parameter meaning."""
+    """Polyploid phasing pipeline (reference: whatshap/cli/polyphase.py
+    run_polyphase)."""
     timers = StageTimer()
     logger.info(
         "This is WhatsHap (polyploid) %s running under Python %s",
@@ -89,21 +150,17 @@ def run_polyphase(
         )
         assert not phased_input_reader.has_vcfs
 
-        if write_command_line_header:
-            command_line = "(whatshap {}) {}".format(__version__, " ".join(sys.argv[1:]))
-        else:
-            command_line = None
+        command_line = (
+            "(whatshap {}) {}".format(__version__, " ".join(sys.argv[1:]))
+            if write_command_line_header
+            else None
+        )
         try:
             vcf_writer: PhasedVcfWriter = stack.enter_context(
                 PhasedVcfWriter(
-                    command_line=command_line,
-                    in_path=variant_file,
-                    out_file=output,
-                    tag=tag,
-                    ploidy=ploidy,
-                    only_snvs=only_snvs,
-                    include_haploid_sets=include_haploid_sets,
-                    mav=mav,
+                    command_line=command_line, in_path=variant_file,
+                    out_file=output, tag=tag, ploidy=ploidy, only_snvs=only_snvs,
+                    include_haploid_sets=include_haploid_sets, mav=mav,
                 )
             )
         except OSError as e:
@@ -111,12 +168,8 @@ def run_polyphase(
 
         vcf_reader = stack.enter_context(
             VcfReader(
-                variant_file,
-                only_snvs=only_snvs,
-                phases=True,
-                genotype_likelihoods=False,
-                ploidy=ploidy,
-                mav=mav,
+                variant_file, only_snvs=only_snvs, phases=True,
+                genotype_likelihoods=False, ploidy=ploidy, mav=mav,
             )
         )
 
@@ -127,10 +180,9 @@ def run_polyphase(
             )
         if not samples:
             samples = vcf_reader.samples
-
-        vcf_sample_set = set(vcf_reader.samples)
+        known = set(vcf_reader.samples)
         for sample in samples:
-            if sample not in vcf_sample_set:
+            if sample not in known:
                 raise CommandLineError(
                     f"Sample {sample!r} requested on command-line not found in VCF"
                 )
@@ -139,47 +191,38 @@ def run_polyphase(
             logger.info(
                 "Consider using '-B 0' or '-B 1' when adding pre-phasings from another source."
             )
-
         samples = frozenset(samples)
 
-        read_list_file = None
         if read_list_filename:
             raise NotImplementedError("create_read_list_file not implemented")
 
-        phasing_param = PolyphaseParameter(
-            ploidy=ploidy,
-            ce_bundle_edges=ce_bundle_edges,
-            distrust_genotypes=distrust_genotypes,
-            min_overlap=min_overlap,
+        param = PolyphaseParameter(
+            ploidy=ploidy, ce_bundle_edges=ce_bundle_edges,
+            distrust_genotypes=distrust_genotypes, min_overlap=min_overlap,
             block_cut_sensitivity=block_cut_sensitivity,
-            plot_clusters=plot_clusters,
-            plot_threading=plot_threading,
+            plot_clusters=plot_clusters, plot_threading=plot_threading,
             plot_path=output if type(output) is str else output.name,
-            threads=threads,
-            use_prephasing=use_prephasing,
+            threads=threads, use_prephasing=use_prephasing,
         )
 
         try:
-            included_chromosomes = ChromosomeFilter(chromosomes, excluded_chromosomes)
+            wanted = ChromosomeFilter(chromosomes, excluded_chromosomes)
             for variant_table in timers.iterate("parse_vcf", vcf_reader):
                 chromosome = variant_table.chromosome
-                if chromosome in included_chromosomes:
-                    logger.info("======== Working on chromosome %r", chromosome)
-                else:
+                if chromosome not in wanted:
                     logger.info(
                         "Leaving chromosome %r unchanged (present in VCF but not "
                         "requested by option --chromosome)",
                         chromosome,
                     )
                     with timers("write_vcf"):
-                        superreads, components = dict(), dict()
-                        vcf_writer.write(chromosome, superreads, components)
+                        vcf_writer.write(chromosome, {}, {})
                     continue
 
+                logger.info("======== Working on chromosome %r", chromosome)
                 components, haploid_components, superreads = phase_single_chromosome(
-                    variant_table, phased_input_reader, samples, timers, phasing_param
+                    variant_table, phased_input_reader, samples, timers, param
                 )
-
                 with timers("write_vcf"):
                     logger.info("======== Writing VCF")
                     vcf_writer.write(
@@ -193,12 +236,9 @@ def run_polyphase(
         except PloidyError as e:
             raise CommandLineError(e)
 
-    if read_list_file:
-        read_list_file.close()
-
     logger.info("\n== SUMMARY ==")
-
     log_memory_usage(include_children=(threads > 1))
+    # fmt: off
     logger.info("Time spent reading BAM/CRAM:         %6.1f s", timers.elapsed("read_bam"))
     logger.info("Time spent parsing VCF:              %6.1f s", timers.elapsed("parse_vcf"))
     logger.info("Time spent detecting blocks:         %6.1f s", timers.elapsed("detecting_blocks"))
@@ -214,6 +254,7 @@ def run_polyphase(
     logger.info("Time spent writing VCF:              %6.1f s", timers.elapsed("write_vcf"))
     logger.info("Time spent on rest:                  %6.1f s", timers.total() - timers.sum())
     logger.info("Total elapsed time:                  %6.1f s", timers.total())
+    # fmt: on
 
 
 def phase_single_chromosome(
@@ -226,66 +267,57 @@ def phase_single_chromosome(
     Dict[str, Dict[Position, int]], Dict[str, Dict[Position, List[int]]], Dict[str, ReadSet]
 ]:
     chromosome = variant_table.chromosome
-    superreads, components, haploid_components = dict(), dict(), dict()
+    superreads: Dict[str, ReadSet] = {}
+    components: Dict[str, Dict[Position, int]] = {}
+    haploid_components: Dict[str, Dict[Position, List[int]]] = {}
 
     for sample in samples:
         logger.info("---- Processing individual %s", sample)
 
-        missing_genotypes = set()
-        heterozygous = set()
-
         genotypes = variant_table.genotypes_of(sample)
-        for index, gt in enumerate(genotypes):
-            if gt.is_none():
-                missing_genotypes.add(index)
-            elif not gt.is_homozygous():
-                heterozygous.add(index)
-            else:
-                assert gt.is_homozygous()
-        to_discard = set(range(len(variant_table))).difference(heterozygous)
-        phasable_variant_table = variant_table.create_subtable([sample])
-        phasable_variant_table.remove_rows_by_index(to_discard)
+        missing = {i for i, gt in enumerate(genotypes) if gt.is_none()}
+        heterozygous = {
+            i for i, gt in enumerate(genotypes) if not gt.is_none() and not gt.is_homozygous()
+        }
+        phasable_table = variant_table.create_subtable([sample])
+        phasable_table.remove_rows_by_index(set(range(len(variant_table))) - heterozygous)
 
-        logger.info(
-            "Number of variants skipped due to missing genotypes: %d",
-            len(missing_genotypes),
-        )
-        logger.info("Number of remaining heterozygous variants: %d", len(phasable_variant_table))
-
-        if len(phasable_variant_table) < 2:
+        logger.info("Number of variants skipped due to missing genotypes: %d", len(missing))
+        logger.info("Number of remaining heterozygous variants: %d", len(phasable_table))
+        if len(phasable_table) < 2:
             logger.debug("Skipped phasing because there is only one variant")
             continue
 
-        timers.start("read_bam")
-        readset, vcf_source_ids = phased_input_reader.read(
-            chromosome, phasable_variant_table.variants, sample
-        )
-        readset.sort()
-        timers.stop("read_bam")
+        with timers("read_bam"):
+            readset, _ = phased_input_reader.read(chromosome, phasable_table.variants, sample)
+            readset.sort()
 
-        readset = readset.subset(
-            [i for i, read in enumerate(readset) if len(read) >= max(2, param.min_overlap)]
-        )
+        min_len = max(2, param.min_overlap)
+        readset = readset.subset([i for i, read in enumerate(readset) if len(read) >= min_len])
         if len(readset) == 0:
             logger.debug("Skipped phasing because no suitable reads remain")
             continue
-
         logger.info("Kept %d reads that cover at least two variants each", len(readset))
+        phasable_table.subset_rows_by_position(readset.get_positions())
 
-        phasable_variant_table.subset_rows_by_position(readset.get_positions())
-
-        (
-            sample_components,
-            sample_haploid_components,
-            sample_superreads,
-        ) = phase_single_individual(readset, phasable_variant_table, sample, param, timers)
-        del phasable_variant_table
-
-        components[sample] = sample_components
-        haploid_components[sample] = sample_haploid_components
-        superreads[sample] = sample_superreads
+        components[sample], haploid_components[sample], superreads[sample] = (
+            phase_single_individual(readset, phasable_table, sample, param, timers)
+        )
+        del phasable_table
 
     return components, haploid_components, superreads
+
+
+def _spread_cut_blocks(cuts, accessible_pos, num_vars, assign):
+    """Call assign(position, block_start_position) for every variant of
+    every cut-delimited block (and for position+1, covering the VCF's
+    1-based PS convention)."""
+    bounds = cuts + [num_vars]
+    for start, end in zip(bounds[:-1], bounds[1:]):
+        anchor = accessible_pos[start]
+        for pos in range(start, end):
+            assign(accessible_pos[pos], anchor)
+            assign(accessible_pos[pos] + 1, anchor)
 
 
 def phase_single_individual(
@@ -313,246 +345,46 @@ def phase_single_individual(
     )
 
     accessible_pos = sorted(readset.get_positions())
-    components = {}
-    haploid_components = {}
+    num_vars = len(accessible_pos)
 
-    num_vars = len(readset.get_positions())
-    cuts = cuts + [num_vars]
-    for i, cut_pos in enumerate(cuts[:-1]):
-        for pos in range(cuts[i], cuts[i + 1]):
-            components[accessible_pos[pos]] = accessible_pos[cuts[i]]
-            components[accessible_pos[pos] + 1] = accessible_pos[cuts[i]]
-            haploid_components[accessible_pos[pos]] = [0] * param.ploidy
-            haploid_components[accessible_pos[pos] + 1] = [0] * param.ploidy
+    components: Dict[Position, int] = {}
+    haploid_components: Dict[Position, List[int]] = {}
+
+    def assign_component(position, anchor):
+        components[position] = anchor
+        haploid_components[position] = [0] * param.ploidy
+
+    _spread_cut_blocks(cuts, accessible_pos, num_vars, assign_component)
 
     for j in range(param.ploidy):
-        hap_cuts[j] = hap_cuts[j] + [num_vars]
-        for i, cut_pos in enumerate(hap_cuts[j][:-1]):
-            for pos in range(hap_cuts[j][i], hap_cuts[j][i + 1]):
-                haploid_components[accessible_pos[pos]][j] = accessible_pos[hap_cuts[j][i]]
-                haploid_components[accessible_pos[pos] + 1][j] = accessible_pos[hap_cuts[j][i]]
+        def assign_haploid(position, anchor, j=j):
+            haploid_components[position][j] = anchor
+
+        _spread_cut_blocks(hap_cuts[j], accessible_pos, num_vars, assign_haploid)
 
     superreads = ReadSet()
-    phased_pos = [i for i in range(num_vars) if -1 not in [h[i] for h in result.haplotypes]]
+    fully_phased = [
+        i for i in range(num_vars) if all(h[i] != -1 for h in result.haplotypes)
+    ]
     for i in range(param.ploidy):
         read = Read(f"superread {i + 1}", 0, 0)
-        for j in phased_pos:
+        for j in fully_phased:
             read.add_variant(accessible_pos[j], result.haplotypes[i][j], 0)
         superreads.add(read)
 
     if param.plot_clusters or param.plot_threading:
-        timers.start("create_plots")
-        draw_plots(
-            readset,
-            result,
-            cuts[:-1],
-            phasable_variant_table,
-            param.plot_clusters,
-            param.plot_threading,
-            param.plot_path,
-        )
-        timers.stop("create_plots")
+        with timers("create_plots"):
+            draw_plots(
+                readset,
+                result,
+                cuts,
+                phasable_variant_table,
+                param.plot_clusters,
+                param.plot_threading,
+                param.plot_path,
+            )
 
     return components, haploid_components, superreads
-
-
-def add_arguments(parser):
-    arg = parser.add_argument
-    arg(
-        "variant_file",
-        metavar="VCF",
-        help="VCF file with variants to be phased (can be gzip-compressed)",
-    )
-    arg(
-        "phase_input_files",
-        nargs="*",
-        metavar="PHASEINPUT",
-        help="BAM or CRAM with sequencing reads.",
-    )
-    arg(
-        "-o",
-        "--output",
-        default=sys.stdout,
-        help="Output VCF file. Add .gz to the file name to get compressed output. "
-        "If omitted, use standard output.",
-    )
-    arg(
-        "--reference",
-        "-r",
-        metavar="FASTA",
-        help="Reference file. Provide this to detect alleles through re-alignment. "
-        "If no index (.fai) exists, it will be created",
-    )
-    arg(
-        "--tag",
-        choices=("PS", "HP"),
-        default="PS",
-        help="Store phasing information with PS tag (standardized) or "
-        "HP tag (used by GATK ReadBackedPhasing) (default: %(default)s)",
-    )
-
-    arg = parser.add_argument_group("Input pre-processing, selection, and filtering").add_argument
-    arg(
-        "--mapping-quality",
-        "--mapq",
-        metavar="QUAL",
-        default=20,
-        type=int,
-        help="Minimum mapping quality (default: %(default)s)",
-    )
-    arg("--indels", dest="indels_used", action="store_true", help=argparse.SUPPRESS)
-    arg("--only-snvs", action="store_true", help="Only phase SNVs")
-    arg(
-        "--ignore-read-groups",
-        default=False,
-        action="store_true",
-        help="Ignore read groups in BAM/CRAM header and assume all reads come "
-        "from the same sample.",
-    )
-    arg(
-        "--include-haploid-sets",
-        default=False,
-        action="store_true",
-        help="Include the phase set information for every single haplotype in a "
-        "custom VCF format field 'HS'.",
-    )
-    arg(
-        "--sample",
-        dest="samples",
-        metavar="SAMPLE",
-        default=[],
-        action="append",
-        help="Name of a sample to phase. If not given, all samples in the "
-        "input VCF are phased. Can be used multiple times.",
-    )
-    arg(
-        "--chromosome",
-        dest="chromosomes",
-        metavar="CHROMOSOME",
-        default=[],
-        action="append",
-        help="Name of chromosome to phase. If not given, all chromosomes in the "
-        "input VCF are phased. Can be used multiple times.",
-    )
-    arg(
-        "--exclude-chromosome",
-        dest="excluded_chromosomes",
-        default=[],
-        action="append",
-        help="Name of chromosome not to phase.",
-    )
-    arg(
-        "--distrust-genotypes",
-        dest="distrust_genotypes",
-        action="store_true",
-        default=False,
-        help="Allows the phaser to change genotypes if beneficial for the internal model.",
-    )
-
-    arg = parser.add_argument_group("Parameters for phasing steps").add_argument
-    arg(
-        "--ploidy",
-        "-p",
-        metavar="PLOIDY",
-        type=int,
-        required=True,
-        help="The ploidy of the sample(s). Argument is required.",
-    )
-    arg(
-        "--use-prephasing",
-        dest="use_prephasing",
-        action="store_true",
-        default=False,
-        help="Uses existing phase set blocks in the input to increase contiguity "
-        "of phasing output.",
-    )
-    arg(
-        "--min-overlap",
-        metavar="OVERLAP",
-        type=int,
-        default=2,
-        help="Minimum required read overlap for internal read clustering stage "
-        "(default: %(default)s).",
-    )
-    arg(
-        "--block-cut-sensitivity",
-        "-B",
-        metavar="SENSITIVITY",
-        type=int,
-        dest="block_cut_sensitivity",
-        default=4,
-        help="Strategy to determine block borders. 0 yields the longest blocks with "
-        "more switch errors, 5 has the shortest blocks with lowest switch error "
-        "rate (default: %(default)s).",
-    )
-    arg(
-        "--threads",
-        "-t",
-        metavar="THREADS",
-        type=int,
-        default=1,
-        help="Maximum number of CPU threads used (default: %(default)s).",
-    )
-    arg(
-        "--no-mav",
-        dest="mav",
-        default=True,
-        action="store_false",
-        help="Disables phasing of multi-allelic variants.",
-    )
-    arg(
-        "--use-supplementary",
-        dest="use_supplementary",
-        action="store_true",
-        default=False,
-        help="Use also supplementary alignments (default: ignore supplementary_ alignments)",
-    )
-    arg(
-        "--supplementary-distance",
-        metavar="DIST",
-        type=int,
-        dest="supplementary_distance_threshold",
-        default=100_000,
-        help="Skip supplementary alignments further than DIST bp away from the "
-        "primary alignment (default: %(default)s)",
-    )
-
-    arg(
-        "--ce-bundle-edges",
-        dest="ce_bundle_edges",
-        default=False,
-        action="store_true",
-        help=argparse.SUPPRESS,
-    )
-    arg(
-        "--plot-clusters",
-        dest="plot_clusters",
-        default=False,
-        action="store_true",
-        help=argparse.SUPPRESS,
-    )
-    arg(
-        "--plot-threading",
-        dest="plot_threading",
-        default=False,
-        action="store_true",
-        help=argparse.SUPPRESS,
-    )
-    arg(
-        "--verify-genotypes",
-        default=False,
-        action="store_true",
-        help=argparse.SUPPRESS,
-    )
-
-
-def validate(args, parser):
-    if args.block_cut_sensitivity > 5 or args.block_cut_sensitivity < 0:
-        parser.error("Block cut sensitivity must be an integer value between 0 and 5.")
-    if args.indels_used:
-        logger.warning("Ignoring --indels as indel phasing is default in WhatsHap 2.0+")
-    if args.verify_genotypes:
-        logger.warning("Ignoring deprecated option --verify-genotypes.")
 
 
 def main(args):

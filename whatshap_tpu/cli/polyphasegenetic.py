@@ -1,10 +1,10 @@
 """
-Phase variants in a polyploid VCF using genetic information from progeny
-samples (behavior parity with whatshap/cli/polyphasegenetic.py).
+Phase variants in a polyploid VCF using genetic information from progeny samples.
 
 Reads parent and (optionally separate) progeny VCFs plus a pedigree file,
 scores parental marker alleles by their co-segregation in the progenies,
-clusters the markers and arranges the clusters onto haplotypes.
+clusters the markers and arranges the clusters onto haplotypes
+(counterpart of whatshap/cli/polyphasegenetic.py).
 """
 
 import argparse
@@ -29,9 +29,11 @@ from ..polyphase.variantselection import compute_phasable_variants, filter_varia
 from ..timer import StageTimer
 from ..utils import ChromosomeFilter
 from ..vcf import PhasedVcfWriter, PloidyError, VcfReader
-from . import CommandLineError, log_memory_usage
+from . import CommandLineError, log_memory_usage, populate_arg_parser
 
 __author__ = "Sven Schrinner"
+
+logger = logging.getLogger(__name__)
 
 
 @dataclass
@@ -47,7 +49,299 @@ class PolyphaseGeneticParameter:
     output: str
 
 
-logger = logging.getLogger(__name__)
+POLYPHASEGENETIC_ARGUMENTS = [
+    (None, [
+        ("variant_file", dict(metavar="VCF",
+            help="VCF file with variants to be phased (can be gzip-compressed)")),
+        ("pedigree_file", dict(metavar="PEDIGREE", help="Pedigree file.")),
+        (("-P", "--progeny_file"), dict(required=False,
+            help="File with progeny genotypes. If not specified, information is taken from main input file.")),
+        (("-o", "--output"), dict(default=sys.stdout,
+            help="Output VCF file. Add .gz to the file name to get compressed output. If omitted, use standard output.")),
+        ("--tag", dict(choices=("PS", "HP"), default="PS",
+            help="Store phasing information with PS tag (standardized) or HP tag (used by GATK ReadBackedPhasing) (default: %(default)s)")),
+    ]),
+    (("Input pre-processing, selection, and filtering", None), [
+        ("--only-snvs", dict(action="store_true", help="Phase only SNVs")),
+        ("--sample", dict(dest="samples", metavar="SAMPLE", default=[], action="append",
+            help="Name of a sample to phase. If not given, all samples in the input VCF are phased. Can be used multiple times.")),
+        ("--chromosome", dict(dest="chromosomes", metavar="CHROMOSOME", default=[], action="append",
+            help="Name of chromosome to phase. If not given, all chromosomes in the input VCF are phased. Can be used multiple times.")),
+        ("--exclude-chromosome", dict(dest="excluded_chromosomes", default=[], action="append",
+            help="Name of chromosome not to phase.")),
+    ]),
+    (("Parameters for phasing steps", None), [
+        (("--ploidy", "-p"), dict(metavar="PLOIDY", type=int, required=True,
+            help="The ploidy of the sample(s). Argument is required.")),
+        ("--scoring-window", dict(metavar="SCORINGWINDOW", dest="scoring_window", type=int,
+            default=250, required=False,
+            help="Size of the window (in variants) for statistical progeny scoring.")),
+        (("--complexity-support", "-C"), dict(dest="complexity_support", type=int, default=0,
+            required=False,
+            help="Indicates what level of genotype complexity is allowed for phased variants. 0 = simplex-nulliplex only, 1 = simplex-simplex on top, 2 = duplex-nulliplex on top. Default is 0.")),
+        ("--distrust-genotypes", dict(dest="distrust_genotypes", default=False, action="store_true",
+            help="Internally retypes the reported parent genotypes based on allele distribution in progeny samples.")),
+        ("--ratio-cutoff", dict(metavar="RATIOCUTOFF", dest="ratio_cutoff", type=float,
+            default=0.0, required=False, help=argparse.SUPPRESS)),
+        ("--allele-error-rate", dict(metavar="ALLELEERRORRATE", dest="allele_error_rate",
+            type=float, default=0.06, required=False, help=argparse.SUPPRESS)),
+        ("--plot", dict(dest="plot", default=False, action="store_true", help=argparse.SUPPRESS)),
+        (("--ground-truth-file", "-g"), dict(required=False, help=argparse.SUPPRESS)),
+    ]),
+]
+
+
+def add_arguments(parser):
+    populate_arg_parser(parser, POLYPHASEGENETIC_ARGUMENTS)
+
+
+def validate(args, parser):
+    if args.allele_error_rate > 0.5 or args.allele_error_rate < 0.01:
+        parser.error("Allele error rate must be between 0.01 and 0.5.")
+    if args.scoring_window < 1:
+        parser.error("Scoring window must be a positive integer.")
+    if args.complexity_support not in [0, 1, 2]:
+        parser.error("Complexity support level must be either 0, 1 or 2.")
+    if args.ploidy % 2 > 0:
+        parser.error("Odd ploidies are not supported.")
+    if args.ploidy < 2:
+        parser.error("Ploidy must be at least 2.")
+
+
+# ---------------------------------------------------------------------------
+# pedigree resolution
+
+
+def _parse_trio_file(pedigree_file):
+    """(parent -> co-parent, parent -> progeny list) from a 3-column
+    space-separated trio file (father mother child)."""
+    coparents = {}
+    progenies = defaultdict(list)
+    with open(pedigree_file) as ped:
+        for i, line in enumerate(ped):
+            tokens = line.replace("\n", "").split(" ")
+            if len(tokens) != 3:
+                logger.error(f"Line {i} in pedfile contains {len(tokens)} values instead of 3.")
+                raise CommandLineError(None)
+            progeny = tokens[2]
+            if progeny in tokens[:2]:
+                logger.warning(f"Ignore: Sample {progeny} defined as its own parent in line {i}.")
+                continue
+            for parent, co_parent in zip(tokens[:2], tokens[-2::-1]):
+                if parent in coparents and coparents[parent] != co_parent:
+                    msg = (
+                        f"Pedfile assigns multiple partners ({co_parent}, {coparents[parent]}) to "
+                        f"{parent}. Currently only one partner per sample is supported."
+                    )
+                    logger.error(msg)
+                    raise CommandLineError(msg)
+                coparents[parent] = co_parent
+                if progeny in progenies[parent]:
+                    logger.warning(
+                        f"Ignore: Duplicate trio ({parent}, {co_parent}, {progeny}) "
+                        f"in pedfile line {i}"
+                    )
+                else:
+                    progenies[parent].append(progeny)
+    return coparents, progenies
+
+
+def determine_pedigree(pedigree_file, samples, parent_samples, progeny_samples=None):
+    """(samples to phase, sample -> co-parent, sample -> usable progeny
+    list).  A progeny counts only when the pedigree defines its trio AND
+    its genotypes are available (progeny VCF, else the primary VCF)."""
+    coparents, progenies = _parse_trio_file(pedigree_file)
+
+    if samples:
+        for sample in samples:
+            if sample not in coparents:
+                msg = f"Requested parent sample {sample} does not occur as parent in pedfile."
+                logger.error(msg)
+                raise CommandLineError(msg)
+            if sample not in parent_samples:
+                msg = f"Requested parent sample {sample} is not present in primary VCF file."
+                logger.error(msg)
+                raise CommandLineError(msg)
+            if coparents[sample] not in parent_samples:
+                msg = (
+                    f"Partner {coparents[sample]} of requested parent sample {sample} "
+                    "is not present in primary VCF file."
+                )
+                logger.error(msg)
+                raise CommandLineError(msg)
+    else:
+        if not coparents:
+            msg = "Pedfile does not contain any trios."
+            logger.error(msg)
+            raise CommandLineError(msg)
+        samples = [s for s in coparents if s in parent_samples]
+        if not samples:
+            msg = "No prospect parent sample from the pedfile is present in primary VCF file"
+            logger.error(msg)
+            raise CommandLineError(msg)
+
+    usable_progenies = {}
+    chosen_coparents = {}
+    for sample in samples:
+        chosen_coparents[sample] = coparents[sample]
+        kept = []
+        for progeny in progenies[sample]:
+            if progeny_samples:
+                if progeny in progeny_samples:
+                    kept.append(progeny)
+                elif progeny in parent_samples:
+                    logger.warning(
+                        f"Ignore: Progeny {progeny} present in primary VCF instead of "
+                        "progeny VCF."
+                    )
+                else:
+                    logger.warning(f"Ignore: Progeny {progeny} not present in progeny VCF.")
+            elif progeny in parent_samples:
+                kept.append(progeny)
+            else:
+                logger.warning(f"Ignore: Progeny {progeny} not present in primary VCF.")
+        usable_progenies[sample] = kept
+    return samples, chosen_coparents, usable_progenies
+
+
+def get_parent_progeny_coverage(parent, co_parent, progeny_list, parent_table, progeny_table):
+    """Per parent-table row: total read depth of parent, co-parent and the
+    summed progenies (progeny rows are matched to parent rows by
+    position)."""
+    parent_depths = parent_table.allele_depths_of(parent)
+    co_parent_depths = parent_table.allele_depths_of(co_parent)
+    n = len(parent_table)
+    parent_cov = [sum(parent_depths[pos]) for pos in range(n)]
+    co_parent_cov = [sum(co_parent_depths[pos]) for pos in range(n)]
+    progeny_cov = [0] * n
+    for child in progeny_list:
+        depths = progeny_table.allele_depths_of(child)
+        assert len(depths) == len(progeny_table)
+        progeny_pos = 0
+        for parent_pos in range(n):
+            if progeny_pos >= len(depths):
+                break
+            parent_gpos = parent_table.variants[parent_pos].position
+            progeny_gpos = progeny_table.variants[progeny_pos].position
+            if parent_gpos == progeny_gpos:
+                progeny_cov[parent_pos] += sum(depths[progeny_pos])
+                progeny_pos += 1
+            else:
+                assert parent_gpos < progeny_gpos
+    return parent_cov, co_parent_cov, progeny_cov
+
+
+# ---------------------------------------------------------------------------
+# per-sample phasing
+
+
+def phase_single_sample(
+    chromosome,
+    progeny_reader,
+    ground_truth_reader,
+    sample,
+    coparent,
+    progeny_list,
+    variant_table,
+    timers,
+    param,
+):
+    varinfo = compute_phasable_variants(variant_table, sample, coparent, param)
+
+    with timers("parse_vcf"):
+        logger.info("Extracting progeny allele depths ...")
+        if progeny_reader:
+            positions = [variant_table.variants[i].position for i in varinfo.get_phasable()]
+            progeny_table = progeny_reader.fetch_regions(
+                chromosome, [(p, p + 1) for p in positions]
+            )
+        else:
+            progeny_table = variant_table
+
+    parent_cov, co_parent_cov, progeny_cov = get_parent_progeny_coverage(
+        sample, coparent, progeny_list, variant_table, progeny_table
+    )
+    if param.ratio_cutoff > 1.0:
+        logger.info("Filtering variant positions based on coverage ratios ...")
+        before = len(varinfo.get_phasable())
+        filter_variants(varinfo, parent_cov, co_parent_cov, progeny_cov, param.ratio_cutoff)
+        logger.info("Kept %i out of %i variants.", len(varinfo.get_phasable()), before)
+
+    with timers("scoring"):
+        logger.info("Computing progeny genotype likelihoods ...")
+        if param.distrust_genotypes:
+            correct_variant_types(variant_table, progeny_table, progeny_list, varinfo, param)
+        off_gl = get_offspring_gl(variant_table, progeny_table, progeny_list, varinfo, param)
+        if progeny_reader:
+            del progeny_table
+        logger.info("Compute scores for markers ...")
+        scoring = get_variant_scoring(varinfo, off_gl, param)
+        del off_gl
+
+    with timers("clustering"):
+        logger.info("Clustering marker alleles ...")
+        clustering = ClusterEditingSolver(scoring, False).run()
+        assert clustering
+        assert any(len(c) > 1 for c in clustering)
+
+    timers.start("arrangement")
+    logger.info("Arranging clusters ...")
+    padding = int(param.scoring_window * 3.0 + 1)
+    haplo_skeletons = arrange_clusters(clustering, padding, param.ploidy)
+
+    accessible_positions = sorted(v.position for v in variant_table.variants)
+
+    # markers_at: variant index -> haplotypes whose skeleton carries it
+    markers_at = defaultdict(list)
+    for hap_id, skeleton in enumerate(haplo_skeletons):
+        for cluster_id in skeleton:
+            for node in clustering[cluster_id]:
+                markers_at[varinfo.node_to_variant(node)].append(hap_id)
+
+    components = {}
+    superreads = ReadSet()
+    for i in range(param.ploidy):
+        superreads.add(Read(f"superread {i + 1}", 0, 0))
+
+    phased_positions = []
+    haplotypes = [[] for _ in range(param.ploidy)]
+    kept_parent_cov, kept_co_parent_cov, kept_progeny_cov = [], [], []
+    for pos in range(len(variant_table)):
+        if not markers_at[pos]:
+            continue
+        for i in range(param.ploidy):
+            allele = varinfo[pos].alt if i in markers_at[pos] else varinfo[pos].ref
+            superreads[i].add_variant(accessible_positions[pos], allele, 0)
+            components[accessible_positions[pos]] = accessible_positions[0]
+            haplotypes[i].append(allele)
+        phased_positions.append(accessible_positions[pos])
+        kept_parent_cov.append(parent_cov[pos])
+        kept_co_parent_cov.append(co_parent_cov[pos])
+        kept_progeny_cov.append(progeny_cov[pos])
+    timers.stop("arrangement")
+
+    if param.plot:
+        with timers("plots"):
+            create_genetic_plots(
+                param.output,
+                chromosome,
+                sample,
+                ground_truth_reader,
+                varinfo,
+                clustering,
+                haplo_skeletons,
+                haplotypes,
+                phased_positions,
+                kept_parent_cov,
+                kept_co_parent_cov,
+                kept_progeny_cov,
+                param,
+            )
+    return superreads, components
+
+
+# ---------------------------------------------------------------------------
+# driver
 
 
 def run_polyphasegenetic(
@@ -70,7 +364,7 @@ def run_polyphasegenetic(
     write_command_line_header=True,
     plot=False,
 ):
-    """Run genetic polyploid phasing; see add_arguments() for parameters."""
+    """Genetic polyploid phasing pipeline."""
     timers = StageTimer()
     logger.info(
         "This is WhatsHap (polyploid-genetic) %s running under Python %s",
@@ -78,64 +372,47 @@ def run_polyphasegenetic(
         platform.python_version(),
     )
     with ExitStack() as stack:
-        if write_command_line_header:
-            command_line = "(whatshap {}) {}".format(__version__, " ".join(sys.argv[1:]))
-        else:
-            command_line = None
+        command_line = (
+            "(whatshap {}) {}".format(__version__, " ".join(sys.argv[1:]))
+            if write_command_line_header
+            else None
+        )
         try:
             vcf_writer = stack.enter_context(
                 PhasedVcfWriter(
-                    command_line=command_line,
-                    in_path=variant_file,
-                    out_file=output,
-                    tag=tag,
-                    ploidy=ploidy,
-                    mav=False,
+                    command_line=command_line, in_path=variant_file, out_file=output,
+                    tag=tag, ploidy=ploidy, mav=False,
                 )
             )
         except OSError as e:
             raise CommandLineError(e)
 
-        parent_reader = stack.enter_context(
-            VcfReader(
-                variant_file,
-                only_snvs=only_snvs,
-                phases=True,
-                genotype_likelihoods=False,
-                ploidy=ploidy,
-                mav=True,
-                allele_depth=True,
-            )
-        )
-        progeny_reader = None
-        if progeny_file:
-            progeny_reader = stack.enter_context(
+        def open_depth_reader(path):
+            return stack.enter_context(
                 VcfReader(
-                    progeny_file,
-                    only_snvs=only_snvs,
-                    phases=True,
-                    genotype_likelihoods=False,
-                    ploidy=ploidy,
-                    mav=True,
-                    allele_depth=True,
+                    path, only_snvs=only_snvs, phases=True, genotype_likelihoods=False,
+                    ploidy=ploidy, mav=True, allele_depth=True,
                 )
             )
 
-        parent_file_samples = parent_reader.samples
-        progeny_file_samples = progeny_reader.samples if progeny_reader else None
-        samples, sample_to_coparent, sample_to_progeny = determine_pedigree(
-            pedigree_file, samples, parent_file_samples, progeny_file_samples
-        )
+        parent_reader = open_depth_reader(variant_file)
+        progeny_reader = open_depth_reader(progeny_file) if progeny_file else None
 
-        parent_sample_set = set(parent_reader.samples)
+        samples, sample_to_coparent, sample_to_progeny = determine_pedigree(
+            pedigree_file,
+            samples,
+            parent_reader.samples,
+            progeny_reader.samples if progeny_reader else None,
+        )
+        known = set(parent_reader.samples)
         for sample in samples:
-            if sample not in parent_sample_set:
+            if sample not in known:
                 raise CommandLineError(
                     "Sample {!r} requested on command-line not found in VCF".format(sample)
                 )
         samples = frozenset(samples)
 
-        phasing_param = PolyphaseGeneticParameter(
+        param = PolyphaseGeneticParameter(
             ploidy=ploidy,
             scoring_window=scoring_window,
             allele_error_rate=allele_error_rate,
@@ -148,60 +425,50 @@ def run_polyphasegenetic(
         )
 
         try:
+            wanted = ChromosomeFilter(chromosomes, excluded_chromosomes)
             for variant_table in timers.iterate("parse_vcf", parent_reader):
                 chromosome = variant_table.chromosome
-                included_chromosomes = ChromosomeFilter(chromosomes, excluded_chromosomes)
-
-                if chromosome in included_chromosomes:
-                    logger.info("======== Working on chromosome %r", chromosome)
-                else:
+                if chromosome not in wanted:
                     logger.info(
                         "Leaving chromosome %r unchanged (present in VCF but not "
                         "requested by option --chromosome)",
                         chromosome,
                     )
                     with timers("write_vcf"):
-                        superreads, components = dict(), dict()
-                        vcf_writer.write(chromosome, superreads, components)
+                        vcf_writer.write(chromosome, {}, {})
                     continue
 
-                superreads, components = dict(), dict()
-
+                logger.info("======== Working on chromosome %r", chromosome)
                 logger.info("Number of variants among all samples: %d", len(variant_table))
 
+                superreads, components = {}, {}
                 for sample in samples:
                     logger.info("---- Processing individual %s", sample)
                     coparent = sample_to_coparent[sample]
-                    progeny_list = sample_to_progeny[sample]
                     logger.info("Detected %s as co-parent for %s.", coparent, sample)
-
                     superreads[sample], components[sample] = phase_single_sample(
                         chromosome,
                         progeny_reader,
                         ground_truth_file,
                         sample,
                         coparent,
-                        progeny_list,
+                        sample_to_progeny[sample],
                         variant_table,
                         timers,
-                        phasing_param,
+                        param,
                     )
 
                 with timers("write_vcf"):
                     logger.info("======== Writing VCF")
-                    vcf_writer.write(
-                        chromosome,
-                        superreads,
-                        components,
-                    )
+                    vcf_writer.write(chromosome, superreads, components)
                     logger.info("Done writing VCF")
                 logger.debug("Chromosome %r finished", chromosome)
         except PloidyError as e:
             raise CommandLineError(e)
 
     logger.info("\n== SUMMARY ==")
-
     log_memory_usage()
+    # fmt: off
     logger.info("Time spent parsing VCF:                   %6.1f s", timers.elapsed("parse_vcf"))
     logger.info("Time spent for genetic scoring:           %6.1f s", timers.elapsed("scoring"))
     logger.info("Time spent for clustering:                %6.1f s", timers.elapsed("clustering"))
@@ -211,396 +478,7 @@ def run_polyphasegenetic(
         logger.info("Time spent creating plots:                %6.1f s", timers.elapsed("plots"))
     logger.info("Time spent on rest:                       %6.1f s", timers.total() - timers.sum())
     logger.info("Total elapsed time:                       %6.1f s", timers.total())
-
-
-def phase_single_sample(
-    chromosome,
-    progeny_reader,
-    ground_truth_reader,
-    sample,
-    coparent,
-    progeny_list,
-    variant_table,
-    timers,
-    param,
-):
-    varinfo = compute_phasable_variants(variant_table, sample, coparent, param)
-
-    timers.start("parse_vcf")
-    logger.info("Extracting progeny allele depths ...")
-    if progeny_reader:
-        positions = [variant_table.variants[i].position for i in varinfo.get_phasable()]
-        regions = [(positions[i], positions[i] + 1) for i in range(len(positions))]
-        progeny_table = progeny_reader.fetch_regions(chromosome, regions)
-    else:
-        progeny_table = variant_table
-    timers.stop("parse_vcf")
-
-    parent_cov, co_parent_cov, progeny_cov = get_parent_progeny_coverage(
-        sample, coparent, progeny_list, variant_table, progeny_table
-    )
-
-    if param.ratio_cutoff > 1.0:
-        logger.info("Filtering variant positions based on coverage ratios ...")
-        old_num = len(varinfo.get_phasable())
-        filter_variants(varinfo, parent_cov, co_parent_cov, progeny_cov, param.ratio_cutoff)
-        logger.info("Kept %i out of %i variants.", len(varinfo.get_phasable()), old_num)
-
-    timers.start("scoring")
-    logger.info("Computing progeny genotype likelihoods ...")
-    if param.distrust_genotypes:
-        correct_variant_types(variant_table, progeny_table, progeny_list, varinfo, param)
-    off_gl = get_offspring_gl(variant_table, progeny_table, progeny_list, varinfo, param)
-
-    if progeny_reader:
-        del progeny_table
-
-    logger.info("Compute scores for markers ...")
-    scoring = get_variant_scoring(varinfo, off_gl, param)
-
-    del off_gl
-
-    timers.stop("scoring")
-
-    timers.start("clustering")
-    logger.info("Clustering marker alleles ...")
-    solver = ClusterEditingSolver(scoring, False)
-    clustering = solver.run()
-    del solver
-    assert clustering
-    assert any(len(c) > 1 for c in clustering)
-    timers.stop("clustering")
-
-    timers.start("arrangement")
-    logger.info("Arranging clusters ...")
-    padding = int(param.scoring_window * 3.0 + 1)
-    haplo_skeletons = arrange_clusters(clustering, padding, param.ploidy)
-
-    accessible_positions = sorted([v.position for v in variant_table.variants])
-
-    # accessible_positions: variant index -> genome position
-    # varinfo.node_to_variant(): node id -> variant index
-    # haplo_skeletons: per haplotype, list of cluster ids
-
-    components = {}
-    superreads = ReadSet()
-    for i in range(param.ploidy):
-        superreads.add(Read("superread {}".format(i + 1), 0, 0))
-
-    marker_per_pos = defaultdict(list)
-    for i, hap in enumerate(haplo_skeletons):
-        for clust in hap:
-            for node in clustering[clust]:
-                marker_per_pos[varinfo.node_to_variant(node)].append(i)
-
-    phased_positions = []
-    haplotypes = [[] for _ in range(param.ploidy)]
-    parent_coverage = []
-    co_parent_coverage = []
-    progeny_coverage = []
-
-    for pos in range(len(variant_table)):
-        if len(marker_per_pos[pos]) == 0:
-            continue
-        for i in range(param.ploidy):
-            if i in marker_per_pos[pos]:
-                allele = varinfo[pos].alt
-            else:
-                allele = varinfo[pos].ref
-            superreads[i].add_variant(accessible_positions[pos], allele, 0)
-            components[accessible_positions[pos]] = accessible_positions[0]
-            haplotypes[i].append(allele)
-        phased_positions.append(accessible_positions[pos])
-        parent_coverage.append(parent_cov[pos])
-        co_parent_coverage.append(co_parent_cov[pos])
-        progeny_coverage.append(progeny_cov[pos])
-
-    timers.stop("arrangement")
-
-    if param.plot:
-        timers.start("plots")
-        create_genetic_plots(
-            param.output,
-            chromosome,
-            sample,
-            ground_truth_reader,
-            varinfo,
-            clustering,
-            haplo_skeletons,
-            haplotypes,
-            phased_positions,
-            parent_coverage,
-            co_parent_coverage,
-            progeny_coverage,
-            param,
-        )
-        timers.stop("plots")
-
-    return superreads, components
-
-
-def determine_pedigree(pedigree_file, samples, parent_samples, progeny_samples=None):
-    """
-    Evaluate the pedigree file and return (samples to phase, sample ->
-    co-parent, sample -> progeny list). Progenies count only when defined as
-    a trio in the pedigree file AND present in the progeny VCF (or the
-    primary VCF when no progeny VCF is given).
-    """
-    coparents = dict()
-    progenies = dict()
-    with open(pedigree_file, "r") as ped:
-        for i, line in enumerate(ped):
-            tokens = line.replace("\n", "").split(" ")
-            if len(tokens) != 3:
-                logger.error(f"Line {i} in pedfile contains {len(tokens)} values instead of 3.")
-                raise CommandLineError(None)
-            progeny = tokens[2]
-            if progeny in tokens[:2]:
-                logger.warning(f"Ignore: Sample {progeny} defined as its own parent in line {i}.")
-                continue
-            for parent, co_parent in zip(tokens[:2], tokens[-2::-1]):
-                if parent in coparents and coparents[parent] != co_parent:
-                    other = coparents[parent]
-                    msg = (
-                        f"Pedfile assigns multiple partners ({co_parent}, {other}) to "
-                        f"{parent}. Currently only one partner per sample is supported."
-                    )
-                    logger.error(msg)
-                    raise CommandLineError(msg)
-                coparents[parent] = co_parent
-                if parent not in progenies:
-                    progenies[parent] = []
-                if progeny in progenies[parent]:
-                    logger.warning(
-                        f"Ignore: Duplicate trio ({parent}, {co_parent}, {progeny}) "
-                        f"in pedfile line {i}"
-                    )
-                else:
-                    progenies[parent].append(progeny)
-
-    if samples:
-        for sample in samples:
-            if sample not in coparents:
-                msg = f"Requested parent sample {sample} does not occur as parent in pedfile."
-                logger.error(msg)
-                raise CommandLineError(msg)
-            if sample not in parent_samples:
-                msg = f"Requested parent sample {sample} is not present in primary VCF file."
-                logger.error(msg)
-                raise CommandLineError(msg)
-            if coparents[sample] not in parent_samples:
-                msg = (
-                    f"Partner {coparents[sample]} of requested parent sample {sample} "
-                    "is not present in primary VCF file."
-                )
-                logger.error(msg)
-                raise CommandLineError(msg)
-    else:
-        samples = []
-        if not coparents:
-            msg = "Pedfile does not contain any trios."
-            logger.error(msg)
-            raise CommandLineError(msg)
-        for sample in coparents:
-            if sample in parent_samples:
-                samples.append(sample)
-        if not samples:
-            msg = "No prospect parent sample from the pedfile is present in primary VCF file"
-            logger.error(msg)
-            raise CommandLineError(msg)
-
-    fprogenies = dict()
-    fcoparents = dict()
-    for sample in samples:
-        fprogenies[sample] = []
-        fcoparents[sample] = coparents[sample]
-        for progeny in progenies[sample]:
-            if progeny_samples:
-                if progeny in progeny_samples:
-                    fprogenies[sample].append(progeny)
-                elif progeny in parent_samples:
-                    logger.warning(
-                        f"Ignore: Progeny {progeny} present in primary VCF instead of "
-                        "progeny VCF."
-                    )
-                else:
-                    logger.warning(f"Ignore: Progeny {progeny} not present in progeny VCF.")
-            else:
-                if progeny in parent_samples:
-                    fprogenies[sample].append(progeny)
-                else:
-                    logger.warning(f"Ignore: Progeny {progeny} not present in primary VCF.")
-
-    return samples, fcoparents, fprogenies
-
-
-def get_parent_progeny_coverage(parent, co_parent, progeny_list, parent_table, progeny_table):
-    parent_depths = parent_table.allele_depths_of(parent)
-    co_parent_depths = parent_table.allele_depths_of(co_parent)
-    parent_cov = [sum(parent_depths[pos]) for pos in range(len(parent_table))]
-    co_parent_cov = [sum(co_parent_depths[pos]) for pos in range(len(parent_table))]
-    progeny_cov = [0 for _ in range(len(parent_table))]
-    for off in progeny_list:
-        parent_pos = 0
-        progeny_pos = 0
-        allele_depths = progeny_table.allele_depths_of(off)
-        assert len(allele_depths) == len(progeny_table)
-        while progeny_pos < len(allele_depths) and parent_pos < len(parent_table):
-            if (
-                parent_table.variants[parent_pos].position
-                == progeny_table.variants[progeny_pos].position
-            ):
-                progeny_cov[parent_pos] += sum(allele_depths[progeny_pos])
-                progeny_pos += 1
-            else:
-                assert (
-                    parent_table.variants[parent_pos].position
-                    < progeny_table.variants[progeny_pos].position
-                )
-            parent_pos += 1
-    return parent_cov, co_parent_cov, progeny_cov
-
-
-def add_arguments(parser):
-    arg = parser.add_argument
-    arg(
-        "variant_file",
-        metavar="VCF",
-        help="VCF file with variants to be phased (can be gzip-compressed)",
-    )
-    arg("pedigree_file", metavar="PEDIGREE", help="Pedigree file.")
-    arg(
-        "-P",
-        "--progeny_file",
-        required=False,
-        help="File with progeny genotypes. If not specified, information is taken "
-        "from main input file.",
-    )
-    arg(
-        "-o",
-        "--output",
-        default=sys.stdout,
-        help="Output VCF file. Add .gz to the file name to get compressed output. "
-        "If omitted, use standard output.",
-    )
-    arg(
-        "--tag",
-        choices=("PS", "HP"),
-        default="PS",
-        help="Store phasing information with PS tag (standardized) or "
-        "HP tag (used by GATK ReadBackedPhasing) (default: %(default)s)",
-    )
-
-    arg = parser.add_argument_group("Input pre-processing, selection, and filtering").add_argument
-    arg("--only-snvs", action="store_true", help="Phase only SNVs")
-    arg(
-        "--sample",
-        dest="samples",
-        metavar="SAMPLE",
-        default=[],
-        action="append",
-        help="Name of a sample to phase. If not given, all samples in the "
-        "input VCF are phased. Can be used multiple times.",
-    )
-    arg(
-        "--chromosome",
-        dest="chromosomes",
-        metavar="CHROMOSOME",
-        default=[],
-        action="append",
-        help="Name of chromosome to phase. If not given, all chromosomes in the "
-        "input VCF are phased. Can be used multiple times.",
-    )
-    arg(
-        "--exclude-chromosome",
-        dest="excluded_chromosomes",
-        default=[],
-        action="append",
-        help="Name of chromosome not to phase.",
-    )
-
-    arg = parser.add_argument_group("Parameters for phasing steps").add_argument
-    arg(
-        "--ploidy",
-        "-p",
-        metavar="PLOIDY",
-        type=int,
-        required=True,
-        help="The ploidy of the sample(s). Argument is required.",
-    )
-    arg(
-        "--scoring-window",
-        metavar="SCORINGWINDOW",
-        dest="scoring_window",
-        type=int,
-        default=250,
-        required=False,
-        help="Size of the window (in variants) for statistical progeny scoring.",
-    )
-    arg(
-        "--complexity-support",
-        "-C",
-        dest="complexity_support",
-        type=int,
-        default=0,
-        required=False,
-        help="Indicates what level of genotype complexity is allowed for phased "
-        "variants. 0 = simplex-nulliplex only, 1 = simplex-simplex on top, "
-        "2 = duplex-nulliplex on top. Default is 0.",
-    )
-    arg(
-        "--distrust-genotypes",
-        dest="distrust_genotypes",
-        default=False,
-        action="store_true",
-        help="Internally retypes the reported parent genotypes based on allele "
-        "distribution in progeny samples.",
-    )
-
-    arg(
-        "--ratio-cutoff",
-        metavar="RATIOCUTOFF",
-        dest="ratio_cutoff",
-        type=float,
-        default=0.0,
-        required=False,
-        help=argparse.SUPPRESS,
-    )
-    arg(
-        "--allele-error-rate",
-        metavar="ALLELEERRORRATE",
-        dest="allele_error_rate",
-        type=float,
-        default=0.06,
-        required=False,
-        help=argparse.SUPPRESS,
-    )
-    arg(
-        "--plot",
-        dest="plot",
-        default=False,
-        action="store_true",
-        help=argparse.SUPPRESS,
-    )
-    arg(
-        "--ground-truth-file",
-        "-g",
-        required=False,
-        help=argparse.SUPPRESS,
-    )
-
-
-def validate(args, parser):
-    if args.allele_error_rate > 0.5 or args.allele_error_rate < 0.01:
-        parser.error("Allele error rate must be between 0.01 and 0.5.")
-    if args.scoring_window < 1:
-        parser.error("Scoring window must be a positive integer.")
-    if args.complexity_support not in [0, 1, 2]:
-        parser.error("Complexity support level must be either 0, 1 or 2.")
-    if args.ploidy % 2 > 0:
-        parser.error("Odd ploidies are not supported.")
-    if args.ploidy < 2:
-        parser.error("Ploidy must be at least 2.")
+    # fmt: on
 
 
 def main(args):

@@ -1,17 +1,16 @@
 """
-Polyploid phasing pipeline (behavior parity with whatshap/polyphase/__init__.py).
-
-Shared types, block splitting by read connectivity, coverage helpers and the
-ILP-solver gate used by the genetic polyphase subcommand.
+Polyploid phasing pipeline: shared types, block splitting by read
+connectivity, coverage helpers and the ILP-solver gate used by the genetic
+polyphase subcommand (counterpart of whatshap/polyphase/__init__.py).
 """
 
 import logging
-from collections import defaultdict
+from collections import Counter, defaultdict
 from dataclasses import dataclass
-from queue import Queue
 from typing import Dict, Iterator, List
 
 from ..core import ReadSet
+from ..graph import ComponentFinder
 from .solver import AlleleMatrix
 
 logger = logging.getLogger(__name__)
@@ -89,30 +88,43 @@ class PolyphaseResult:
 def get_coverage(
     allele_matrix: AlleleMatrix, clustering: List[Cluster]
 ) -> List[Dict[ClusterId, float]]:
-    """Per position: cluster id -> relative coverage at that position."""
+    """Per position: cluster id -> that cluster's share of the reads
+    covering the position."""
     num_vars = allele_matrix.getNumPositions()
-    coverage = [defaultdict(float) for _ in range(num_vars)]
-    coverage_sum = [0] * num_vars
+    hits: List[Dict[int, float]] = [defaultdict(float) for _ in range(num_vars)]
+    totals = [0] * num_vars
     for c_id, cluster in enumerate(clustering):
         for read in cluster:
-            for pos, _allele in allele_matrix.getRead(read):
-                coverage[pos][c_id] += 1
-                coverage_sum[pos] += 1
-    for pos in range(num_vars):
-        for c_id in coverage[pos]:
-            coverage[pos][c_id] = coverage[pos][c_id] / coverage_sum[pos]
-    return coverage
+            for pos, _ in allele_matrix.getRead(read):
+                hits[pos][c_id] += 1
+                totals[pos] += 1
+    for pos, bucket in enumerate(hits):
+        for c_id in bucket:
+            bucket[c_id] /= totals[pos]
+    return hits
+
+
+def _cut_coverage_threshold(ploidy: int) -> int:
+    """Smallest read count giving >= 98% chance of touching at least
+    ploidy-1 haplotypes; replicates the reference's fallback of
+    ploidy^2 - 1 when the loop never converges."""
+    threshold = ploidy * ploidy
+    for i in range(ploidy - 1, ploidy * ploidy):
+        threshold = i
+        if ploidy * ((ploidy - 2) / ploidy) ** i < 0.02:
+            break
+    return threshold
 
 
 def compute_block_bounds(
     am: AlleleMatrix, ploidy: int, single_linkage: bool = False
 ) -> Iterator[Interval]:
-    """
-    Split the variant range into independently phasable intervals based on
-    read connectivity between consecutive variants (made transitive via
-    cluster merging). With single_linkage (or diploid input) a single
-    connecting read suffices; otherwise the threshold is the smallest read
-    count giving >=98% chance of covering at least ploidy-1 haplotypes.
+    """Split the variant range into independently phasable intervals.
+
+    Consecutive variants stay in one interval when enough reads link them
+    (transitively, via merging of linked position runs).  A single linking
+    read suffices for diploid input or with single_linkage; otherwise the
+    coverage threshold from _cut_coverage_threshold applies.
     """
     num_vars = am.getNumPositions()
     if num_vars == 0:
@@ -121,99 +133,82 @@ def compute_block_bounds(
     if ploidy == 2 or single_linkage:
         cut_threshold = 1
     else:
-        cut_threshold = ploidy * ploidy
-        for i in range(ploidy - 1, ploidy * ploidy):
-            cut_threshold = i
-            if ploidy * pow((ploidy - 2) / ploidy, i) < 0.02:
-                cut_threshold = i
-                break
+        cut_threshold = _cut_coverage_threshold(ploidy)
     logger.debug(f"Cut position threshold: coverage >= {cut_threshold}")
 
-    link_to_next = [0] * num_vars
+    # adjacency coverage between consecutive positions
+    links = [0] * num_vars
     for read in am:
-        pos_list = [pos for (pos, _allele) in read]
-        for i in range(len(pos_list) - 1):
-            if pos_list[i] + 1 == pos_list[i + 1]:
-                link_to_next[pos_list[i]] += 1
+        positions = [pos for (pos, _) in read]
+        for a, b in zip(positions, positions[1:]):
+            if a + 1 == b:
+                links[a] += 1
 
-    pos_clust = [0] * num_vars
+    # runs of well-linked consecutive positions
+    run_of = [0] * num_vars
     for i in range(1, num_vars):
-        if link_to_next[i - 1] >= cut_threshold:
-            pos_clust[i] = pos_clust[i - 1]
-        else:
-            pos_clust[i] = pos_clust[i - 1] + 1
-    num_clust = pos_clust[-1] + 1
+        run_of[i] = run_of[i - 1] if links[i - 1] >= cut_threshold else run_of[i - 1] + 1
+    num_runs = run_of[-1] + 1
 
-    link_coverage = [defaultdict(int) for _ in range(num_clust)]
+    # reads spanning several runs link them; merge transitively when the
+    # pairwise read count clears the threshold
+    pair_support: List[Dict[int, int]] = [defaultdict(int) for _ in range(num_runs)]
     for read in am:
-        covered = {pos_clust[pos] for (pos, _allele) in read}
-        for p1 in covered:
-            for p2 in covered:
-                link_coverage[p1][p2] += 1
+        touched = {run_of[pos] for (pos, _) in read}
+        for r1 in touched:
+            for r2 in touched:
+                pair_support[r1][r2] += 1
 
-    merged_clust = [-1] * num_clust
-    new_num_clust = 0
-    for i in range(num_clust):
-        if merged_clust[i] >= 0:
-            continue
-        q = Queue()
-        q.put(i)
-        merged_clust[i] = new_num_clust
-        while not q.empty():
-            cur = q.get()
-            for linked in link_coverage[cur]:
-                if merged_clust[linked] < 0 and link_coverage[cur][linked] >= cut_threshold:
-                    q.put(linked)
-                    merged_clust[linked] = new_num_clust
-        new_num_clust += 1
+    finder = ComponentFinder(range(num_runs))
+    for r1 in range(num_runs):
+        for r2, support in pair_support[r1].items():
+            if r1 != r2 and support >= cut_threshold:
+                finder.merge(r1, r2)
 
     start = 0
     for i in range(1, num_vars):
-        if merged_clust[pos_clust[i]] != merged_clust[pos_clust[i - 1]]:
+        if finder.find(run_of[i]) != finder.find(run_of[i - 1]):
             yield Interval(start, i)
             start = i
     yield Interval(start, num_vars)
 
 
 def create_genotype_list(variant_table, sample: str):
-    """Per position: allele -> multiplicity in the genotype."""
-    genotype_list = []
-    for gt in variant_table.genotypes_of(sample):
-        allele_count: Dict[int, int] = {}
-        for allele in gt.as_vector():
-            allele_count[allele] = allele_count.get(allele, 0) + 1
-        genotype_list.append(allele_count)
-    return genotype_list
+    """Per position: allele -> multiplicity in that position's genotype."""
+    return [
+        dict(Counter(gt.as_vector())) for gt in variant_table.genotypes_of(sample)
+    ]
 
 
 def extract_partial_phasing(variant_table, sample: str, ploidy: int):
+    """Existing phased blocks of the input VCF as an AlleleMatrix of
+    pseudo-reads (ploidy consecutive rows per block), or None."""
     readset = ReadSet()
-    vars_ = variant_table.variants
     for read in variant_table.phased_blocks_as_reads(
-        sample, vars_, 0, 0, target_ploidy=ploidy
+        sample, variant_table.variants, 0, 0, target_ploidy=ploidy
     ):
         readset.add(read)
-    if len(readset) > 0:
-        am = AlleleMatrix(readset)
-        assert len(am) % ploidy == 0
-        for i in range(0, len(am), ploidy):
-            assert all(am.getFirstPos(i) == am.getFirstPos(i + j) for j in range(1, ploidy))
-            assert all(am.getLastPos(i) == am.getLastPos(i + j) for j in range(1, ploidy))
-        return am
-    return None
+    if len(readset) == 0:
+        return None
+    am = AlleleMatrix(readset)
+    assert len(am) % ploidy == 0
+    for i in range(0, len(am), ploidy):
+        assert all(am.getFirstPos(i) == am.getFirstPos(i + j) for j in range(1, ploidy))
+        assert all(am.getLastPos(i) == am.getLastPos(i + j) for j in range(1, ploidy))
+    return am
 
 
 def get_ilp_solver():
-    """Set up a PuLP solver with suppressed output (raises SolverError if
-    PuLP or all of its backends are unavailable)."""
+    """A quiet PuLP solver, preferring Gurobi, then CBC; SolverError when
+    PuLP or every backend is missing."""
     try:
         from pulp import listSolvers, getSolver
     except ImportError:
         raise SolverError("PuLP is not installed; no ILP solver available.")
-    solvers = listSolvers(onlyAvailable=True)
-    for name in ["GUROBI_CMD", "GUROBI", "COIN_CMD", "PULP_CBC_CMD"]:
-        if name in solvers:
-            return getSolver(name, msg=0)
-    if solvers:
-        return getSolver(solvers[0], msg=0)
+    available = listSolvers(onlyAvailable=True)
+    for preferred in ("GUROBI_CMD", "GUROBI", "COIN_CMD", "PULP_CBC_CMD"):
+        if preferred in available:
+            return getSolver(preferred, msg=0)
+    if available:
+        return getSolver(available[0], msg=0)
     raise SolverError("No ILP solver is available for PuLP.")

@@ -19,26 +19,16 @@ logger = logging.getLogger(__name__)
 
 
 def arrange_clusters(clustering, padding, ploidy):
-    # filter out singleton clusters
-    filtered_to_real = []
-    fclustering = []
-    for i, clust in enumerate(clustering):
-        if len(clust) > 1:
-            filtered_to_real.append(i)
-            fclustering.append(clust)
-
-    # interval (with padding) and worth (#covered variants) per cluster
-    c_start = []
-    c_end = []
-    c_worth = []
-    for clust in fclustering:
-        variants = [v for v in clust]
-        c_worth.append(len(variants))
-        c_start.append(max(0, min(variants) - padding))
-        c_end.append(max(variants) + padding)
-
+    # non-singleton clusters with their padded interval and worth
+    filtered_to_real = [i for i, clust in enumerate(clustering) if len(clust) > 1]
+    c_start, c_end, c_worth = [], [], []
+    for i in filtered_to_real:
+        members = clustering[i]
+        c_worth.append(len(members))
+        c_start.append(max(0, min(members) - padding))
+        c_end.append(max(members) + padding)
     n = max(c_end)
-    c = len(fclustering)
+    c = len(filtered_to_real)
 
     try:
         from pulp import LpInteger, LpMaximize, LpProblem, LpVariable, value
@@ -47,43 +37,37 @@ def arrange_clusters(clustering, padding, ploidy):
             clustering, filtered_to_real, c_start, c_end, c_worth, n, c, ploidy
         )
 
-    model = LpProblem("Cluster_Arrangement_c{}_n{}_p{}".format(c, n, ploidy), LpMaximize)
-
+    model = LpProblem(f"Cluster_Arrangement_c{c}_n{n}_p{ploidy}", LpMaximize)
     # x[i][j] = 1 iff cluster j is put on haplotype i
     x = [
-        [LpVariable("x_{}_{}".format(i, j), 0, 1, LpInteger) for j in range(c)]
-        for i in range(ploidy)
+        [LpVariable(f"x_{i}_{j}", 0, 1, LpInteger) for j in range(c)] for i in range(ploidy)
     ]
-
-    model += sum([c_worth[j] * x[i][j] for j in range(c) for i in range(ploidy)])
-
+    # maximize covered variants
+    model += sum(c_worth[j] * x[i][j] for j in range(c) for i in range(ploidy))
+    # each cluster on at most one haplotype
     for j in range(c):
-        model += sum([x[i][j] for i in range(ploidy)]) <= 1
-
-    old_covered = []
+        model += sum(x[i][j] for i in range(ploidy)) <= 1
+    # overlapping clusters may not share a haplotype (one constraint per
+    # distinct overlap set)
+    previous_overlap = []
     for pos in range(n):
-        covered = sorted([i for i in range(c) if c_start[i] <= pos <= c_end[i]])
-        if covered != old_covered:
+        overlap = sorted(j for j in range(c) if c_start[j] <= pos <= c_end[j])
+        if overlap != previous_overlap:
             for i in range(ploidy):
-                model += sum([x[i][j] for j in covered]) <= 1
-            old_covered = covered
+                model += sum(x[i][j] for j in overlap) <= 1
+            previous_overlap = overlap
 
-    solver = get_ilp_solver()
-    model.solve(solver)
+    model.solve(get_ilp_solver())
 
-    selected = []
-
-    objVal = value(model.objective)
     logger.info(
         "Arranged %i variants out of a total of %i",
-        int(objVal),
-        sum([len(clust) for clust in clustering]),
+        int(value(model.objective)),
+        sum(len(clust) for clust in clustering),
     )
-
+    selected = []
     for i in range(ploidy):
         selected.append([filtered_to_real[j] for j in range(c) if x[i][j].varValue > 0.999])
         logger.info("   h%i: %s", i, selected[-1])
-
     return selected
 
 

@@ -1,18 +1,17 @@
 """
-Reordering stage of the polyploid phaser (behavior parity with
+Reordering stage of the polyploid phaser (counterpart of
 whatshap/polyphase/reorder.py): detect ambiguous switch breakpoints, solve
-collapsed-region sub-instances, pick thread permutations per block (greedy
-on linkage likelihoods, or via ILP when a prephasing is given) and assign
-breakpoint confidences.
+collapsed-region sub-instances recursively, pick the thread permutation for
+every block (greedy on linkage likelihoods, or exactly via ILP/chain-DP
+when a prephasing constrains the blocks) and attach confidences to the
+breakpoints.
 """
 
 import itertools as it
 import logging
 from bisect import bisect_right
 from collections import defaultdict
-from functools import reduce
-from math import exp, log
-from operator import mul
+from math import exp, log, prod
 from typing import Dict, List, Tuple
 
 from . import (
@@ -35,55 +34,56 @@ SubInstance = Tuple[ClusterId, List[ThreadId], AlleleMatrix]
 ThreadPermutation = Tuple[int]
 
 
+# ---------------------------------------------------------------------------
+# collapsed regions
+
+
 def find_subinstances(
     allele_matrix: AlleleMatrix,
     clustering: List[Cluster],
     threads: Threading,
     haplotypes: List[Haplotype],
 ) -> List[SubInstance]:
-    """
-    Find cluster regions where at least two threads run through the same
-    cluster with differing alleles ("collapsed" regions). Each such region
-    becomes a sub-instance (cluster id, affected threads, submatrix of the
-    heterozygous positions) to be phased recursively.
-    """
-    cwise_snps = defaultdict(list)
-    last_thread_set = defaultdict(list)
-    collapsed = []
-    for pos, tup in enumerate(threads):
-        clusters = set()
-        alleles = defaultdict(set)
-        thread_set = defaultdict(list)
-        for hid, cid in enumerate(tup):
-            clusters.add(cid)
-            alleles[cid].add(haplotypes[hid][pos])
-            thread_set[cid].append(hid)
-        for cid in clusters:
-            if len(alleles[cid]) >= 2:
-                # thread-set changed: flush the old region, start a new one
-                if last_thread_set[cid] != thread_set[cid]:
-                    if cwise_snps[cid]:
-                        collapsed.append((cid, last_thread_set[cid], cwise_snps[cid]))
-                    last_thread_set[cid] = thread_set[cid]
-                    cwise_snps[cid] = []
-                cwise_snps[cid].append(pos)
+    """Regions where >= 2 threads run through one cluster with differing
+    alleles are "collapsed": the threading could not separate them.  Each
+    maximal such region becomes (cluster id, thread ids, submatrix of its
+    het positions), to be re-phased recursively."""
+    open_snps = defaultdict(list)  # cluster -> positions of the open region
+    open_threads = defaultdict(list)  # cluster -> thread set of the open region
+    regions = []
 
-    for cid, snps in cwise_snps.items():
+    for pos, row in enumerate(threads):
+        members = defaultdict(list)  # cluster -> threads inside it here
+        seen_alleles = defaultdict(set)
+        for hid, cid in enumerate(row):
+            members[cid].append(hid)
+            seen_alleles[cid].add(haplotypes[hid][pos])
+        for cid, alleles in seen_alleles.items():
+            if len(alleles) < 2:
+                continue
+            if open_threads[cid] != members[cid]:
+                # different thread subset: close the running region
+                if open_snps[cid]:
+                    regions.append((cid, open_threads[cid], open_snps[cid]))
+                open_threads[cid] = members[cid]
+                open_snps[cid] = []
+            open_snps[cid].append(pos)
+
+    for cid, snps in open_snps.items():
         if snps:
-            assert len(last_thread_set[cid]) > 0
-            collapsed.append((cid, last_thread_set[cid], snps))
+            assert len(open_threads[cid]) > 0
+            regions.append((cid, open_threads[cid], snps))
 
     sub_instances = []
     num_vars = len(allele_matrix.getPositions())
     ploidy = len(haplotypes)
-    for cid, thread_set, snps in collapsed:
+    for cid, thread_set, snps in regions:
         if len(snps) == num_vars and len(thread_set) == ploidy:
-            continue
-        subm = allele_matrix.extractSubMatrix(snps, clustering[cid], True)
-        assert len(subm.getPositions()) > 0
-        if len(subm) > 0:
-            sub_instances.append((cid, thread_set, subm))
-
+            continue  # the whole instance is collapsed: recursion would loop
+        submatrix = allele_matrix.extractSubMatrix(snps, clustering[cid], True)
+        assert len(submatrix.getPositions()) > 0
+        if len(submatrix) > 0:
+            sub_instances.append((cid, thread_set, submatrix))
     return sub_instances
 
 
@@ -94,40 +94,198 @@ def integrate_sub_results(
     sub_instances: List[SubInstance],
     sub_results: List[PolyphaseResult],
 ) -> List[PhaseBreakpoint]:
-    """Write sub-instance haplotypes back into the global ones and merge
-    global + sub-instance breakpoints (joining duplicates per position)."""
+    """Copy sub-instance haplotypes back into the global ones; pool global
+    and sub-instance breakpoints, fusing same-position duplicates."""
     breakpoints = find_breakpoints(threads)
-    for (cid, thread_set, subm), res in zip(sub_instances, sub_results):
-        snps = [allele_matrix.globalToLocal(gpos) for gpos in subm.getPositions()]
-        assert all(0 <= pos < allele_matrix.getNumPositions() for pos in snps)
-
-        for i, pos in enumerate(snps):
+    for (cid, thread_set, submatrix), result in zip(sub_instances, sub_results):
+        local = [allele_matrix.globalToLocal(g) for g in submatrix.getPositions()]
+        assert all(0 <= pos < allele_matrix.getNumPositions() for pos in local)
+        for i, pos in enumerate(local):
             for j, hap in enumerate(thread_set):
-                haplotypes[hap][pos] = res.haplotypes[j][i]
+                haplotypes[hap][pos] = result.haplotypes[j][i]
+        for bp in result.breakpoints:
+            pos = allele_matrix.globalToLocal(submatrix.localToGlobal(bp.position))
+            breakpoints.append(
+                PhaseBreakpoint(pos, [thread_set[i] for i in bp.haplotypes], bp.confidence)
+            )
 
-        for bp in res.breakpoints:
-            pos = allele_matrix.globalToLocal(subm.localToGlobal(bp.position))
-            haps = [thread_set[i] for i in bp.haplotypes]
-            breakpoints.append(PhaseBreakpoint(pos, haps, bp.confidence))
-
-    breakpoints.sort(key=lambda x: x.position)
-    i = 0
-    while i < len(breakpoints):
-        j = i + 1
-        while j < len(breakpoints) and breakpoints[i].position == breakpoints[j].position:
-            j += 1
-        if i + 1 == j:
-            i += 1
+    breakpoints.sort(key=lambda bp: bp.position)
+    fused: List[PhaseBreakpoint] = []
+    for _, group_iter in it.groupby(breakpoints, key=lambda bp: bp.position):
+        group = list(group_iter)
+        if len(group) == 1:
+            fused.append(group[0])
             continue
-        haps = sorted(list({h for k in range(i, j) for h in breakpoints[k].haplotypes}))
-        conf = reduce(mul, [breakpoints[k].confidence for k in range(i, j)])
-        breakpoints[i].haplotypes = haps
-        breakpoints[i].confidence = conf
-        del breakpoints[i + 1 : j]
-        assert i + 1 >= len(breakpoints) or breakpoints[i].position != breakpoints[i + 1]
-        i += 1
+        merged = group[0]
+        merged.haplotypes = sorted({h for bp in group for h in bp.haplotypes})
+        merged.confidence = prod(bp.confidence for bp in group)
+        fused.append(merged)
+    for a, b in zip(fused, fused[1:]):
+        assert a.position != b.position
+    return fused
 
+
+# ---------------------------------------------------------------------------
+# breakpoint detection and scoring
+
+
+def find_breakpoints(threads: Threading) -> List[PhaseBreakpoint]:
+    """Positions where two or more threads leave their clusters at once
+    (or a collapsed group splits) — thread linkage is ambiguous there."""
+    ploidy = len(threads[0])
+    breakpoints = []
+    for i in range(1, len(threads)):
+        switched = {j for j in range(ploidy) if threads[i - 1][j] != threads[i][j]}
+        source_clusters = {threads[i - 1][j] for j in switched}
+        ambiguous = sorted(
+            j for j in range(ploidy) if threads[i - 1][j] in source_clusters
+        )
+        if len(ambiguous) >= 2:
+            breakpoints.append(PhaseBreakpoint(i, ambiguous, 0.0))
     return breakpoints
+
+
+def get_heterozygous_pos_for_haps(
+    haplotypes: List[Haplotype], subset: List[ThreadId], pivot_pos: int, limit: int = 0
+) -> Tuple[List[Position], List[Position]]:
+    """Up to ``limit`` positions on each side of the pivot where the given
+    haplotypes disagree (left side excludes, right side includes the
+    pivot)."""
+
+    def disagree(j):
+        return len({haplotypes[h][j] for h in subset}) > 1
+
+    left = [j for j in range(pivot_pos - 1, -1, -1) if disagree(j)][:limit][::-1]
+    right = []
+    for j in range(pivot_pos, len(haplotypes[0])):
+        if len(right) >= limit:
+            break
+        if disagree(j):
+            right.append(j)
+    return left, right
+
+
+def _read_llh_per_haplotype(read, both_pos, haplotypes, pivot, error_rate, ploidy):
+    """For one read: log likelihood of its left / right half under each
+    haplotype."""
+    left_llh, right_llh = [], []
+    log_match, log_err = log(1 - error_rate), log(error_rate)
+    for h in range(ploidy):
+        counts = {True: [0, 0], False: [0, 0]}  # is_left -> [overlap, errors]
+        for j, allele in read:
+            p = both_pos[j]
+            side = counts[p < pivot]
+            side[0] += 1
+            side[1] += allele != haplotypes[h][p]
+        l_olp, l_err = counts[True]
+        r_olp, r_err = counts[False]
+        left_llh.append(log_match * (l_olp - l_err) + log_err * l_err)
+        right_llh.append(log_match * (r_olp - r_err) + log_err * r_err)
+    return left_llh, right_llh
+
+
+def compute_link_likelihoods(
+    threads: Threading,
+    haplotypes: List[Haplotype],
+    breakpoints: List[PhaseBreakpoint],
+    clustering: List[Cluster],
+    allele_matrix: AlleleMatrix,
+    error_rate: float,
+) -> List[Dict[ThreadPermutation, float]]:
+    """Per breakpoint: permutation of affected threads -> log likelihood of
+    the local reads when the left block links to the right block that way."""
+    ploidy = len(threads[0])
+    all_scores = []
+    for bp in breakpoints:
+        pos, affected = bp.position, bp.haplotypes
+        left_pos, right_pos = get_heterozygous_pos_for_haps(haplotypes, affected, pos, 32)
+        both_pos = sorted(left_pos + right_pos)
+
+        nearby_clusters = {threads[pos][h] for h in affected}
+        if pos > 0:
+            nearby_clusters |= {threads[pos - 1][h] for h in affected}
+        spanning = [
+            r
+            for cid in nearby_clusters
+            for r in clustering[cid]
+            if allele_matrix.getFirstPos(r) < pos <= allele_matrix.getLastPos(r)
+        ]
+        submatrix = allele_matrix.extractSubMatrix(both_pos, spanning, True)
+
+        per_read = [
+            _read_llh_per_haplotype(read, both_pos, haplotypes, pos, error_rate, ploidy)
+            for read in submatrix
+        ]
+
+        scores = {}
+        for perm in it.permutations(affected):
+            right_of = {left: perm[k] for k, left in enumerate(affected)}
+            total = 0.0
+            for left_llh, right_llh in per_read:
+                total += max(
+                    left_llh[left] + right_llh[right_of[left]] for left in affected
+                )
+            scores[perm] = total
+        assert max(scores.values()) > -float("inf")
+        all_scores.append(scores)
+
+    assert len(all_scores) == len(breakpoints)
+    return all_scores
+
+
+def compute_phase_affiliation(
+    allele_matrix: AlleleMatrix,
+    haplotypes: List[Haplotype],
+    breakpoints: List[PhaseBreakpoint],
+    prephasing: AlleleMatrix,
+    error_rate: float,
+) -> List[List[List[float]]]:
+    """aff[b][t][p]: log-affinity of thread t (in block b) to prephased
+    haplotype p, from agreement counts over shared positions."""
+    ploidy = len(haplotypes)
+    happos_of = {pos: i for i, pos in enumerate(allele_matrix.getPositions())}
+    block_starts = [bp.position for bp in breakpoints]
+    assert block_starts == sorted(block_starts)
+    num_blocks = len(block_starts) + 1
+
+    shape = lambda: [[[0] * ploidy for _ in range(ploidy)] for _ in range(num_blocks)]
+    overlap, errors = shape(), shape()
+
+    prephasing_pos = prephasing.getPositions()
+    phaseblock_starts = sorted({prephasing.getFirstPos(i) for i in range(len(prephasing))})
+    phaseblock_starts.append(len(prephasing_pos))
+    for phb, (start, end) in enumerate(zip(phaseblock_starts[:-1], phaseblock_starts[1:])):
+        for i in range(start, end):
+            hap_pos = happos_of.get(prephasing_pos[i])
+            if hap_pos is None:
+                continue
+            block_id = bisect_right(block_starts, hap_pos)
+            for t in range(ploidy):
+                h_allele = haplotypes[t][hap_pos]
+                if h_allele < 0:
+                    continue
+                for phase_id in range(phb * ploidy, (phb + 1) * ploidy):
+                    p_allele = prephasing.getAllele(phase_id, i)
+                    if p_allele < 0:
+                        continue
+                    overlap[block_id][t][phase_id % ploidy] += 1
+                    errors[block_id][t][phase_id % ploidy] += h_allele != p_allele
+
+    log_match, log_err = log(1 - error_rate), log(error_rate)
+    return [
+        [
+            [
+                log_match * (overlap[b][t][p] - errors[b][t][p]) + log_err * errors[b][t][p]
+                for p in range(ploidy)
+            ]
+            for t in range(ploidy)
+        ]
+        for b in range(num_blocks)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# block assignment
 
 
 def run_reordering(
@@ -139,183 +297,32 @@ def run_reordering(
     prephasing: AlleleMatrix,
     error_rate=0.07,
 ):
-    """Resolve ambiguous thread linkage at every breakpoint using read
-    support (and, if given, a prephasing), then permute blocks in place and
-    attach confidences to the breakpoints."""
+    """Pick a permutation per block from read support (plus prephasing when
+    available), apply it in place, and set breakpoint confidences."""
     lllh = compute_link_likelihoods(
         threads, haplotypes, breakpoints, clustering, allele_matrix, error_rate
     )
-
+    aff = None
     if prephasing:
         aff = compute_phase_affiliation(
             allele_matrix, haplotypes, breakpoints, prephasing, error_rate
         )
-    else:
-        aff = None
-
-    ploidy = len(haplotypes)
-    perms = get_optimal_assignments(breakpoints, lllh, ploidy, aff)
+    perms = get_optimal_assignments(breakpoints, lllh, len(haplotypes), aff)
     permute_blocks(threads, haplotypes, breakpoints, perms)
     compute_breakpoint_confidence(breakpoints, lllh, perms)
 
 
-def find_breakpoints(threads: Threading) -> List[PhaseBreakpoint]:
-    """Positions where two or more threads switch clusters simultaneously,
-    or where a collapsed group splits up — the linkage is ambiguous there."""
-    ploidy = len(threads[0])
-    breakpoints: List[PhaseBreakpoint] = []
-
-    for i in range(1, len(threads)):
-        changed_idx = {j for j in range(ploidy) if threads[i - 1][j] != threads[i][j]}
-        affected_clusts = {threads[i - 1][j] for j in changed_idx}
-        affected_haps = sorted(j for j in range(ploidy) if threads[i - 1][j] in affected_clusts)
-
-        if len(affected_haps) >= 2:
-            breakpoints.append(PhaseBreakpoint(i, affected_haps, 0.0))
-
-    return breakpoints
-
-
-def compute_link_likelihoods(
-    threads: Threading,
-    haplotypes: List[Haplotype],
-    breakpoints: List[PhaseBreakpoint],
-    clustering: List[Cluster],
-    allele_matrix: AlleleMatrix,
-    error_rate: float,
-) -> List[Dict[ThreadPermutation, float]]:
-    """
-    Per breakpoint: a dict mapping each permutation of the affected threads
-    (left side -> right side linkage) to the log likelihood of the local
-    reads under that linkage.
-    """
-    ploidy = len(threads[0])
-    lllh = []
-    for pos, affected in [(b.position, b.haplotypes) for b in breakpoints]:
-        left_pos, right_pos = get_heterozygous_pos_for_haps(haplotypes, affected, pos, 32)
-        both_pos = sorted(left_pos + right_pos)
-
-        affected_clusts = {threads[pos][h] for h in affected}
-        if pos > 0:
-            affected_clusts = affected_clusts.union({threads[pos - 1][h] for h in affected})
-        rids = filter(
-            lambda r: allele_matrix.getFirstPos(r) < pos <= allele_matrix.getLastPos(r),
-            [r for cid in affected_clusts for r in clustering[cid]],
-        )
-        submatrix = allele_matrix.extractSubMatrix(both_pos, list(rids), True)
-
-        left_llh, right_llh = [], []
-        for read in submatrix:
-            left_l, right_l = [], []
-            for h in range(ploidy):
-                l_olp, r_olp, l_err, r_err = 0, 0, 0, 0
-                for j, a in read:
-                    p = both_pos[j]
-                    error = 0 if a == haplotypes[h][p] else 1
-                    if p < pos:
-                        l_olp += 1
-                        l_err += error
-                    else:
-                        r_olp += 1
-                        r_err += error
-                llh = log(1 - error_rate) * (l_olp - l_err) + log(error_rate) * l_err
-                left_l.append(llh)
-                llh = log(1 - error_rate) * (r_olp - r_err) + log(error_rate) * r_err
-                right_l.append(llh)
-            left_llh.append(left_l)
-            right_llh.append(right_l)
-
-        perm_llhs = dict()
-        for perm in it.permutations(affected):
-            left_h = list(affected)
-            right_h = [perm[affected.index(i)] for i in affected]
-            perm_llh = 0.0
-            for i, read in enumerate(submatrix):
-                read_llh = -float("inf")
-                for left, right in zip(left_h, right_h):
-                    read_llh = max(read_llh, left_llh[i][left] + right_llh[i][right])
-                perm_llh += read_llh
-            perm_llhs[perm] = perm_llh
-
-        assert max(perm_llhs.values()) > -float("inf")
-        lllh.append(perm_llhs)
-
-    assert len(lllh) == len(breakpoints)
-    return lllh
-
-
-def compute_phase_affiliation(
-    allele_matrix: AlleleMatrix,
-    haplotypes: List[Haplotype],
-    breakpoints: List[PhaseBreakpoint],
-    prephasing: AlleleMatrix,
-    error_rate: float,
-) -> List[List[List[float]]]:
-    """aff[b][t][p] = log-affinity of the t-th thread in block b to the p-th
-    prephased haplotype."""
-    ploidy = len(haplotypes)
-    genpos = allele_matrix.getPositions()
-    genpos_to_happos = {pos: i for i, pos in enumerate(genpos)}
-    num_blocks = len(breakpoints) + 1
-    block_starts = [b.position for b in breakpoints]
-    assert block_starts == sorted(block_starts)
-
-    aff = [[[0 for _ in range(ploidy)] for _ in range(ploidy)] for _ in range(num_blocks)]
-    olp = [[[0 for _ in range(ploidy)] for _ in range(ploidy)] for _ in range(num_blocks)]
-    err = [[[0 for _ in range(ploidy)] for _ in range(ploidy)] for _ in range(num_blocks)]
-
-    prephasing_pos = prephasing.getPositions()
-    phaseblock_starts = sorted(list({prephasing.getFirstPos(i) for i in range(len(prephasing))}))
-    phaseblock_starts.append(len(prephasing_pos))
-    for phb, (start, end) in enumerate(zip(phaseblock_starts[:-1], phaseblock_starts[1:])):
-        for i in range(start, end):
-            pos = prephasing_pos[i]
-            if pos not in genpos_to_happos:
-                continue
-            hap_pos = genpos_to_happos[pos]
-            block_id = bisect_right(block_starts, hap_pos)
-            for thread_id in range(ploidy):
-                h_allele = haplotypes[thread_id][hap_pos]
-                if h_allele < 0:
-                    continue
-                for phase_id in range(phb * ploidy, (phb + 1) * ploidy):
-                    p_allele = prephasing.getAllele(phase_id, i)
-                    if p_allele < 0:
-                        continue
-                    olp[block_id][thread_id][phase_id % ploidy] += 1
-                    err[block_id][thread_id][phase_id % ploidy] += (
-                        1 if h_allele != p_allele else 0
-                    )
-
-    for b in range(num_blocks):
-        for t in range(ploidy):
-            for p in range(ploidy):
-                logprob = log(1 - error_rate) * (olp[b][t][p] - err[b][t][p])
-                logprob += log(error_rate) * err[b][t][p]
-                aff[b][t][p] = logprob
-    return aff
-
-
-def get_heterozygous_pos_for_haps(
-    haplotypes: List[Haplotype], subset: List[ThreadId], pivot_pos: int, limit: int = 0
-) -> Tuple[List[Position], List[Position]]:
-    """Positions (left of / right of-including the pivot) where the given
-    haplotype subset carries at least two distinct alleles (up to limit per
-    side)."""
-    left, right = [], []
-    j = pivot_pos - 1
-    while len(left) < limit and j >= 0:
-        if len({haplotypes[h][j] for h in subset}) > 1:
-            left.append(j)
-        j -= 1
-    left = left[::-1]
-
-    j = pivot_pos
-    while len(right) < limit and j < len(haplotypes[0]):
-        if len({haplotypes[h][j] for h in subset}) > 1:
-            right.append(j)
-        j += 1
-    return left, right
+def _greedy_assignments(breakpoints, lllh, ploidy) -> List[List[int]]:
+    """Without a prephasing: chain the locally best linkage permutation
+    through the blocks."""
+    assignments = [list(range(ploidy))]
+    for b in range(len(breakpoints)):
+        nxt = list(assignments[-1])
+        best_perm = max(lllh[b], key=lllh[b].get)
+        for left, right in zip(sorted(best_perm), best_perm):
+            nxt[assignments[-1].index(left)] = right
+        assignments.append(nxt)
+    return assignments
 
 
 def get_optimal_assignments(
@@ -324,41 +331,29 @@ def get_optimal_assignments(
     ploidy: int,
     affiliations: List[List[List[float]]],
 ) -> List[ThreadPermutation]:
-    """Per block: the permutation of threads to apply. Greedy local optima
-    without a prephasing; ILP over linkage + affiliation scores with one."""
-    P = list(range(ploidy))
-    B = list(range(len(breakpoints)))
-    BE = list(range(len(breakpoints) + 1))
-
+    """Permutation per block: greedy without a prephasing; with one, the
+    exact optimum of linkage + affiliation scores (ILP when PuLP exists,
+    otherwise an equivalent chain DP)."""
     if not breakpoints:
         return [list(range(ploidy))]
-
     if not affiliations:
-        assignments = [[i for i in P] for _ in BE]
-        for b in B:
-            for i in P:
-                assignments[b + 1][i] = assignments[b][i]
-            perm = max(lllh[b], key=lllh[b].get)
-            affected = sorted(perm)
-            for left, right in zip(affected, perm):
-                assignments[b + 1][assignments[b].index(left)] = right
-        return assignments
+        return _greedy_assignments(breakpoints, lllh, ploidy)
 
     try:
         from pulp import LpInteger, LpMaximize, LpProblem, LpVariable
     except ImportError:
-        # The ILP decomposes along the block chain: per block an assignment
-        # permutation (aff score), per breakpoint a linkage permutation of the
-        # affected threads (lllh score). Solve exactly by DP over blocks.
         return _optimal_assignments_chain_dp(breakpoints, lllh, ploidy, affiliations)
 
+    P = list(range(ploidy))
+    B = list(range(len(breakpoints)))
+    BE = list(range(len(breakpoints) + 1))
     model = LpProblem(f"PermuteBlocks_p{ploidy}_b{len(breakpoints)}", LpMaximize)
 
     # x[b][t][h] = 1 iff thread t sits on haplotype h in block b
     x = [[[LpVariable(f"x_{b}_{t}_{h}", 0, 1, LpInteger) for h in P] for t in P] for b in BE]
     # y[b][t1][t2] = 1 iff thread t1 links to thread t2 over breakpoint b
     y = [[[LpVariable(f"y_{b}_{t1}_{t2}", 0, 1, LpInteger) for t2 in P] for t1 in P] for b in B]
-    # z[b][i] = 1 iff the i-th permutation connects the haplotypes at b
+    # z[b][i] = 1 iff the i-th permutation is the linkage chosen at b
     z = [[LpVariable(f"z_{b}_{i}", 0, 1, LpInteger) for i in range(len(lllh[b]))] for b in B]
 
     aff_scores = []
@@ -371,28 +366,30 @@ def get_optimal_assignments(
                 for h in P:
                     aff_scores.append(x[b][t][h] * affiliations[b][h][t])
 
-    for i in BE:
+    # x[b] is a permutation matrix
+    for b in BE:
         for j in P:
-            model += sum([x[i][j][k] for k in P]) == 1
-            model += sum([x[i][k][j] for k in P]) == 1
+            model += sum(x[b][j][k] for k in P) == 1
+            model += sum(x[b][k][j] for k in P) == 1
 
-    for b, affected in enumerate([b.haplotypes for b in breakpoints]):
+    # y consistency: only affected threads may relink; y follows x
+    for b, bp in enumerate(breakpoints):
+        affected = set(bp.haplotypes)
         for t1 in P:
             for t2 in P:
                 if (t1 in affected) != (t2 in affected):
                     model += y[b][t1][t2] == 0
                 elif t1 not in affected:
-                    if t1 == t2:
-                        model += y[b][t1][t2] == 1
-                    else:
-                        model += y[b][t1][t2] == 0
+                    model += y[b][t1][t2] == (1 if t1 == t2 else 0)
                 for h in P:
                     model += x[b][h][t1] + x[b + 1][h][t2] - 1 <= y[b][t1][t2]
-            model += sum([y[b][t1][t2] for t2 in P]) == 1
-            model += sum([y[b][t2][t1] for t2 in P]) == 1
+            model += sum(y[b][t1][t2] for t2 in P) == 1
+            model += sum(y[b][t2][t1] for t2 in P) == 1
 
-    z_weights = dict()
-    for b, left in enumerate([b.haplotypes for b in breakpoints]):
+    # z selects exactly one scored permutation per breakpoint
+    z_weights = {}
+    for b, bp in enumerate(breakpoints):
+        left = bp.haplotypes
         assert left == sorted(left)
         for i, right in enumerate(lllh[b].keys()):
             z_weights[z[b][i]] = lllh[b][right]
@@ -402,12 +399,10 @@ def get_optimal_assignments(
                 model += z[b][i] <= y[b][l][r]
         model += sum(z[b]) == 1
 
-    model += sum([var * weight for (var, weight) in z_weights.items()]) + sum(aff_scores)
+    model += sum(var * weight for var, weight in z_weights.items()) + sum(aff_scores)
+    model.solve(get_ilp_solver())
 
-    solver = get_ilp_solver()
-    model.solve(solver)
-
-    assignments = [[0 for _ in P] for _ in BE]
+    assignments = [[0] * ploidy for _ in BE]
     for b in BE:
         for t in P:
             for h in P:
@@ -415,8 +410,7 @@ def get_optimal_assignments(
                     assignments[b][t] = h
                     break
             else:
-                assert False
-
+                raise AssertionError("ILP returned a non-permutation x")
     return assignments
 
 
@@ -437,12 +431,11 @@ def _optimal_assignments_chain_dp(
     ploidy! states.
     """
     states = [list(p) for p in it.permutations(range(ploidy))]
-    num_blocks = len(breakpoints) + 1
+    neg_inf = -float("inf")
 
     def aff_score(b: int, m: List[int]) -> float:
         return sum(affiliations[b][m[i]][i] for i in range(ploidy))
 
-    neg_inf = -float("inf")
     dp = [{tuple(m): aff_score(0, m) for m in states}]
     back: List[Dict[tuple, tuple]] = []
     for b, bp in enumerate(breakpoints):
@@ -459,7 +452,6 @@ def _optimal_assignments_chain_dp(
                 if prev_score == neg_inf:
                     continue
                 # induced linkage: thread m1[h] links to thread m2[h]
-                inv = {}
                 valid = True
                 link = {}
                 for h in range(ploidy):
@@ -483,7 +475,6 @@ def _optimal_assignments_chain_dp(
         dp.append(cur)
         back.append(choice)
 
-    # backtrack from the best final state
     final = max(dp[-1], key=dp[-1].get)
     chain = [final]
     for b in range(len(breakpoints) - 1, -1, -1):
@@ -499,13 +490,14 @@ def permute_blocks(
     perms: List[ThreadPermutation],
 ):
     ploidy = len(haplotypes)
-    ext_bp = [0] + [b.position for b in breakpoints] + [len(threads)]
-    for i, (s, e) in enumerate(zip(ext_bp[:-1], ext_bp[1:])):
-        for p in range(s, e):
-            threads[p] = [threads[p][perms[i][t]] for t in range(ploidy)]
-            hap_copy = [haplotypes[t][p] for t in range(ploidy)]
+    bounds = [0] + [bp.position for bp in breakpoints] + [len(threads)]
+    for i, (start, end) in enumerate(zip(bounds[:-1], bounds[1:])):
+        perm = perms[i]
+        for p in range(start, end):
+            threads[p] = [threads[p][perm[t]] for t in range(ploidy)]
+            column = [haplotypes[t][p] for t in range(ploidy)]
             for t in range(ploidy):
-                haplotypes[t][p] = hap_copy[perms[i][t]]
+                haplotypes[t][p] = column[perm[t]]
 
 
 def compute_breakpoint_confidence(
@@ -513,10 +505,12 @@ def compute_breakpoint_confidence(
     lllh: List[Dict[ThreadPermutation, float]],
     perms: List[ThreadPermutation],
 ):
+    """Softmax weight of the chosen linkage among all scored ones."""
     for i, bp in enumerate(breakpoints):
         affected = bp.haplotypes
         assert len(lllh[i].values()) >= 2
         best = max(lllh[i].values())
         reduced = [j for j in perms[i + 1] if j in affected]
-        link = tuple(affected[reduced.index(j)] for j in perms[i] if j in affected)
-        bp.confidence = exp(lllh[i][link] - best) / sum([exp(v - best) for v in lllh[i].values()])
+        chosen = tuple(affected[reduced.index(j)] for j in perms[i] if j in affected)
+        weights = sum(exp(v - best) for v in lllh[i].values())
+        bp.confidence = exp(lllh[i][chosen] - best) / weights

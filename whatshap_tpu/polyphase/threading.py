@@ -1,32 +1,31 @@
 """
-Threading stage of the polyploid phaser (behavior parity with
-whatshap/polyphase/threading.py): select relevant clusters per position,
-thread ploidy-many paths through them with the HaploThreader DP, derive
-haplotype alleles from cluster consensus lists, and optionally force the
-input genotypes back onto the result.
+Threading stage of the polyploid phaser (counterpart of
+whatshap/polyphase/threading.py): pick the clusters relevant at each
+position, thread ploidy-many paths through them with the HaploThreader DP,
+read alleles off the per-cluster consensus rankings, and optionally force
+the input genotypes back onto the result.
 """
 
 import itertools
 import logging
 from collections import defaultdict
+from functools import lru_cache
 from math import ceil, log
 from typing import Dict, List, Tuple
 
-from functools import lru_cache
-
 from scipy.stats import binom
-
-
-@lru_cache(maxsize=65536)
-def _binom_pmf(k, n, p):
-    # scipy's pmf carries heavy per-call overhead; the value set is tiny
-    return float(binom.pmf(k, n, p))
 
 from . import Allele, AlleleDepth, Cluster, ClusterId, Genotype, Haplotype, Threading
 from .haplothreader import HaploThreader
 from .solver import AlleleMatrix
 
 logger = logging.getLogger(__name__)
+
+
+@lru_cache(maxsize=65536)
+def _binom_pmf(k, n, p):
+    # scipy's pmf has heavy per-call overhead and the value set here is tiny
+    return float(binom.pmf(k, n, p))
 
 
 def run_threading(
@@ -38,42 +37,34 @@ def run_threading(
     max_cluster_gap: int = 10,
     error_rate: float = 0.05,
 ) -> Tuple[Threading, List[Haplotype]]:
-    """
-    Thread ploidy-many haplotype paths through the read clusters and derive
-    per-position alleles. If distrust_genotypes is False, the computed
-    haplotypes are corrected to match the given genotypes with the fewest
-    changes.
-    """
+    """Thread ploidy paths through the clusters and derive alleles; unless
+    genotypes are distrusted, minimally correct the haplotypes to match
+    them."""
     num_vars = allele_matrix.getNumPositions()
-    allele_depths, cons_lists = get_allele_depths(allele_matrix, clustering, ploidy)
+    allele_depths, consensus = get_allele_depths(allele_matrix, clustering, ploidy)
     cov_map = select_clusters(allele_depths, ploidy, max_cluster_gap)
 
-    affine_switch_cost = ceil(compute_readlength_snp_distance_ratio(allele_matrix) / 1.0)
+    affine_cost = ceil(compute_readlength_snp_distance_ratio(allele_matrix) / 1.0)
     paths = compute_threading_path(
         cov_map,
         allele_depths,
         ploidy,
-        switch_cost=4 * affine_switch_cost,
-        affine_switch_cost=affine_switch_cost,
+        switch_cost=4 * affine_cost,
+        affine_switch_cost=affine_cost,
         max_cluster_gap=max_cluster_gap,
     )
     assert len(paths) == num_vars
 
-    haplotypes = compute_haplotypes(paths, cons_lists, ploidy)
-
+    haplotypes = compute_haplotypes(paths, consensus, ploidy)
     if not distrust_genotypes:
         haplotypes = force_genotypes(
             paths, haplotypes, genotypes, cov_map, allele_depths, error_rate
         )
-
     return paths, haplotypes
 
 
 def compute_readlength_snp_distance_ratio(allele_matrix: AlleleMatrix) -> float:
-    length = 0
-    for read in allele_matrix:
-        length += len(read)
-    return length / len(allele_matrix)
+    return sum(len(read) for read in allele_matrix) / len(allele_matrix)
 
 
 def compute_threading_path(
@@ -84,8 +75,8 @@ def compute_threading_path(
     affine_switch_cost: float = 8.0,
     max_cluster_gap: int = 10,
 ) -> Threading:
-    """Run the HaploThreader DP; the affine cost is a per-switch-event offset
-    that bundles simultaneous switches into one position."""
+    """HaploThreader DP; the affine part prices a switch event once so
+    simultaneous switches bundle onto one position."""
     logger.debug(f"Computing threading paths with switch cost {switch_cost} ..")
     row_limit = 16 * 2**ploidy if ploidy > 6 else 0
     threader = HaploThreader(ploidy, switch_cost, affine_switch_cost, max_cluster_gap, row_limit)
@@ -95,20 +86,36 @@ def compute_threading_path(
 def compute_haplotypes(
     path: Threading, consensus_lists: List[Dict[ClusterId, List[Allele]]], ploidy: int
 ) -> List[Haplotype]:
-    """Assign each threaded haplotype the next consensus allele of its
-    cluster (k-th pick for the k-th thread inside the same cluster)."""
+    """The k-th thread inside a cluster receives the cluster's k-th ranked
+    consensus allele (-1 where the cluster has no data)."""
     haplotypes: List[Haplotype] = [[] for _ in range(ploidy)]
-    for pos in range(len(path)):
-        cnts: Dict[ClusterId, int] = defaultdict(int)
+    for pos, row in enumerate(path):
+        occupancy: Dict[ClusterId, int] = defaultdict(int)
         for i in range(ploidy):
-            cid = path[pos][i]
-            if cid in consensus_lists[pos]:
-                allele = consensus_lists[pos][cid][cnts[cid]]
-            else:
-                allele = -1
-            cnts[cid] += 1
+            cid = row[i]
+            ranking = consensus_lists[pos].get(cid)
+            allele = ranking[occupancy[cid]] if ranking is not None else -1
+            occupancy[cid] += 1
             haplotypes[i].append(allele)
     return haplotypes
+
+
+def _config_log_likelihood(config, clusts, path_row, allele_depths_pos, alleles, error_rate):
+    """How well a candidate per-thread allele configuration explains the
+    observed per-cluster allele depths."""
+    total = 0.0
+    for clust in clusts:
+        in_cluster = [slot for slot, cid in enumerate(path_row) if cid == clust]
+        if not in_cluster:
+            continue
+        depths = allele_depths_pos[clust]
+        total_depth = sum(depths.values())
+        for a in alleles:
+            share = sum(1 for slot in in_cluster if config[slot] == a) / len(in_cluster)
+            expected = share * (1 - error_rate) + (1 - share) * error_rate
+            prob = _binom_pmf(depths.get(a, 0), total_depth, expected)
+            total += log(prob) if prob > 0 else -float("inf")
+    return total
 
 
 def force_genotypes(
@@ -119,157 +126,123 @@ def force_genotypes(
     allele_depths: List[Dict[ClusterId, AlleleDepth]],
     error_rate: float,
 ) -> List[Haplotype]:
-    num_vars = len(path)
-    for pos in range(num_vars):
-        alleles = {a for a in genotypes[pos]}
+    """Where the threaded alleles disagree with the genotype, redistribute
+    the allele multiset of the genotype over the conflicting threads,
+    choosing the permutation most consistent with the read depths."""
+    ploidy = len(haplotypes)
+    for pos in range(len(path)):
         present: Dict[int, int] = defaultdict(int)
+        alleles = set(genotypes[pos])
         for h in haplotypes:
             present[h[pos]] += 1
             alleles.add(h[pos])
-
         if -1 in present:
             continue
 
-        abundant_alleles, lacking_alleles = dict(), dict()
-        alleles_to_insert, affected_positions = [], []
+        surplus = {}
+        to_insert: List[int] = []
+        conflict_slots: List[int] = []
         for a in alleles:
             if a not in genotypes[pos]:
                 genotypes[pos][a] = 0
             diff = present[a] - genotypes[pos][a]
             if diff > 0:
-                abundant_alleles[a] = diff
-                alleles_to_insert += [a for _ in range(genotypes[pos][a])]
-                for p in range(len(path[pos])):
-                    if haplotypes[p][pos] == a:
-                        affected_positions.append(p)
+                surplus[a] = diff
+                to_insert += [a] * genotypes[pos][a]
+                conflict_slots += [
+                    slot for slot in range(ploidy) if haplotypes[slot][pos] == a
+                ]
             elif diff < 0:
-                lacking_alleles[a] = -diff
-                alleles_to_insert += [a for _ in range(-diff)]
-
-        affected_positions.sort()
-        alleles_to_insert.sort()
-
-        if len(abundant_alleles) == 0:
+                to_insert += [a] * (-diff)
+        if not surplus:
             continue
+        conflict_slots.sort()
+        to_insert.sort()
 
-        # among all permutations of the re-insertable alleles, pick the one
-        # that best explains the observed per-cluster allele depths
-        clusts = cov_map[pos]
-        given_config = [haplotypes[h][pos] for h in range(len(haplotypes))]
-        best_config = given_config
-        best_likelihood = -float("inf")
-        for perm in set(list(itertools.permutations(alleles_to_insert))):
-            newconfig = given_config[:]
-            for i in range(len(perm)):
-                newconfig[affected_positions[i]] = perm[i]
+        current = [haplotypes[h][pos] for h in range(ploidy)]
+        best_config = current
+        best_llh = -float("inf")
+        for perm in set(itertools.permutations(to_insert)):
+            candidate = current[:]
+            for slot, allele in zip(conflict_slots, perm):
+                candidate[slot] = allele
+            llh = _config_log_likelihood(
+                candidate, cov_map[pos], path[pos], allele_depths[pos], alleles, error_rate
+            )
+            if llh > best_llh:
+                best_llh = llh
+                best_config = candidate
 
-            log_likelihood = 0.0
-            for clust in clusts:
-                allele_mult = {a: 0.0 for a in alleles}
-                clust_mult = 0
-                for slot in range(len(path[pos])):
-                    if path[pos][slot] == clust:
-                        allele_mult[newconfig[slot]] += 1
-                        clust_mult += 1
-                if clust_mult > 0:
-                    total_depth = sum(allele_depths[pos][clust].values())
-                    for a in alleles:
-                        allele_mult[a] /= clust_mult
-                        allele_mult[a] = (
-                            allele_mult[a] * (1 - error_rate) + (1 - allele_mult[a]) * error_rate
-                        )
-                        observed_depth = allele_depths[pos][clust].get(a, 0)
-                        prob = _binom_pmf(observed_depth, total_depth, allele_mult[a])
-                        log_likelihood += log(prob) if prob > 0 else -float("inf")
-
-            if log_likelihood > best_likelihood:
-                best_likelihood = log_likelihood
-                best_config = newconfig
-
-        for h in range(len(haplotypes)):
+        for h in range(ploidy):
             haplotypes[h][pos] = best_config[h]
-
     return haplotypes
 
 
 def select_clusters(
     allele_depths: List[Dict[ClusterId, AlleleDepth]], ploidy: int, max_gap: int
 ) -> List[List[ClusterId]]:
-    """
-    Per position: clusters relevant for the threading. A cluster is kept if
-    its relative coverage is at least 1/(8*ploidy); between ploidy and
-    ploidy+2 clusters are selected, and clusters missing for at most max_gap
-    intermediate positions are re-added.
-    """
-    cov_map: List[List[ClusterId]] = [[] for _ in range(len(allele_depths))]
-    for pos in range(len(allele_depths)):
-        sorted_cids = sorted(
-            ((cid, sum(allele_depths[pos][cid].values())) for cid in allele_depths[pos]),
-            key=lambda x: x[1],
+    """Per position, the clusters worth threading through: the top covered
+    ones (at most ploidy+2, each with >= 1/(8*ploidy) relative coverage),
+    plus clusters from the previous position that reappear within max_gap
+    positions (to bridge short gaps)."""
+    cov_map: List[List[ClusterId]] = [[] for _ in allele_depths]
+    for pos, depths in enumerate(allele_depths):
+        ranked = sorted(
+            ((cid, sum(d.values())) for cid, d in depths.items()),
+            key=lambda t: t[1],
             reverse=True,
         )
-        total_cov = sum(e[1] for e in sorted_cids)
-        cut_off = min(len(sorted_cids), ploidy + 2)
-        cov_map[pos].append(sorted_cids[0][0])
-        for cid, cov in sorted_cids[1:cut_off]:
-            if cov / total_cov < (1.0 / (8.0 * ploidy)) and cov_map[pos]:
+        total = sum(cov for _, cov in ranked)
+        keep = min(len(ranked), ploidy + 2)
+        cov_map[pos].append(ranked[0][0])
+        for cid, cov in ranked[1:keep]:
+            if cov / total < 1.0 / (8.0 * ploidy) and cov_map[pos]:
                 break
-            else:
-                cov_map[pos].append(cid)
+            cov_map[pos].append(cid)
 
-    cut_off = ploidy + 2
+    limit = ploidy + 2
     for pos in range(1, len(cov_map) - 1):
+        lookahead = min(max_gap, len(cov_map) - pos - 1)
         for cid in cov_map[pos - 1]:
-            if len(cov_map[pos]) >= cut_off:
+            if len(cov_map[pos]) >= limit:
                 break
             if cid in cov_map[pos]:
                 continue
-            if any(
-                cid in cov_map[pos + k + 1] for k in range(min(max_gap, len(cov_map) - pos - 1))
-            ):
+            if any(cid in cov_map[pos + k + 1] for k in range(lookahead)):
                 cov_map[pos].append(cid)
                 allele_depths[pos][cid] = dict()
 
-    for sub in cov_map:
-        sub.sort()
-
+    for selection in cov_map:
+        selection.sort()
     return cov_map
 
 
 def get_allele_depths(
     allele_matrix: AlleleMatrix, clustering: List[Cluster], ploidy: int
 ) -> Tuple[List[Dict[ClusterId, AlleleDepth]], List[Dict[ClusterId, List[Allele]]]]:
-    """
-    ad[pos][c_id][al] = number of reads of cluster c_id with allele al at
-    (local) position pos; cons_lists[pos][c_id] ranks the alleles so that the
-    first k entries are the cluster's alleles when picked with multiplicity k.
-    """
+    """Per position and cluster: allele -> read count, plus a consensus
+    ranking such that picking the first k entries yields the cluster's best
+    k-allele multiset (greedy count/(1+uses) ranking)."""
     num_vars = allele_matrix.getNumPositions()
-    ad: List[Dict[ClusterId, AlleleDepth]] = [dict() for _ in range(num_vars)]
-    cons_lists: List[Dict[ClusterId, List[Allele]]] = [dict() for _ in range(num_vars)]
-
+    depths: List[Dict[ClusterId, AlleleDepth]] = [{} for _ in range(num_vars)]
     for c_id, cluster in enumerate(clustering):
         for read in cluster:
             for pos, allele in allele_matrix.getRead(read):
-                if c_id not in ad[pos]:
-                    ad[pos][c_id] = dict()
-                if allele not in ad[pos][c_id]:
-                    ad[pos][c_id][allele] = 0
-                ad[pos][c_id][allele] += 1
+                bucket = depths[pos].setdefault(c_id, {})
+                bucket[allele] = bucket.get(allele, 0) + 1
 
+    rankings: List[Dict[ClusterId, List[Allele]]] = [{} for _ in range(num_vars)]
     for pos in range(num_vars):
-        for c_id in ad[pos]:
-            cons_lists[pos][c_id] = []
-            cnts: Dict[Allele, int] = defaultdict(int)
+        for c_id, counts in depths[pos].items():
+            uses: Dict[Allele, int] = defaultdict(int)
+            order = []
             for _ in range(ploidy):
-                max_cnt = 0
-                max_al = 0
-                for al in ad[pos][c_id]:
-                    cnt = ad[pos][c_id][al] / (1 + cnts[al])
-                    if cnt > max_cnt:
-                        max_cnt = cnt
-                        max_al = al
-                cons_lists[pos][c_id].append(max_al)
-                cnts[max_al] += 1
-
-    return ad, cons_lists
+                best_score, best_allele = 0, 0
+                for allele, count in counts.items():
+                    score = count / (1 + uses[allele])
+                    if score > best_score:
+                        best_score, best_allele = score, allele
+                order.append(best_allele)
+                uses[best_allele] += 1
+            rankings[pos][c_id] = order
+    return depths, rankings
