@@ -1,0 +1,212 @@
+"""
+Device (TPU/XLA) genotyping forward-backward kernel.
+
+Same HMM as ops/genotyping.py (semantics from src/genotypedptable.cpp:116-442)
+but expressed TPU-first in float64 under two `lax.scan`s:
+
+- Emissions use the wMEC bit-matrix trick in LOG space: the per-state
+  partition products of GenotypeColumnCostComputer become
+  ``base + Bits @ diff`` (one matmul over the slot axis per column),
+  followed by a tiny unrolled sum over partitions and an exp.
+- The backward/forward projections between columns (summing out
+  born/dying slot bits) are static-shape sum-folds over the state axis —
+  the additive twin of the wMEC min-folds.
+- Per-column rescaling follows the reference's exact operation order, so
+  the result matches the 80-bit host path to f64 rounding (~1e-12
+  relative; the parity tests require 1e-9).
+
+The host longdouble path (ops/genotyping.py + native/genolib.cpp) remains
+the byte-exact CLI default and the oracle; this kernel is the scale-out
+path (WHATSHAP_TPU_GENO_BACKEND=jax forces it everywhere).
+
+float64 note: TPUs emulate f64 in software; the kernel exists for parity
+and batched throughput via vmap, with f32 emissions a future option once a
+rescaled f32 error analysis is in place.
+"""
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.pedigree_model import Pedigree
+from . import wmec
+from .genotyping import _transition_tables
+
+
+def _prepare_inputs(packed: "wmec.PackedProblem", pedigree: Pedigree):
+    """Host-side packing of the per-column HMM tables (float64 numpy)."""
+    C, K, T, P = packed.n_cols, packed.K, packed.T, packed.P
+    nA = 1 << P
+
+    trans_ld, passign_ld, gt_idx = _transition_tables(packed, pedigree)
+    trans = np.asarray(trans_ld, dtype=np.float64)
+    passign = np.asarray(passign_ld, dtype=np.float64)
+
+    # log q per (column, slot, hap allele); inactive/blank slots contribute 0
+    qlog = np.zeros((C, K, 2), dtype=np.float64)
+    slot_ind = np.zeros((C, K), dtype=np.int64)
+    live = np.zeros((C, K), dtype=bool)
+    for c in range(C):
+        for s in range(K):
+            if not packed.active[c, s]:
+                continue
+            allele = int(packed.allele[c, s])
+            if allele == 2:
+                continue
+            phred = int(packed.weight[c, s])
+            proba = 0.9999 if phred == 0 else 10.0 ** (-phred / 10.0)
+            if allele == 0:
+                q = (1 - proba, proba)
+            else:
+                q = (proba, 1 - proba)
+            qlog[c, s] = np.log(q)
+            live[c, s] = True
+            read_idx = int(packed.slot_read[c, s])
+            slot_ind[c, s] = int(packed.read_source[read_idx]) if read_idx >= 0 else 0
+
+    # log-emission as base + Bits @ diff over (t, p, al)
+    base = np.zeros((C, T, P, 2), dtype=np.float64)
+    diff = np.zeros((C, K, T, P, 2), dtype=np.float64)
+    for c in range(C):
+        for s in range(K):
+            if not live[c, s]:
+                continue
+            ind = slot_ind[c, s]
+            for t in range(T):
+                p_bit0 = packed.h2p[t, ind, 1]
+                p_bit1 = packed.h2p[t, ind, 0]
+                base[c, t, p_bit0] += qlog[c, s]
+                diff[c, s, t, p_bit1] += qlog[c, s]
+                diff[c, s, t, p_bit0] -= qlog[c, s]
+
+    # fold masks: bits born entering column c (backward) / dying after c-1
+    # (forward projection uses die_prev of the NEXT column)
+    birth = np.zeros((C, K), dtype=bool)
+    prev_active = np.zeros(K, dtype=bool)
+    for c in range(C):
+        birth[c] = packed.active[c] & (~prev_active | packed.die_prev[c])
+        prev_active = packed.active[c].copy()
+    die_next = np.zeros((C, K), dtype=bool)
+    if C > 1:
+        die_next[:-1] = packed.die_prev[1:]
+
+    k_active = packed.active.sum(axis=1)
+    dup = np.float64(2.0) ** (K - k_active)  # inactive-bit duplicate factor
+
+    # genotype masks per individual: (n_ind, T, nA, 3)
+    n_ind = max(len(pedigree), 1)
+    gmask = np.zeros((n_ind, T, nA, 3), dtype=np.float64)
+    for ind in range(gt_idx.shape[2]):
+        for g in range(3):
+            gmask[ind, :, :, g] = gt_idx[:, :, ind] == g
+
+    return dict(
+        trans=trans,
+        passign=passign,
+        base=base,
+        diff=diff.reshape(C, K, T * P * 2),
+        birth=birth,
+        die_next=die_next,
+        dup=dup,
+        gmask=gmask,
+    )
+
+
+def _sum_fold(arr, K: int, T: int, bits):
+    """Sum out the given slot bits of the (S, T) state array, writing the
+    sum to both halves (additive twin of the wMEC min-fold)."""
+    S = 1 << K
+    for p in range(K):
+        view = arr.reshape((1 << (K - 1 - p), 2, (1 << p) * T))
+        total = view[:, 0] + view[:, 1]
+        folded = jnp.stack([total, total], axis=1).reshape(S, T)
+        arr = jnp.where(bits[p], folded, arr.reshape(S, T))
+    return arr
+
+
+@partial(jax.jit, static_argnames=("K", "T", "P", "n_ind"))
+def _forward_backward(K, T, P, n_ind, trans, passign, base, diff, birth, die_next, dup, gmask):
+    S = 1 << K
+    nA = 1 << P
+    bits = jnp.asarray(wmec._bits_matrix(K), dtype=jnp.float64)  # (S, K)
+    abits = np.asarray(wmec._assign_bits(P))  # (nA, P) host constant
+
+    def emission(base_c, diff_c):
+        # logcp: (S, T, P, 2) via one matmul over the slot axis
+        logcp = (bits @ diff_c).reshape(S, T, P, 2) + base_c[None]
+        lem = jnp.zeros((S, T, nA), dtype=jnp.float64)
+        for p in range(P):
+            sel = jnp.asarray(abits[:, p])  # (nA,)
+            lem = lem + jnp.where(
+                sel[None, None, :] == 1, logcp[:, :, p, 1:2], logcp[:, :, p, 0:1]
+            )
+        return jnp.exp(lem)  # (S, T, nA)
+
+    # ---- backward scan (right to left) ----
+    def bwd_step(beta, xs):
+        base_c, diff_c, passign_c, trans_c, birth_c, dup_c = xs
+        em = emission(base_c, diff_c)
+        scaling_sum = (beta.sum() / dup_c) * nA
+        weighted = (beta[:, :, None] * em * passign_c[None]).sum(axis=2)  # (S, T_i)
+        contrib = weighted @ trans_c.T  # (S, T_j)
+        new_beta = _sum_fold(contrib, K, T, birth_c) / scaling_sum
+        # beta_store[c] = incoming beta scaled by this column's sum
+        return new_beta, (scaling_sum, beta / scaling_sum)
+
+    beta0 = jnp.ones((S, T), dtype=jnp.float64)
+    xs_rev = (
+        base[::-1], diff[::-1], passign[::-1], trans[::-1], birth[::-1], dup[::-1]
+    )
+    _, (scaling_rev, beta_scaled_rev) = jax.lax.scan(bwd_step, beta0, xs_rev)
+    scaling = scaling_rev[::-1]  # (C,)
+    beta_store = beta_scaled_rev[::-1]  # (C, S, T); row c pairs c <-> c+1
+
+    C = base.shape[0]
+    # the last column has no successor: its beta factor is the identity
+    has_beta = jnp.arange(C) < C - 1
+
+    # ---- forward scan (left to right) ----
+    def fwd_step(carry, xs):
+        alpha_prev, is_first = carry
+        base_c, diff_c, passign_c, trans_c, die_c, dup_c, scaling_c, beta_c, use_beta = xs
+        em = emission(base_c, diff_c)
+        sum_prev = jnp.where(
+            is_first, jnp.ones((S, T), dtype=jnp.float64), alpha_prev @ trans_c
+        )
+        fwd = sum_prev[:, :, None] * em * passign_c[None] / scaling_c  # (S, T, nA)
+        fb = fwd * jnp.where(use_beta, beta_c, jnp.ones((S, T)))[:, :, None]
+        normalization = fb.sum() / dup_c
+        # genotype marginals: (n_ind, 3)
+        marg = jnp.einsum("sta,itag->ig", fb, gmask) / dup_c / normalization
+        alpha = _sum_fold(fwd.sum(axis=2), K, T, die_c)
+        return (alpha, jnp.zeros((), dtype=bool)), marg
+
+    xs_fwd = (base, diff, passign, trans, die_next, dup, scaling, beta_store, has_beta)
+    carry0 = (jnp.zeros((S, T), dtype=jnp.float64), jnp.ones((), dtype=bool))
+    _, likelihoods = jax.lax.scan(fwd_step, carry0, xs_fwd)
+    return likelihoods  # (C, n_ind, 3)
+
+
+def run_genotyping_jax(
+    packed: "wmec.PackedProblem", pedigree: Pedigree
+) -> Optional[np.ndarray]:
+    """Device forward-backward; returns likelihoods (C, n_ind, 3) float64,
+    or None for empty problems."""
+    if packed.n_cols == 0:
+        return None
+    inputs = _prepare_inputs(packed, pedigree)
+    n_ind = max(len(pedigree), 1)
+    with jax.enable_x64(True):
+        out = _forward_backward(
+            packed.K,
+            packed.T,
+            packed.P,
+            n_ind,
+            **{k: jnp.asarray(v) for k, v in inputs.items()},
+        )
+        out = np.asarray(jax.device_get(out))
+    return out

@@ -29,7 +29,17 @@ class GenotypeDPTable:
         self._packed = wmec.pack_problem(
             readset, recombcost, pedigree, False, positions, check_conflicts=False
         )
-        self._likelihoods = gt_ops.run_genotyping(self._packed, pedigree)
+        # The host longdouble path is the byte-exact default;
+        # WHATSHAP_TPU_GENO_BACKEND=jax routes through the device
+        # forward-backward kernel (f64, parity within ~1e-12 relative).
+        import os
+
+        if os.environ.get("WHATSHAP_TPU_GENO_BACKEND") == "jax":
+            from ..ops.genotyping_jax import run_genotyping_jax
+
+            self._likelihoods = run_genotyping_jax(self._packed, pedigree)
+        else:
+            self._likelihoods = gt_ops.run_genotyping(self._packed, pedigree)
 
     def get_genotype_likelihoods(self, sample_id, pos: int) -> PhredGenotypeLikelihoods:
         numeric_id = self._numeric_sample_ids[sample_id]
