@@ -442,7 +442,95 @@ if _build_pqext():
         pqext = None
 
 
+# --- native PedMEC heuristic (native/heurlib.cpp) ---------------------------
+
+_HEUR_SO_PATH = _NATIVE_DIR / "_heurlib.so"
+
+
+class _HeurLib:
+    def __init__(self, cdll):
+        c = self._lib = cdll
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        c.wh_pedmec_heuristic.restype = ctypes.c_int32
+        c.wh_pedmec_heuristic.argtypes = [
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            f64p, f64p, i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p, f64p,
+            ctypes.POINTER(ctypes.c_uint8), i32p, i32p, i32p, i32p, i32p,
+        ]
+
+    def solve(
+        self, m, n, num_samples, trios, tm_bits, row_limit, distrust,
+        recomb_cost, mutation_cost, genotypes_flat,
+        read_sample, read_first, read_last, var_off, var_pos, var_allele, var_qual,
+    ):
+        """Returns (bipart list, trans list, haps[sample][hap][col],
+        mutations[sample] list of (hap, col))."""
+        def i32(xs):
+            return (ctypes.c_int32 * max(len(xs), 1))(*xs)
+
+        def f64(xs):
+            return (ctypes.c_double * max(len(xs), 1))(*xs)
+
+        out_bipart = (ctypes.c_uint8 * max(m, 1))()
+        out_trans = (ctypes.c_int32 * max(n, 1))()
+        out_haps = (ctypes.c_int32 * max(num_samples * 2 * n, 1))()
+        cap = max(2 * n * num_samples, 1)
+        out_ms = (ctypes.c_int32 * cap)()
+        out_mh = (ctypes.c_int32 * cap)()
+        out_mp = (ctypes.c_int32 * cap)()
+        trios_flat = [x for t in trios for x in t]
+        nm = self._lib.wh_pedmec_heuristic(
+            m, n, num_samples, len(trios), tm_bits, row_limit, int(distrust),
+            f64(recomb_cost), f64(mutation_cost), i32(trios_flat), i32(genotypes_flat),
+            i32(read_sample), i32(read_first), i32(read_last),
+            i32(var_off), i32(var_pos), i32(var_allele), f64(var_qual),
+            out_bipart, out_trans, out_haps, out_ms, out_mh, out_mp,
+        )
+        if nm < 0:
+            return None
+        bipart = [bool(out_bipart[i]) for i in range(m)]
+        trans = [int(out_trans[p]) for p in range(n)]
+        haps = [
+            [[int(out_haps[(s * 2 + h) * n + p]) for p in range(n)] for h in range(2)]
+            for s in range(num_samples)
+        ]
+        mutations = [[] for _ in range(num_samples)]
+        for i in range(nm):
+            mutations[out_ms[i]].append((int(out_mh[i]), int(out_mp[i])))
+        return bipart, trans, haps, mutations
+
+
+def _build_heurlib() -> bool:
+    src = _NATIVE_DIR / "heurlib.cpp"
+    if not src.exists():
+        return False
+    if _HEUR_SO_PATH.exists() and _HEUR_SO_PATH.stat().st_mtime >= src.stat().st_mtime:
+        return True
+    try:
+        subprocess.run(
+            [
+                "g++", "-O3", "-ffp-contract=off", "-shared", "-fPIC",
+                "-std=c++17", "-o", str(_HEUR_SO_PATH), str(src),
+            ],
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+heurlib = None
+if _build_heurlib():
+    try:
+        heurlib = _HeurLib(ctypes.CDLL(str(_HEUR_SO_PATH)))
+    except OSError:
+        heurlib = None
+
+
 # WHATSHAP_TPU_NO_NATIVE=1 disables every native engine (pure-Python
 # fallbacks take over) — a debugging/verification kill switch.
 if os.environ.get("WHATSHAP_TPU_NO_NATIVE"):
-    lib = bamlib = clusterlib = threadlib = genolib = pqext = None
+    lib = bamlib = clusterlib = threadlib = genolib = pqext = heurlib = None

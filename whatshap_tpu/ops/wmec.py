@@ -518,6 +518,93 @@ def _solve_scan(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc):
 
 
 @partial(jax.jit, static_argnames=("K", "T", "P"))
+def _forward_carry_scan(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, carry):
+    """One segment's forward scan, carry only (no backtrace tables)."""
+    return _forward_scan_impl(
+        K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, carry0=carry, emit_bt=False
+    )
+
+
+@partial(jax.jit, static_argnames=("K", "T", "P"))
+def _forward_tables_scan(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, carry):
+    """One segment's forward scan re-run, emitting its backtrace tables."""
+    return _forward_scan_impl(
+        K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, carry0=carry, emit_bt=True
+    )
+
+
+def solve_scan_segmented(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, seg=256):
+    """Segmented checkpoint/recompute solve on the XLA scan path — the
+    sqrt(n) memory trick of the reference (pedigreedptable.cpp:104,127-173)
+    for shapes the Pallas kernels do not cover (K 17..23, or any T).
+
+    Memory: nseg checkpoints of O(S*T) plus ONE segment's backtrace tables
+    of O(seg*S*T) live at a time, instead of O(C*S*T) for the whole
+    instance.  Bit-identical to the monolithic solve.  C must be a
+    multiple of `seg`.
+    """
+    C = wdiff.shape[0]
+    assert C % seg == 0, (C, seg)
+    nseg = C // seg
+    S = 1 << K
+
+    def seg_args(i):
+        sl = slice(i * seg, (i + 1) * seg)
+        return (wdiff[sl], wbase[sl], rankw[sl], acost[sl], die_prev[sl], rc[sl])
+
+    carry = (
+        jnp.zeros((S, T), dtype=jnp.int32),
+        jnp.zeros((S, T), dtype=jnp.int32),
+        jnp.zeros((S,), dtype=jnp.int32),
+    )
+    checkpoints = [carry]
+    for i in range(nseg):
+        carry = _forward_carry_scan(K, T, P, *seg_args(i), carry)
+        checkpoints.append(carry)
+
+    dp_last = np.asarray(jax.device_get(carry[0]))
+    jmin_last = np.asarray(jax.device_get(carry[1]))
+    key_last = np.asarray(jax.device_get(carry[2]))
+
+    # optimum: first strict minimum in (gray order, transmission) with the
+    # numeric-index tiebreak for padded duplicates (as in run_dp's numpy
+    # backtrace)
+    m = dp_last.min()
+    cand = dp_last == m
+    key2 = np.where(cand, key_last[:, None].astype(np.int64), np.iinfo(np.int64).max)
+    cand &= key2 == key2.min()
+    ti = np.nonzero(cand)
+    order = np.lexsort((ti[0], ti[1]))
+    v_idx = int(ti[0][order[0]])
+    v_trans = int(ti[1][order[0]])
+    optimal_cost = int(m)
+    prev_trans = int(jmin_last[v_idx, v_trans])
+
+    index_path = np.zeros(C, dtype=np.int64)
+    trans_path = np.zeros(C, dtype=np.int64)
+    index_path[C - 1] = v_idx
+    trans_path[C - 1] = v_trans
+
+    for s in reversed(range(nseg)):
+        a = s * seg
+        b = a + seg
+        _, _, _, proj_idx, proj_jmin = _forward_tables_scan(
+            K, T, P, *seg_args(s), checkpoints[s]
+        )
+        proj_idx = np.asarray(jax.device_get(proj_idx))
+        proj_jmin = np.asarray(jax.device_get(proj_jmin))
+        lo = max(a, 1)
+        for i in range(b - 1, lo - 1, -1):
+            li = i - a
+            v_idx = int(proj_idx[li, v_idx, prev_trans])
+            v_trans = prev_trans
+            prev_trans = int(proj_jmin[li, v_idx, v_trans])
+            index_path[i - 1] = v_idx
+            trans_path[i - 1] = v_trans
+    return DPResult(optimal_cost, index_path, trans_path)
+
+
+@partial(jax.jit, static_argnames=("K", "T", "P"))
 def solve_batched(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc):
     """Batched end-to-end solve (leading block axis): forward scan plus
     device-side backtrace per block.  Returns (costs (B,), index paths
@@ -735,7 +822,13 @@ def run_dp(packed: PackedProblem, backend: str = "auto") -> Optional[DPResult]:
         seg = 2048
         table_bytes = c_pad * (1 << k_run) * T * 4 * (2 if T > 1 else 1)
         use_segmented = use_pallas and table_bytes > (2 << 30)
-        if use_segmented:
+        # XLA fallback shapes (K 17..23, or any unsupported T) get the same
+        # sqrt(n) treatment once full tables would exceed ~1 GB; segment
+        # length trades checkpoint memory against table memory.
+        use_segmented_xla = not use_pallas and table_bytes > (1 << 30)
+        if use_segmented_xla:
+            seg = max(64, min(2048, _next_pow2(int(np.sqrt(C)), lo=64)))
+        if use_segmented or use_segmented_xla:
             c_pad = ((C + seg - 1) // seg) * seg
         padded = pad_block(packed, c_pad, k_pad=k_run)
         args = (
@@ -756,6 +849,11 @@ def run_dp(packed: PackedProblem, backend: str = "auto") -> Optional[DPResult]:
                     k_run, T, P, *[a[None] for a in args]
                 )
             cost, index_path, trans_path = costs[0], index_paths[0], trans_paths[0]
+        elif use_segmented_xla:
+            result = solve_scan_segmented(K, T, P, *args, seg=seg)
+            return DPResult(
+                result.optimal_cost, result.index_path[:C], result.trans_path[:C]
+            )
         else:
             cost, index_path, trans_path = _solve_scan(K, T, P, *args)
         return DPResult(

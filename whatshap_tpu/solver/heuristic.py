@@ -157,8 +157,51 @@ class PedMecHeuristic:
 
     # --- core (pedmecheuristic.cpp solve) ---
 
+    def _solve_native(self) -> bool:
+        """Dispatch to the C++ engine (native/heurlib.cpp), an
+        operation-identical double-precision port of solve() below;
+        differential-tested, WHATSHAP_TPU_NO_NATIVE=1 disables."""
+        try:
+            from ..native import heurlib
+        except ImportError:  # pragma: no cover
+            return False
+        if heurlib is None:
+            return False
+        rs = self.rs
+        m = len(rs)
+        n = len(self.positions)
+        posMap = self.posMap
+        reads = [rs[i] for i in range(m)]
+        read_first, read_last, read_sample = [], [], []
+        var_off, var_pos, var_allele, var_qual = [0], [], [], []
+        for r in reads:
+            read_first.append(posMap.get(r[0].position, 0) if len(r) else 0)
+            read_last.append(posMap.get(r[len(r) - 1].position, 0) if len(r) else 0)
+            read_sample.append(self.sampleMap[r.sample_id])
+            for v in r:
+                var_pos.append(posMap.get(v.position, 0))
+                var_allele.append(v.allele)
+                var_qual.append(float(v.quality))
+            var_off.append(len(var_pos))
+        genotypes_flat = [g for row in self.genotypes for g in row]
+        result = heurlib.solve(
+            m, n, self.numSamples, self.trios, self.tmBits, self.rowLimit,
+            self.distrustGenotypes, self.recombCost, self.mutationCost,
+            genotypes_flat, read_sample, read_first, read_last,
+            var_off, var_pos, var_allele, var_qual,
+        )
+        if result is None:
+            return False
+        self.optBipart, self.optTrans, self.optHaps, self.mutations = result
+        # the reference never assigns optScore in solve(); see below
+        self.optScore = 0
+        self.solved = True
+        return True
+
     def solve(self) -> None:
         if self.solved:
+            return
+        if self._solve_native():
             return
         rs = self.rs
         m = len(rs)
