@@ -1,0 +1,276 @@
+// CIGAR allele-detection engine.
+//
+// C++ implementation of whatshap_tpu/_variants.py (semantics from the
+// reference's compiled whatshap/_variants.pyx): the realignment-mode
+// lockstep walk over CIGAR x variants (wh_iterate_cigar) and the
+// reference-free allele detector (wh_detect_alleles).  Both are
+// operation-identical to the Python module, which stays as the
+// verification fallback.
+
+#include <algorithm>
+#include <cstdint>
+#include <deque>
+#include <vector>
+
+namespace {
+
+struct AlleleProgress {
+    int progress = 0;
+    int length = 0;
+    int quality = 0;
+    int matched = 0;
+    int match_target = 0;
+    int inserted = 0;
+    int insert_target = 0;
+    int deleted = 0;
+    int delete_target = 0;
+};
+
+struct VariantState {
+    int variant_id = 0;   // global index into the variants array
+    int query_start = 0;
+    std::vector<AlleleProgress> alleles;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Realignment-mode walk: for each variant covered by the alignment, emit
+// (variant index, cigar element index, ops consumed within it, query pos).
+// Returns the number of hits (capped at `cap`).
+int32_t wh_iterate_cigar(
+    const int64_t* var_positions, int32_t n_variants, int32_t j,
+    int64_t ref_start,
+    const int32_t* cigar_ops, const int32_t* cigar_lens, int32_t n_cigar,
+    int32_t* out_index, int32_t* out_elem, int32_t* out_consumed,
+    int32_t* out_qpos, int32_t cap) {
+    int64_t ref_pos = ref_start;
+    int64_t query_pos = 0;
+    int32_t count = 0;
+
+    while (j < n_variants && var_positions[j] < ref_pos) ++j;
+
+    auto emit = [&](int32_t idx, int32_t elem, int64_t consumed, int64_t qpos) {
+        if (count < cap) {
+            out_index[count] = idx;
+            out_elem[count] = elem;
+            out_consumed[count] = (int32_t)consumed;
+            out_qpos[count] = (int32_t)qpos;
+        }
+        ++count;
+    };
+
+    for (int32_t i = 0; i < n_cigar; ++i) {
+        int op = cigar_ops[i];
+        int64_t length = cigar_lens[i];
+        if (op == 0 || op == 7 || op == 8) {  // M, =, X
+            while (j < n_variants && var_positions[j] < ref_pos + length) {
+                int64_t vp = var_positions[j];
+                emit(j, i, vp - ref_pos, query_pos + vp - ref_pos);
+                ++j;
+            }
+            query_pos += length;
+            ref_pos += length;
+        } else if (op == 1) {  // I
+            if (j < n_variants && var_positions[j] == ref_pos) {
+                emit(j, i, 0, query_pos);
+                ++j;
+            }
+            query_pos += length;
+        } else if (op == 2) {  // D
+            while (j < n_variants && var_positions[j] < ref_pos + length) {
+                emit(j, i, var_positions[j] - ref_pos, query_pos);
+                ++j;
+            }
+            ref_pos += length;
+        } else if (op == 3) {  // N
+            while (j < n_variants && var_positions[j] < ref_pos + length) ++j;
+            ref_pos += length;
+        } else if (op == 4) {  // S
+            query_pos += length;
+        } else if (op == 5 || op == 6) {  // H, P
+        } else {
+            return -1;
+        }
+    }
+    return count;
+}
+
+// Reference-free allele detection.  Variant metadata arrives flattened:
+//   prog_positions[k]: genomic position of the k-th usable variant
+//   prog_variant_id[k]: its index in the full variants list
+//   prog_ref_len[k]: length of its REF allele
+//   allele_off[k] .. allele_off[k+1]: its allele range in the target arrays
+//   match_t/insert_t/delete_t[a]: per-allele targets
+//   seq_off[a] .. seq_off[a+1]: the allele's base string in allele_seq
+// The query is the read's sequence (quals optional; <0 entries mean "use
+// 30").  Emits (variant id, allele, quality) triples; returns their count.
+int32_t wh_detect_alleles(
+    const int64_t* prog_positions, const int32_t* prog_variant_id,
+    const int32_t* prog_ref_len, int32_t n_prog,
+    const int32_t* allele_off,
+    const int32_t* match_t, const int32_t* insert_t, const int32_t* delete_t,
+    const int32_t* seq_off, const char* allele_seq,
+    int32_t first, int64_t ref_start,
+    const int32_t* cigar_ops, const int32_t* cigar_lens, int32_t n_cigar,
+    const char* query_seq, int32_t query_len,
+    const int8_t* query_quals, int32_t has_quals,
+    int32_t* out_variant, int32_t* out_allele, int32_t* out_quality,
+    int32_t cap) {
+    (void)query_len;
+    int64_t ref_pos = ref_start;
+    int64_t query_pos = 0;
+    int32_t j = first;
+    int32_t count = 0;
+
+    std::deque<VariantState> vqueue;
+
+    auto flush_entry = [&](VariantState& st) -> int {
+        // -1: still pending, 0: discarded, 1: emitted
+        int num_pending = 0;
+        std::vector<int> resolved;
+        for (size_t i = 0; i < st.alleles.size(); ++i) {
+            const AlleleProgress& a = st.alleles[i];
+            if (a.progress == a.length) resolved.push_back((int)i);
+            if (a.progress >= 0 && a.progress < a.length) ++num_pending;
+        }
+        if (!resolved.empty() && num_pending == 0) {
+            int best = resolved[0];
+            for (int r : resolved)
+                if (st.alleles[r].length > st.alleles[best].length) best = r;
+            const AlleleProgress& a = st.alleles[best];
+            int q = a.length > 0 ? a.quality / a.length : 30;
+            if (count < cap) {
+                out_variant[count] = st.variant_id;
+                out_allele[count] = best;
+                out_quality[count] = q;
+            }
+            ++count;
+            return 1;
+        }
+        if (num_pending > 0) return -1;
+        return 0;
+    };
+
+    while (j < n_prog && prog_positions[j] < ref_pos) ++j;
+
+    for (int32_t ci = 0; ci < n_cigar; ++ci) {
+        int op = cigar_ops[ci];
+        int64_t length = cigar_lens[ci];
+
+        while (j < n_prog && prog_positions[j] < ref_pos) ++j;
+
+        if (op == 3) { ref_pos += length; continue; }
+        if (op == 4) { query_pos += length; continue; }
+        if (op == 5 || op == 6) continue;
+
+        // queue the variants starting inside this op's reference span
+        int64_t ref_end_span = ref_pos + length;
+        while (j < n_prog) {
+            int64_t vp = prog_positions[j];
+            if (vp >= ref_end_span) break;
+            int ref_len = prog_ref_len[j];
+            if (op == 1 && ref_len > 0) break;         // insertion op, non-ins variant
+            if (op == 2 && ref_len == 0) { ++j; continue; }  // deletion op, ins variant
+            int64_t qstart = (op != 2) ? query_pos + vp - ref_pos : query_pos;
+            VariantState st;
+            st.variant_id = prog_variant_id[j];
+            st.query_start = (int32_t)qstart;
+            int a0 = allele_off[j], a1 = allele_off[j + 1];
+            st.alleles.resize(a1 - a0);
+            for (int a = a0; a < a1; ++a) {
+                AlleleProgress& ap = st.alleles[a - a0];
+                ap.match_target = match_t[a];
+                ap.insert_target = insert_t[a];
+                ap.delete_target = delete_t[a];
+                ap.length = ap.match_target + ap.insert_target + ap.delete_target;
+            }
+            vqueue.push_back(std::move(st));
+            ++j;
+        }
+
+        // --- progress handlers ---
+        int64_t ref_end = ref_pos;
+        int64_t query_end = query_pos;
+        int kind;  // 0 = match, 1 = insertion, 2 = deletion
+        if (op == 0 || op == 7 || op == 8) { kind = 0; ref_end += length; query_end += length; }
+        else if (op == 1) { kind = 1; query_end += length; }
+        else if (op == 2) { kind = 2; ref_end += length; }
+        else return -1;
+
+        for (VariantState& st : vqueue) {
+            // prog_variant_id is sorted ascending: binary-search the row
+            int lo = 0, hi = n_prog - 1, row = -1;
+            while (lo <= hi) {
+                int mid = (lo + hi) / 2;
+                if (prog_variant_id[mid] == st.variant_id) { row = mid; break; }
+                if (prog_variant_id[mid] < st.variant_id) lo = mid + 1; else hi = mid - 1;
+            }
+            if (row < 0) continue;
+            int a0 = allele_off[row];
+            for (size_t i = 0; i < st.alleles.size(); ++i) {
+                AlleleProgress& a = st.alleles[i];
+                if (a.progress < 0) continue;
+                const char* aseq = allele_seq + seq_off[a0 + (int)i];
+                if (kind == 0) {
+                    int op_start = std::max<int64_t>(0, st.query_start - query_pos);
+                    int ops_consumed = op_start;
+                    int64_t qp = st.query_start + a.matched + a.inserted;
+                    while (a.matched < a.match_target && ops_consumed < length) {
+                        char qbase = query_seq[qp];
+                        char vbase = aseq[a.matched + a.inserted];
+                        if (qbase == vbase) {
+                            ++ops_consumed;
+                            a.quality += has_quals ? query_quals[qp] : 30;
+                            ++a.matched;
+                            ++a.progress;
+                        } else break;
+                    }
+                    if (ops_consumed < length && a.progress < a.length) a.progress = -1;
+                } else if (kind == 1) {
+                    int ops_consumed = 0;
+                    while (a.inserted < a.insert_target && ops_consumed < length) {
+                        ++ops_consumed;
+                        char qbase = query_seq[st.query_start + a.matched + a.inserted];
+                        char vbase = aseq[a.matched + a.inserted];
+                        if (qbase == vbase) {
+                            ++a.inserted;
+                            ++a.progress;
+                            a.quality += 30;
+                        } else break;
+                    }
+                    if (ops_consumed < length && 0 < a.progress && a.progress < a.length)
+                        a.progress = -1;
+                } else {
+                    int ops_consumed = 0;
+                    while (a.deleted < a.delete_target && ops_consumed < length) {
+                        ++ops_consumed;
+                        ++a.deleted;
+                        ++a.progress;
+                        a.quality += 30;
+                    }
+                    if (ops_consumed < length && a.progress < a.length) a.progress = -1;
+                }
+            }
+        }
+        ref_pos = ref_end;
+        query_pos = query_end;
+
+        // emit resolved variants from the left; stop at the first pending
+        while (!vqueue.empty()) {
+            VariantState st = std::move(vqueue.front());
+            vqueue.pop_front();
+            int r = flush_entry(st);
+            if (r == -1) {
+                vqueue.push_front(std::move(st));
+                break;
+            }
+        }
+    }
+
+    for (VariantState& st : vqueue) flush_entry(st);
+    return count;
+}
+
+}  // extern "C"

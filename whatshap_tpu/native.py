@@ -530,7 +530,114 @@ if _build_heurlib():
         heurlib = None
 
 
+
+# --- native CIGAR allele detection (native/cigarlib.cpp) --------------------
+
+_CIGAR_SO_PATH = _NATIVE_DIR / "_cigarlib.so"
+
+
+class _CigarLib:
+    def __init__(self, cdll):
+        c = self._lib = cdll
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        c.wh_iterate_cigar.restype = ctypes.c_int32
+        c.wh_iterate_cigar.argtypes = [
+            i64p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+            i32p, i32p, ctypes.c_int32,
+            i32p, i32p, i32p, i32p, ctypes.c_int32,
+        ]
+        c.wh_detect_alleles.restype = ctypes.c_int32
+        c.wh_detect_alleles.argtypes = [
+            i64p, i32p, i32p, ctypes.c_int32,
+            i32p, i32p, i32p, i32p, i32p, ctypes.c_char_p,
+            ctypes.c_int32, ctypes.c_int64,
+            i32p, i32p, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int8), ctypes.c_int32,
+            i32p, i32p, i32p, ctypes.c_int32,
+        ]
+
+    @staticmethod
+    def _i32(xs):
+        return (ctypes.c_int32 * max(len(xs), 1))(*xs)
+
+    @staticmethod
+    def _i64(xs):
+        return (ctypes.c_int64 * max(len(xs), 1))(*xs)
+
+    def iterate_cigar(self, var_positions, j, ref_start, cigar_ops, cigar_lens):
+        cap = len(var_positions) - j if len(var_positions) > j else 0
+        cap = max(cap, 1)
+        oi = (ctypes.c_int32 * cap)()
+        oe = (ctypes.c_int32 * cap)()
+        oc = (ctypes.c_int32 * cap)()
+        oq = (ctypes.c_int32 * cap)()
+        n = self._lib.wh_iterate_cigar(
+            var_positions, len(var_positions), j, ref_start,
+            cigar_ops, cigar_lens, len(cigar_ops), oi, oe, oc, oq, cap,
+        )
+        if n < 0:
+            return None
+        return [(oi[k], oe[k], oc[k], oq[k]) for k in range(n)]
+
+    def detect_alleles(
+        self, prog_positions, prog_variant_id, prog_ref_len, allele_off,
+        match_t, insert_t, delete_t, seq_off, allele_seq,
+        first, ref_start, cigar_ops, cigar_lens, query_seq, query_quals,
+    ):
+        n_prog = len(prog_positions)
+        cap = max(n_prog, 1)
+        ov = (ctypes.c_int32 * cap)()
+        oa = (ctypes.c_int32 * cap)()
+        oq = (ctypes.c_int32 * cap)()
+        if query_quals is not None:
+            quals = (ctypes.c_int8 * max(len(query_quals), 1))(*query_quals)
+            has_quals = 1
+        else:
+            quals = (ctypes.c_int8 * 1)()
+            has_quals = 0
+        n = self._lib.wh_detect_alleles(
+            prog_positions, prog_variant_id, prog_ref_len, n_prog,
+            allele_off, match_t, insert_t, delete_t, seq_off, allele_seq,
+            first, ref_start, cigar_ops, cigar_lens, len(cigar_ops),
+            query_seq.encode() if isinstance(query_seq, str) else query_seq,
+            len(query_seq), quals, has_quals, ov, oa, oq, cap,
+        )
+        if n < 0:
+            return None
+        return [(ov[k], oa[k], oq[k]) for k in range(n)]
+
+
+def _build_cigarlib() -> bool:
+    src = _NATIVE_DIR / "cigarlib.cpp"
+    if not src.exists():
+        return False
+    if _CIGAR_SO_PATH.exists() and _CIGAR_SO_PATH.stat().st_mtime >= src.stat().st_mtime:
+        return True
+    try:
+        subprocess.run(
+            [
+                "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                "-o", str(_CIGAR_SO_PATH), str(src),
+            ],
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+cigarlib = None
+if _build_cigarlib():
+    try:
+        cigarlib = _CigarLib(ctypes.CDLL(str(_CIGAR_SO_PATH)))
+    except OSError:
+        cigarlib = None
+
+
 # WHATSHAP_TPU_NO_NATIVE=1 disables every native engine (pure-Python
 # fallbacks take over) — a debugging/verification kill switch.
 if os.environ.get("WHATSHAP_TPU_NO_NATIVE"):
-    lib = bamlib = clusterlib = threadlib = genolib = pqext = heurlib = None
+    lib = bamlib = clusterlib = threadlib = genolib = pqext = heurlib = cigarlib = None

@@ -53,6 +53,10 @@ from ..core.readset import ReadSet
 # pedigreedptable.cpp:262-290).
 INF = 1 << 29
 
+# Full-backtrace-table budget for the jax paths; beyond this, run_dp uses a
+# segmented checkpoint/recompute solve (sqrt(n) memory).  Tests shrink it.
+SEGMENT_TABLE_BUDGET = 1 << 30
+
 
 class MendelianConflictError(RuntimeError):
     def __init__(self):
@@ -821,11 +825,11 @@ def run_dp(packed: PackedProblem, backend: str = "auto") -> Optional[DPResult]:
         # per-segment kernel shapes are fixed, so the jit cache is unaffected.
         seg = 2048
         table_bytes = c_pad * (1 << k_run) * T * 4 * (2 if T > 1 else 1)
-        use_segmented = use_pallas and table_bytes > (2 << 30)
+        use_segmented = use_pallas and table_bytes > 2 * SEGMENT_TABLE_BUDGET
         # XLA fallback shapes (K 17..23, or any unsupported T) get the same
         # sqrt(n) treatment once full tables would exceed ~1 GB; segment
         # length trades checkpoint memory against table memory.
-        use_segmented_xla = not use_pallas and table_bytes > (1 << 30)
+        use_segmented_xla = not use_pallas and table_bytes > SEGMENT_TABLE_BUDGET
         if use_segmented_xla:
             seg = max(64, min(2048, _next_pow2(int(np.sqrt(C)), lo=64)))
         if use_segmented or use_segmented_xla:

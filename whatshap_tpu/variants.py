@@ -255,6 +255,69 @@ def _advance_along_cigar(cigar, reference_bases: int) -> Tuple[int, int]:
 
 
 # ---------------------------------------------------------------------------
+# native CIGAR engine glue
+
+
+def _pack_detect_state(native_cigar, normalized, progress):
+    """Flatten the reference-free detection metadata for the C++ engine
+    (native/cigarlib.cpp): per usable variant its position/id/REF length,
+    per allele the match/insert/delete targets and base string."""
+    positions, variant_ids, ref_lens = [], [], []
+    allele_off, match_t, insert_t, delete_t = [0], [], [], []
+    seq_off, chunks = [0], []
+    total = 0
+    for tracker in progress:
+        v = normalized[tracker.variant_id]
+        positions.append(v.position)
+        variant_ids.append(tracker.variant_id)
+        ref_lens.append(len(v.reference_allele))
+        for i, a in enumerate(tracker.alleles):
+            match_t.append(a.match_target)
+            insert_t.append(a.insert_target)
+            delete_t.append(a.delete_target)
+            seq = v.get_allele(i).encode()
+            chunks.append(seq)
+            total += len(seq)
+            seq_off.append(total)
+        allele_off.append(len(match_t))
+    return dict(
+        prog_positions=native_cigar._i64(positions),
+        prog_variant_id=native_cigar._i32(variant_ids),
+        prog_ref_len=native_cigar._i32(ref_lens),
+        allele_off=native_cigar._i32(allele_off),
+        match_t=native_cigar._i32(match_t),
+        insert_t=native_cigar._i32(insert_t),
+        delete_t=native_cigar._i32(delete_t),
+        seq_off=native_cigar._i32(seq_off),
+        allele_seq=b"".join(chunks),
+    )
+
+
+def _detect_alleles_native(native_cigar, state, first, seg):
+    ops = native_cigar._i32([op for op, _ in seg.cigartuples])
+    lens = native_cigar._i32([ln for _, ln in seg.cigartuples])
+    result = native_cigar.detect_alleles(
+        state["prog_positions"],
+        state["prog_variant_id"],
+        state["prog_ref_len"],
+        state["allele_off"],
+        state["match_t"],
+        state["insert_t"],
+        state["delete_t"],
+        state["seq_off"],
+        state["allele_seq"],
+        first,
+        seg.reference_start,
+        ops,
+        lens,
+        seg.query_sequence,
+        seg.query_qualities,
+    )
+    assert result is not None
+    return result
+
+
+# ---------------------------------------------------------------------------
 # the reader
 
 
@@ -393,10 +456,20 @@ class ReadSetReader:
         numeric_sample_id = 0 if sample is None else self._numeric_sample_ids[sample]
         kmerald = _KmeraldState(self._kmerald_cfg) if self._use_kmerald else None
 
+        native_cigar = None
+        try:
+            from .native import cigarlib as native_cigar
+        except ImportError:  # pragma: no cover
+            native_cigar = None
+
         if reference is not None:
             reference = reference[:]  # plain str for fast slicing
             scan_positions = [v.position for v in variants]
             cigar_walk_state = None
+            self._native_positions = (
+                native_cigar._i64([v.position for v in variants]) if native_cigar else None
+            )
+            self._native_cigar = native_cigar
         else:
             normalized = [v.normalized() for v in variants]
             usable_ids = self.detect_non_overlapping_variants(normalized)
@@ -406,6 +479,9 @@ class ReadSetReader:
                 key=lambda p: p.variant_id,
             )
             cigar_walk_state = (normalized, progress)
+            native_detect_state = (
+                _pack_detect_state(native_cigar, normalized, progress) if native_cigar else None
+            )
 
         n_supplementary = 0
         cursor = 0  # first variant (by scan position) not left of the current alignment
@@ -417,7 +493,12 @@ class ReadSetReader:
             read = self._empty_read_for(alignment, numeric_sample_id)
             if cigar_walk_state is not None:
                 normalized, progress = cigar_walk_state
-                detected = _detect_alleles(normalized, progress, cursor, seg)
+                if native_detect_state is not None and seg.cigartuples:
+                    detected = _detect_alleles_native(
+                        native_cigar, native_detect_state, cursor, seg
+                    )
+                else:
+                    detected = _detect_alleles(normalized, progress, cursor, seg)
             else:
                 detected = self._detect_by_realignment(
                     variants, restricted_genotypes, cursor, seg, reference, kmerald
@@ -627,9 +708,18 @@ class ReadSetReader:
         cigartuples = seg.cigartuples
         if not cigartuples:
             return
-        for index, i, consumed, query_pos in _iterate_cigar(
-            variants, first_index, seg, cigartuples
-        ):
+        native_cigar = getattr(self, "_native_cigar", None)
+        if native_cigar is not None and getattr(self, "_native_positions", None) is not None:
+            hits = native_cigar.iterate_cigar(
+                self._native_positions,
+                first_index,
+                seg.reference_start,
+                native_cigar._i32([op for op, _ in cigartuples]),
+                native_cigar._i32([ln for _, ln in cigartuples]),
+            )
+        else:
+            hits = _iterate_cigar(variants, first_index, seg, cigartuples)
+        for index, i, consumed, query_pos in hits:
             restricted = restricted_genotypes[index] if restricted_genotypes else None
             allele, quality = self._realign_variant(
                 variants[index], restricted, seg, cigartuples, i, consumed, query_pos,
