@@ -637,7 +637,74 @@ if _build_cigarlib():
         cigarlib = None
 
 
+
+# --- native HapChat solver (native/hapchatlib.cpp) --------------------------
+
+_HAPCHAT_SO_PATH = _NATIVE_DIR / "_hapchatlib.so"
+
+
+class _HapchatLib:
+    def __init__(self, cdll):
+        c = self._lib = cdll
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        c.wh_hapchat_solve.restype = ctypes.c_int32
+        c.wh_hapchat_solve.argtypes = [
+            ctypes.c_int32, ctypes.c_int32,
+            i32p, i32p, i32p, i32p,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_double),
+        ]
+
+    def solve(self, n_reads, n_cols, var_off, var_pos, var_allele, var_qual):
+        """Returns (hap1 list, hap2 list, optimal cost) or None."""
+        def i32(xs):
+            return (ctypes.c_int32 * max(len(xs), 1))(*xs)
+
+        h1 = (ctypes.c_uint8 * max(n_cols, 1))()
+        h2 = (ctypes.c_uint8 * max(n_cols, 1))()
+        cost = ctypes.c_double()
+        rc = self._lib.wh_hapchat_solve(
+            n_reads, n_cols, i32(var_off), i32(var_pos), i32(var_allele),
+            i32(var_qual), h1, h2, ctypes.byref(cost),
+        )
+        if rc != 0:
+            return None
+        return (
+            [bool(h1[c]) for c in range(n_cols)],
+            [bool(h2[c]) for c in range(n_cols)],
+            cost.value,
+        )
+
+
+def _build_hapchatlib() -> bool:
+    src = _NATIVE_DIR / "hapchatlib.cpp"
+    if not src.exists():
+        return False
+    if _HAPCHAT_SO_PATH.exists() and _HAPCHAT_SO_PATH.stat().st_mtime >= src.stat().st_mtime:
+        return True
+    try:
+        subprocess.run(
+            [
+                "g++", "-O3", "-ffp-contract=off", "-shared", "-fPIC",
+                "-std=c++17", "-o", str(_HAPCHAT_SO_PATH), str(src),
+            ],
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+hapchatlib = None
+if _build_hapchatlib():
+    try:
+        hapchatlib = _HapchatLib(ctypes.CDLL(str(_HAPCHAT_SO_PATH)))
+    except OSError:
+        hapchatlib = None
+
+
 # WHATSHAP_TPU_NO_NATIVE=1 disables every native engine (pure-Python
 # fallbacks take over) — a debugging/verification kill switch.
 if os.environ.get("WHATSHAP_TPU_NO_NATIVE"):
-    lib = bamlib = clusterlib = threadlib = genolib = pqext = heurlib = cigarlib = None
+    lib = bamlib = clusterlib = threadlib = genolib = pqext = heurlib = cigarlib = hapchatlib = None

@@ -301,9 +301,13 @@ class HapChatCore:
 
         block_reads = sorted(vblock[0], key=_readset_sort_key)
         block_positions = sorted({v.position for r in block_reads for v in r})
-        columns = _materialize_columns(block_reads, block_positions)
 
-        hap1, hap2, opt = self._dp(columns)
+        native = self._dp_native(block_reads, block_positions)
+        if native is not None:
+            hap1, hap2, opt = native
+        else:
+            columns = _materialize_columns(block_reads, block_positions)
+            hap1, hap2, opt = self._dp(columns)
 
         all_positions = sorted({v.position for r in all_reads for v in r})
         self._optimal = opt
@@ -312,6 +316,32 @@ class HapChatCore:
             a2 = 1 if (i < len(hap2) and hap2[i]) else 0
             read0.add_variant(pos, a1, 30)
             read1.add_variant(pos, a2, 30)
+
+    def _dp_native(self, block_reads, block_positions):
+        """Dispatch to the C++ engine (native/hapchatlib.cpp), an
+        operation-identical port of _dp below; differential-tested,
+        WHATSHAP_TPU_NO_NATIVE=1 disables."""
+        try:
+            from ..native import hapchatlib
+        except ImportError:  # pragma: no cover
+            return None
+        if hapchatlib is None or not block_positions:
+            return None
+        col_of = {p: i for i, p in enumerate(block_positions)}
+        var_off, var_pos, var_allele, var_qual = [0], [], [], []
+        for read in block_reads:
+            for v in read:
+                var_pos.append(col_of[v.position])
+                var_allele.append(v.allele)
+                var_qual.append(int(v.quality))
+            var_off.append(len(var_pos))
+        result = hapchatlib.solve(
+            len(block_reads), len(block_positions), var_off, var_pos, var_allele, var_qual
+        )
+        if result is None:
+            return None
+        hap1, hap2, cost = result
+        return hap1, hap2, int(cost)
 
     def _dp(self, columns: List[_Column]) -> Tuple[List[bool], List[bool], int]:
         n = len(columns)
