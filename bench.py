@@ -1,30 +1,49 @@
 #!/usr/bin/env python
 """
-Benchmark: variants phased per second per chip on the wMEC solve
-(forward column DP + backtrace, both on device).
+Benchmark suite covering the BASELINE.json configs.
 
-Workload: a batch of independent phase blocks (coverage ~15, 2^15-state
-columns), matching the reference's internal default coverage cap
-(whatshap/cli/phase.py:305).  The baseline is the single-core reference C++
-PedigreeDPTable measured on the same instances via the out-of-tree oracle
-(tools/oracle.py); if the reference checkout is unavailable the last
-measured baseline constant is used.
+Headline metric (the JSON line's value): variants phased per second per
+chip on the batched wMEC solve (forward column DP + device backtrace),
+coverage ~14 blocks — the compute core of `whatshap phase`.  The baseline
+is the single-core reference C++ PedigreeDPTable measured on the same
+instances via the out-of-tree oracle (tools/oracle.py).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The same JSON line carries a "configs" breakdown:
+  phase_cli_fixture      - the real `phase` pipeline end-to-end on the
+                           PacBio fixture (BAM+VCF -> phased VCF)
+  genotype_fb            - genotyping forward-backward, ours vs the
+                           reference C++ oracle binary
+  trio_pedmec            - batched trio (T=4) PedMEC solve vs oracle
+  whole_chromosome       - segmented checkpoint/recompute solve, 16k
+                           columns in one block
+  polyphase_tetraploid   - cluster editing + threading + reordering on a
+                           synthetic tetraploid instance
+  batch_scaling          - per-chip batching efficiency (t(B)/t(8B) * 8)
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "configs"}.
 """
 
+import io
 import json
+
 import sys
 import time
 from pathlib import Path
 
 import numpy as np
 
-# Baseline: single-core C++ reference throughput (variants/sec) on this
-# workload, measured on this machine via tools/oracle.py (see __main__ with
-# --measure-baseline).  Updated whenever re-measured.
-BASELINE_VARIANTS_PER_SEC = None  # measured lazily if oracle available
-BASELINE_FALLBACK = 20000.0  # placeholder until first measurement
+BASELINE_FALLBACK = 513.0  # vars/s, last measured single-core reference C++
+
+
+def _oracle():
+    sys.path.insert(0, str(Path(__file__).parent / "tools"))
+    try:
+        import oracle
+    except ImportError:
+        return None
+    if not oracle.oracle_available() or oracle.ensure_oracle() is None:
+        return None
+    return oracle
 
 
 def build_workload(n_blocks=32, n_cols=512, coverage=14, seed=7):
@@ -55,71 +74,347 @@ def build_workload(n_blocks=32, n_cols=512, coverage=14, seed=7):
 
 
 def measure_device(K, T, P, arrays, n_iters=3):
-    """End-to-end batched solve: forward scan + device-side backtrace; only
-    the (B, C) index/transmission paths leave the chip (same deliverable as
-    the reference's DP + backtrace)."""
+    """End-to-end batched solve; only the (B, C) paths leave the chip.
+    device_get is the only dependable fence over the RPC tunnel."""
     import jax
 
     from whatshap_tpu.ops import wmec
 
     device_arrays = [jax.device_put(a) for a in arrays]
-    # compile + force (block_until_ready is unreliable over the RPC tunnel:
-    # device_get is the only dependable fence, so every timed iteration ends
-    # with a host fetch of the solve outputs)
-    out = wmec.solve_batched_auto(K, T, P, *device_arrays)
+    out = wmec.solve_batched_auto(K, T, P, *device_arrays)  # compile
     _ = jax.device_get(out[1])
     times = []
     for _ in range(n_iters):
         t0 = time.perf_counter()
         out = wmec.solve_batched_auto(K, T, P, *device_arrays)
-        _ = jax.device_get(out[1])  # bipartition paths, as a client would fetch
+        _ = jax.device_get(out[1])
         times.append(time.perf_counter() - t0)
-    return min(times), out
+    return min(times)
 
 
-def measure_baseline(packed_list, readsets):
+def measure_wmec_baseline(readsets, n_blocks=10):
     """Single-core C++ reference on a subsample of the same blocks."""
-    sys.path.insert(0, str(Path(__file__).parent / "tools"))
-    try:
-        import oracle
-    except ImportError:
-        return None
-    if not oracle.oracle_available():
-        return None
-    if oracle.ensure_oracle() is None:
+    oracle = _oracle()
+    if oracle is None:
         return None
     total_cols = 0
     total_time = 0.0
-    for (rs, positions) in readsets[:3]:
-        genotypes = [[1] * len(positions)]
-        recomb = [1] * len(positions)
-        text = oracle.serialize_problem(rs, positions, genotypes, recomb)
+    for (rs, positions) in readsets[:n_blocks]:
+        text = oracle.serialize_problem(rs, positions, [[1] * len(positions)], [1] * len(positions))
         ref = oracle.run_oracle(text)
         total_cols += len(positions)
         total_time += ref["time"]
-    if total_time == 0:
-        return None
-    return total_cols / total_time
+    return total_cols / total_time if total_time > 0 else None
+
+
+def bench_headline():
+    n_blocks, n_cols = 256, 512
+    K, T, P, arrays, packed_list, readsets = build_workload(n_blocks, n_cols)
+    dt = measure_device(K, T, P, arrays)
+    throughput = n_blocks * n_cols / dt
+    baseline = measure_wmec_baseline(readsets) or BASELINE_FALLBACK
+    return throughput, baseline
+
+
+def bench_phase_cli():
+    """The real phase pipeline on the PacBio fixture."""
+    from whatshap_tpu.cli.phase import run_whatshap
+
+    data = Path(__file__).parent / "tests" / "data" / "pacbio"
+    out = io.StringIO()
+    t0 = time.perf_counter()
+    run_whatshap(
+        phase_input_files=[str(data / "pacbio.bam")],
+        variant_file=str(data / "variants.vcf"),
+        reference=str(data / "reference.fasta"),
+        output=out,
+        write_command_line_header=False,
+    )
+    dt = time.perf_counter() - t0
+    n_variants = sum(
+        1 for line in out.getvalue().splitlines() if line and not line.startswith("#")
+    )
+    return {"value": round(n_variants / dt, 1), "unit": "variants/s", "seconds": round(dt, 3)}
+
+
+def bench_genotype():
+    """Forward-backward genotyping (host longdouble/native path) vs the
+    reference C++ oracle binary on the same instance."""
+    import random
+
+    import whatshap_tpu.core as core
+    from whatshap_tpu.core.genotype import Genotype
+    from whatshap_tpu.core.phredgl import PhredGenotypeLikelihoods
+
+    rng = random.Random(11)
+    n_pos = 400
+    positions = sorted(rng.sample(range(10, 10**6), n_pos))
+    rows = []
+    for i in range(120):
+        start = rng.randint(0, n_pos - 10)
+        length = rng.randint(5, 25)
+        vs = [
+            (positions[p], rng.randint(0, 1), rng.choice([5, 10, 30]))
+            for p in range(start, min(start + length, n_pos))
+        ]
+        rows.append((f"r{i}", 0, vs))
+    rs = core.ReadSet()
+    for name, sid, vs in rows:
+        r = core.Read(name, 50, 0, sid)
+        for p, a, q in vs:
+            r.add_variant(p, a, q)
+        rs.add(r)
+    rs.sort()
+    nsi = core.NumericSampleIds()
+    ped = core.Pedigree(nsi)
+    gts = [rng.randint(0, 2) for _ in range(n_pos)]
+    gls = [[rng.choice([0.0, 5.0, 20.0]) for _ in range(3)] for _ in range(n_pos)]
+    ped.add_individual(
+        "ind0",
+        [Genotype.from_index(g, 2) for g in gts],
+        [PhredGenotypeLikelihoods(gl) for gl in gls],
+    )
+    recomb = [rng.choice([1, 2, 5]) for _ in range(n_pos)]
+
+    t0 = time.perf_counter()
+    core.GenotypeDPTable(nsi, rs, recomb, ped, positions)
+    dt = time.perf_counter() - t0
+    ours = n_pos / dt
+
+    baseline = None
+    oracle = _oracle()
+    if oracle is not None and oracle.ensure_extra_oracle("geno") is not None:
+        inp = [f"{len(rows)} {n_pos} 1 0", " ".join(map(str, positions))]
+        for name, sid, vs in rows:
+            inp.append(f"{name} {sid} {len(vs)}")
+            inp += [f"{p} {a} {q}" for p, a, q in vs]
+        for c in range(n_pos):
+            inp.append(f"{gts[c]} {gls[c][0]} {gls[c][1]} {gls[c][2]}")
+        inp.append(" ".join(map(str, recomb)))
+        text = "\n".join(inp) + "\n"
+        t0 = time.perf_counter()
+        oracle.run_extra_oracle("geno", text)
+        dt_ref = time.perf_counter() - t0
+        baseline = n_pos / dt_ref
+    return {
+        "value": round(ours, 1),
+        "unit": "variants/s",
+        "vs_baseline": round(ours / baseline, 2) if baseline else None,
+    }
+
+
+def bench_trio():
+    """Batched trio PedMEC (T=4) on the device vs the reference oracle."""
+    import jax
+
+    from whatshap_tpu.ops import wmec
+    from whatshap_tpu.parallel import workloads
+
+    n_blocks, n_pos = 64, 256
+    K, T, P, packed_list, arrays = workloads.build_trio_batch(
+        n_blocks, n_pos=n_pos, n_reads=60, seed=17, c_pad=n_pos
+    )
+    device_arrays = [jax.device_put(np.asarray(a)) for a in arrays]
+    out = wmec.solve_batched_auto(K, T, P, *device_arrays)
+    _ = jax.device_get(out[1])
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = wmec.solve_batched_auto(K, T, P, *device_arrays)
+        _ = jax.device_get(out[1])
+        times.append(time.perf_counter() - t0)
+    ours = n_blocks * n_pos / min(times)
+
+    baseline = None
+    oracle = _oracle()
+    if oracle is not None:
+        # rebuild equivalent oracle problems from the packed readsets is
+        # intricate; time the oracle on matched fresh instances instead
+        import random
+
+        from whatshap_tpu.core import Read, ReadSet
+
+        rng = random.Random(99)
+        total_cols = 0
+        total_time = 0.0
+        for b in range(10):
+            positions = [(i + 1) * 10 for i in range(n_pos)]
+            rs = ReadSet()
+            for i in range(60):
+                sample = rng.randint(0, 2)
+                start = rng.randint(0, n_pos - 2)
+                end = rng.randint(start + 1, min(start + 12, n_pos - 1))
+                read = Read(f"R{i}", 50, 0, sample)
+                for c in range(start, end + 1):
+                    read.add_variant(positions[c], rng.randint(0, 1), rng.randint(1, 60))
+                rs.add(read)
+            genotypes = [[1] * n_pos for _ in range(3)]
+            recomb = [rng.choice([1, 2, 5]) for _ in range(n_pos)]
+            text = oracle.serialize_problem(
+                rs, positions, genotypes, recomb, trios=[(0, 1, 2)]
+            )
+            ref = oracle.run_oracle(text)
+            total_cols += n_pos
+            total_time += ref["time"]
+        baseline = total_cols / total_time if total_time > 0 else None
+    return {
+        "value": round(ours, 1),
+        "unit": "variants/s",
+        "vs_baseline": round(ours / baseline, 2) if baseline else None,
+    }
+
+
+def bench_whole_chromosome():
+    """One long block (16k columns) through the segmented solve."""
+    import jax
+
+    from whatshap_tpu.ops import wmec
+    from whatshap_tpu.parallel import blocks as blk
+    from whatshap_tpu.core import NumericSampleIds, Pedigree
+    from whatshap_tpu.testhelpers import canonic_index_to_biallelic_gt
+
+    n_cols, coverage, seg = 16384, 14, 2048
+    rs, positions, _ = blk.make_synthetic_readset(n_cols, coverage, read_len=12, seed=5)
+    ped = Pedigree(NumericSampleIds())
+    ped.add_individual(
+        "s", [canonic_index_to_biallelic_gt(1) for _ in positions], [None] * len(positions)
+    )
+    packed = wmec.pack_problem(rs, [1] * len(positions), ped, False)
+    from whatshap_tpu.ops import wmec_pallas
+
+    use_pallas = jax.default_backend() != "cpu" and wmec_pallas.kernel_supported(
+        max(packed.K, 7), packed.T, packed.P
+    )
+    k_run = max(packed.K, wmec_pallas.LANE_BITS) if use_pallas else packed.K
+    padded = blk.pad_block(packed, n_cols, k_pad=k_run)
+    args = [
+        np.asarray(x)
+        for x in (padded.wdiff, padded.wbase, padded.rankw, padded.acost,
+                  padded.die_prev, padded.rc)
+    ]
+
+    def solve():
+        if use_pallas:
+            out = wmec_pallas.solve_segmented(
+                k_run, packed.T, packed.P, *[a[None] for a in args], seg=seg
+            )
+        else:
+            out = (wmec.solve_scan_segmented(k_run, packed.T, packed.P, *args, seg=seg),)
+        return out
+
+    t0 = time.perf_counter()
+    out = solve()  # includes compile on first call
+    if use_pallas:
+        import jax as _jax
+
+        _ = _jax.device_get(out[1])
+    compile_and_run = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = solve()
+    if use_pallas:
+        import jax as _jax
+
+        _ = _jax.device_get(out[1])
+    dt = time.perf_counter() - t0
+    return {
+        "value": round(n_cols / dt, 1),
+        "unit": "variants/s",
+        "first_call_s": round(compile_and_run, 1),
+        "path": "pallas-segmented" if use_pallas else "xla-segmented",
+    }
+
+
+def bench_polyphase():
+    """Cluster editing + threading + reordering on a synthetic tetraploid
+    instance (the reference pipeline's shape, all native engines on)."""
+    import random
+
+    from whatshap_tpu.core import Read, ReadSet
+    from whatshap_tpu.polyphase import PolyphaseParameter
+    from whatshap_tpu.polyphase.algorithm import solve_polyphase_instance
+    from whatshap_tpu.polyphase.solver import AlleleMatrix
+    from whatshap_tpu.timer import StageTimer
+
+    rng = random.Random(23)
+    ploidy, n_pos, n_reads = 4, 600, 1200
+    haps = [[rng.randint(0, 1) for _ in range(n_pos)] for _ in range(ploidy)]
+    positions = [(i + 1) * 10 for i in range(n_pos)]
+    rs = ReadSet()
+    for i in range(n_reads):
+        h = rng.randrange(ploidy)
+        start = rng.randint(0, n_pos - 8)
+        length = rng.randint(6, 24)
+        read = Read(f"r{i}", 50, 0, 0)
+        for c in range(start, min(start + length, n_pos)):
+            allele = haps[h][c] if rng.random() > 0.05 else 1 - haps[h][c]
+            read.add_variant(positions[c], allele, 30)
+        rs.add(read)
+    rs.sort()
+    matrix = AlleleMatrix(rs)
+    genotypes = [
+        {0: sum(1 for h in range(ploidy) if haps[h][c] == 0),
+         1: sum(1 for h in range(ploidy) if haps[h][c] == 1)}
+        for c in range(n_pos)
+    ]
+    genotypes = [{a: m for a, m in g.items() if m} for g in genotypes]
+    param = PolyphaseParameter(
+        ploidy=ploidy, ce_bundle_edges=False, distrust_genotypes=False,
+        min_overlap=2, block_cut_sensitivity=4, plot_clusters=False,
+        plot_threading=False, plot_path="", threads=1, use_prephasing=False,
+    )
+    timers = StageTimer()
+    t0 = time.perf_counter()
+    solve_polyphase_instance(matrix, genotypes, param, timers)
+    dt = time.perf_counter() - t0
+    return {
+        "value": round(n_pos / dt, 1),
+        "unit": "variants/s",
+        "reads": n_reads,
+        "clustering_s": round(timers.elapsed("clustering"), 2),
+        "threading_s": round(timers.elapsed("threading"), 2),
+    }
+
+
+def bench_batch_scaling(K, T, P, arrays_small, arrays_big, b_small, b_big):
+    small = measure_device(K, T, P, arrays_small, n_iters=2)
+    big = measure_device(K, T, P, arrays_big, n_iters=2)
+    # perfect batching: t(8B) == 8 * t(B) per variant, i.e. equal throughput
+    eff = (b_big / big) / (b_small / small)
+    return {"value": round(eff, 3), "unit": "throughput_ratio_8x_batch"}
 
 
 def main():
-    # B=256 measured best on one v5e chip (429k var/s vs 256k at B=32);
-    # backtrace tables are the footprint limit (B*C*S*4 bytes = 8.6 GB at
-    # K=14 — this workload's K is deterministic)
-    n_blocks, n_cols = 256, 512
-    K, T, P, arrays, packed_list, readsets = build_workload(n_blocks, n_cols)
-    dt, out = measure_device(K, T, P, arrays)
-    variants_total = n_blocks * n_cols
-    throughput = variants_total / dt
+    configs = {}
 
-    baseline = measure_baseline(packed_list, readsets)
-    if baseline is None:
-        baseline = BASELINE_FALLBACK
+    throughput, baseline = bench_headline()
+
+    try:
+        K, T, P, arrays_small, _, _ = build_workload(32, 512)
+        _, _, _, arrays_big, _, _ = build_workload(256, 512)
+        configs["batch_scaling"] = bench_batch_scaling(
+            K, T, P, arrays_small, arrays_big, 32 * 512, 256 * 512
+        )
+    except Exception as e:  # pragma: no cover - never fail the bench line
+        configs["batch_scaling"] = {"error": str(e)[:200]}
+
+    for name, fn in [
+        ("phase_cli_fixture", bench_phase_cli),
+        ("genotype_fb", bench_genotype),
+        ("trio_pedmec", bench_trio),
+        ("whole_chromosome", bench_whole_chromosome),
+        ("polyphase_tetraploid", bench_polyphase),
+    ]:
+        try:
+            configs[name] = fn()
+        except Exception as e:  # pragma: no cover
+            configs[name] = {"error": str(e)[:200]}
+
     result = {
         "metric": "variants_phased_per_sec_per_chip",
         "value": round(throughput, 1),
         "unit": "variants/s",
         "vs_baseline": round(throughput / baseline, 2),
+        "configs": configs,
     }
     print(json.dumps(result))
 
