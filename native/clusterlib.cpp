@@ -40,7 +40,27 @@ struct Graph {
     std::vector<int> cliqueOf;
     std::vector<std::set<int>> forbidden;    // ordered for determinism
 
+    // Dense (u, v) -> rank matrix: the edge set is static after
+    // construction, and findIndex dominates the triangle enumeration in
+    // init() and every induced-cost update, so an O(1) array lookup beats
+    // the hash map by a large constant.  Falls back to the hash for node
+    // counts whose n^2 matrix would be unreasonable.
+    std::vector<int> rankMat;
+    bool dense = false;
+
+    void buildIndex() {
+        if ((long long)n * n > (64LL << 20)) return;  // > 256 MB: keep hash
+        rankMat.assign((size_t)n * n, 0);
+        for (size_t r = 1; r < edges.size(); ++r) {
+            int u = edges[r].first, v = edges[r].second;
+            rankMat[(size_t)u * n + v] = (int)r;
+            rankMat[(size_t)v * n + u] = (int)r;
+        }
+        dense = true;
+    }
+
     int findIndex(int u, int v) const {
+        if (dense) return rankMat[(size_t)u * n + v];
         auto it = rank.find(ekey(u, v));
         return it == rank.end() ? 0 : it->second;
     }
@@ -577,6 +597,7 @@ long long wh_cluster_run(int n_nodes, long long n_edges, const int* us, const in
             g.setPermanent(u, v, r);
         g.refresh(u, v, 0.0f, w);
     }
+    g.buildIndex();
     Solver solver(std::move(g), bundle_edges != 0);
     auto clusters = solver.run();
     g_out_nodes.clear();

@@ -704,7 +704,83 @@ if _build_hapchatlib():
         hapchatlib = None
 
 
+
+# --- native read-pair scoring (native/scorelib.cpp) -------------------------
+
+_SCORE_SO_PATH = _NATIVE_DIR / "_scorelib.so"
+
+
+class _ScoreLib:
+    def __init__(self, cdll):
+        c = self._lib = cdll
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        c.wh_score_pairs.restype = ctypes.c_int64
+        c.wh_score_pairs.argtypes = [
+            ctypes.c_int32, ctypes.c_int32,
+            i32p, i32p, i32p, u32p, u32p, i32p, f32p,
+            ctypes.c_int32, ctypes.c_float,
+            i32p, i32p, f32p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ]
+
+    def score_pairs(
+        self, n_reads, num_alleles, read_off, read_pos, read_allele,
+        first_pos, last_pos, sorted_reads, luts_flat, min_overlap, offset, cap,
+    ):
+        """Returns ([(i, j, stored_score)], nan_count) or None."""
+        def i32(xs):
+            return (ctypes.c_int32 * max(len(xs), 1))(*xs)
+
+        def u32(xs):
+            return (ctypes.c_uint32 * max(len(xs), 1))(*xs)
+
+        luts = (ctypes.c_float * max(len(luts_flat), 1))(*luts_flat)
+        oi = (ctypes.c_int32 * max(cap, 1))()
+        oj = (ctypes.c_int32 * max(cap, 1))()
+        osc = (ctypes.c_float * max(cap, 1))()
+        nans = ctypes.c_int64()
+        n = self._lib.wh_score_pairs(
+            n_reads, num_alleles, i32(read_off), i32(read_pos), i32(read_allele),
+            u32(first_pos), u32(last_pos), i32(sorted_reads), luts,
+            min_overlap, offset, oi, oj, osc, cap, ctypes.byref(nans),
+        )
+        if n < 0:
+            return None
+        if n > cap:
+            return ("retry", n)
+        return [(oi[k], oj[k], osc[k]) for k in range(n)], nans.value
+
+
+def _build_scorelib() -> bool:
+    src = _NATIVE_DIR / "scorelib.cpp"
+    if not src.exists():
+        return False
+    if _SCORE_SO_PATH.exists() and _SCORE_SO_PATH.stat().st_mtime >= src.stat().st_mtime:
+        return True
+    try:
+        subprocess.run(
+            [
+                "g++", "-O3", "-ffp-contract=off", "-shared", "-fPIC",
+                "-std=c++17", "-o", str(_SCORE_SO_PATH), str(src),
+            ],
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+scorelib = None
+if _build_scorelib():
+    try:
+        scorelib = _ScoreLib(ctypes.CDLL(str(_SCORE_SO_PATH)))
+    except OSError:
+        scorelib = None
+
+
 # WHATSHAP_TPU_NO_NATIVE=1 disables every native engine (pure-Python
 # fallbacks take over) — a debugging/verification kill switch.
 if os.environ.get("WHATSHAP_TPU_NO_NATIVE"):
-    lib = bamlib = clusterlib = threadlib = genolib = pqext = heurlib = cigarlib = hapchatlib = None
+    lib = bamlib = clusterlib = threadlib = genolib = pqext = heurlib = cigarlib = hapchatlib = scorelib = None

@@ -253,24 +253,73 @@ class ReadScoring:
         ]
         reads_cache = [am.getRead(r) for r in range(am.size())]
 
-        nans = 0
-        for i in range(am.size()):
-            # uint32 arithmetic: lastPos - minOverlap + 1 may wrap
-            terminal = (am.getLastPos(sortedReads[i]) - minOverlap + 1) & _U32_MASK
-            read_i = reads_cache[sortedReads[i]]
-            for j in range(i + 1, len(sortedReads)):
-                if am.getFirstPos(sortedReads[j]) > terminal:
-                    break
-                score = _compute_log_score_lut(
-                    read_i, reads_cache[sortedReads[j]], luts, minOverlap
-                )
-                if not math.isnan(score):
-                    if score != 0.0:
-                        result.set(sortedReads[i], sortedReads[j], score + offset)
-                else:
-                    nans += 1
+        nans = self._score_pairs_native(
+            result, am, sortedReads, reads_cache, luts, numAlleles, minOverlap, offset
+        )
+        if nans is None:
+            nans = 0
+            for i in range(am.size()):
+                # uint32 arithmetic: lastPos - minOverlap + 1 may wrap
+                terminal = (am.getLastPos(sortedReads[i]) - minOverlap + 1) & _U32_MASK
+                read_i = reads_cache[sortedReads[i]]
+                for j in range(i + 1, len(sortedReads)):
+                    if am.getFirstPos(sortedReads[j]) > terminal:
+                        break
+                    score = _compute_log_score_lut(
+                        read_i, reads_cache[sortedReads[j]], luts, minOverlap
+                    )
+                    if not math.isnan(score):
+                        if score != 0.0:
+                            result.set(sortedReads[i], sortedReads[j], score + offset)
+                    else:
+                        nans += 1
         if nans > 0:
             print(f"Warning: Found {nans} NaN scores during read scoring!")
+
+    @staticmethod
+    def _score_pairs_native(
+        result, am, sortedReads, reads_cache, luts, numAlleles, minOverlap, offset
+    ):
+        """Pair loop in C++ (native/scorelib.cpp): same merge, same f32
+        rounding points, same uint32 terminal wrap.  Returns the NaN count
+        or None when the native engine is unavailable."""
+        try:
+            from ..native import scorelib
+        except ImportError:  # pragma: no cover
+            return None
+        if scorelib is None:
+            return None
+        n_reads = am.size()
+        read_off, read_pos, read_allele = [0], [], []
+        for r in range(n_reads):
+            for pos, allele in reads_cache[r]:
+                read_pos.append(pos)
+                read_allele.append(allele)
+            read_off.append(len(read_pos))
+        first = [am.getFirstPos(r) & _U32_MASK for r in range(n_reads)]
+        last = [am.getLastPos(r) & _U32_MASK for r in range(n_reads)]
+        luts_flat = [
+            v for table in luts for row in table for v in row
+        ]
+        cap = max(64 * n_reads, 1 << 16)
+        while True:
+            out = scorelib.score_pairs(
+                n_reads, numAlleles, read_off, read_pos, read_allele,
+                first, last, sortedReads, luts_flat, minOverlap, offset, cap,
+            )
+            if out is None:
+                return None
+            if isinstance(out, tuple) and out[0] == "retry":
+                cap = int(out[1]) + 1
+                continue
+            break
+        triples, nans = out
+        for i, j, stored in triples:
+            index = result.entryToIndex(i, j)
+            if index != 0:
+                result.m[index] = stored
+                result.maxDim = max(result.maxDim, i + 1, j + 1)
+        return nans
 
 
 def scoreReadset(am, minOverlap, ploidy, err=0.0) -> TriangleSparseMatrix:
