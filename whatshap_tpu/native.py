@@ -780,7 +780,82 @@ if _build_scorelib():
         scorelib = None
 
 
+
+# --- native switch/flip calculator (native/switchfliplib.cpp) ---------------
+
+_SF_SO_PATH = _NATIVE_DIR / "_switchfliplib.so"
+
+
+class _SwitchFlipLib:
+    def __init__(self, cdll):
+        c = self._lib = cdll
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        c.wh_switchflip.restype = ctypes.c_int32
+        c.wh_switchflip.argtypes = [
+            ctypes.c_int32, ctypes.c_double, ctypes.c_double, ctypes.c_int32,
+            i32p, i32p, f64p, f64p, i32p, i32p, i32p, i32p,
+        ]
+
+    def compute(self, ploidy, switch_cost, flip_cost, num_vars, phase0_flat, phase1_flat):
+        """Returns (switches, flips, sw_col, fl_col, perm_col) or None for
+        a DP dead-end (caller returns inf)."""
+        def i32(xs):
+            return (ctypes.c_int32 * max(len(xs), 1))(*xs)
+
+        sw = ctypes.c_double()
+        fl = ctypes.c_double()
+        sw_col = (ctypes.c_int32 * max(num_vars, 1))()
+        fl_off = (ctypes.c_int32 * (num_vars + 1))()
+        fl_haps = (ctypes.c_int32 * max(num_vars * ploidy, 1))()
+        perm_col = (ctypes.c_int32 * max(num_vars * ploidy, 1))()
+        rc = self._lib.wh_switchflip(
+            ploidy, switch_cost, flip_cost, num_vars,
+            i32(phase0_flat), i32(phase1_flat),
+            ctypes.byref(sw), ctypes.byref(fl), sw_col, fl_off, fl_haps, perm_col,
+        )
+        if rc != 0:
+            return None
+        switches_in_column = [int(sw_col[i]) for i in range(num_vars)]
+        flips_in_column = [
+            [int(fl_haps[k]) for k in range(fl_off[i], fl_off[i + 1])]
+            for i in range(num_vars)
+        ]
+        perm_in_column = [
+            [int(perm_col[i * ploidy + j]) for j in range(ploidy)] for i in range(num_vars)
+        ]
+        return sw.value, fl.value, switches_in_column, flips_in_column, perm_in_column
+
+
+def _build_switchfliplib() -> bool:
+    src = _NATIVE_DIR / "switchfliplib.cpp"
+    if not src.exists():
+        return False
+    if _SF_SO_PATH.exists() and _SF_SO_PATH.stat().st_mtime >= src.stat().st_mtime:
+        return True
+    try:
+        subprocess.run(
+            [
+                "g++", "-O3", "-ffp-contract=off", "-shared", "-fPIC",
+                "-std=c++17", "-o", str(_SF_SO_PATH), str(src),
+            ],
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+switchfliplib = None
+if _build_switchfliplib():
+    try:
+        switchfliplib = _SwitchFlipLib(ctypes.CDLL(str(_SF_SO_PATH)))
+    except OSError:
+        switchfliplib = None
+
+
 # WHATSHAP_TPU_NO_NATIVE=1 disables every native engine (pure-Python
 # fallbacks take over) — a debugging/verification kill switch.
 if os.environ.get("WHATSHAP_TPU_NO_NATIVE"):
-    lib = bamlib = clusterlib = threadlib = genolib = pqext = heurlib = cigarlib = hapchatlib = scorelib = None
+    lib = bamlib = clusterlib = threadlib = genolib = pqext = heurlib = cigarlib = hapchatlib = scorelib = switchfliplib = None

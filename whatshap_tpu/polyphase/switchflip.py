@@ -42,8 +42,32 @@ class SwitchFlipCalculator:
         input0 = [[int(phasing0[k][i]) for k in range(self.ploidy)] for i in range(num_vars)]
         input1 = [[int(phasing1[k][i]) for k in range(self.ploidy)] for i in range(num_vars)]
 
+        native = self._compare_native(input0, input1)
+        if native is not None:
+            return native
         switches, flips, sw_col, fl_col, perm_col = self._compare(input0, input1)
         return switches, flips, sw_col, fl_col, perm_col
+
+    def _compare_native(self, input0, input1):
+        """Dispatch to the C++ engine (native/switchfliplib.cpp), an
+        iteration-order-identical port of _compare below;
+        WHATSHAP_TPU_NO_NATIVE=1 disables."""
+        try:
+            from ..native import switchfliplib
+        except ImportError:  # pragma: no cover
+            return None
+        if switchfliplib is None:
+            return None
+        num_vars = len(input0)
+        flat0 = [a for row in input0 for a in row]
+        flat1 = [a for row in input1 for a in row]
+        result = switchfliplib.compute(
+            self.ploidy, float(self.switch_cost), float(self.flip_cost),
+            num_vars, flat0, flat1,
+        )
+        if result is None:
+            return inf, inf, [], [], []
+        return result
 
     def _compare(self, phasing0, phasing1) -> Tuple[float, float, list, list, list]:
         perms = [tuple(p) for p in iter_permutations(range(self.ploidy))]
