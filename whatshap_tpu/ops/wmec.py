@@ -823,8 +823,11 @@ def run_dp(packed: PackedProblem, backend: str = "auto") -> Optional[DPResult]:
         # trick, pedigreedptable.cpp:104,127-173).  The segmented path only
         # needs C padded to a segment multiple, not a power of two — the
         # per-segment kernel shapes are fixed, so the jit cache is unaffected.
-        seg = 2048
-        table_bytes = c_pad * (1 << k_run) * T * 4 * (2 if T > 1 else 1)
+        # segment length: bound one segment's backtrace tables near the
+        # budget (high K shrinks the segment instead of blowing HBM)
+        per_col_bytes = (1 << k_run) * T * 4 * (2 if T > 1 else 1)
+        seg = max(256, min(2048, _next_pow2(SEGMENT_TABLE_BUDGET // max(per_col_bytes, 1), lo=256) >> 1))
+        table_bytes = c_pad * per_col_bytes
         use_segmented = use_pallas and table_bytes > 2 * SEGMENT_TABLE_BUDGET
         # XLA fallback shapes (K 17..23, or any unsupported T) get the same
         # sqrt(n) treatment once full tables would exceed ~1 GB; segment

@@ -39,7 +39,9 @@ LANE_BITS = 7  # 128 lanes
 LANES = 1 << LANE_BITS
 
 MAX_T = 16
-MAX_K = 16  # state must fit VMEM
+MAX_K = 16  # state must fit VMEM (K=17+ fails the Mosaic compile: the
+            # fold/backtrace working set exceeds VMEM; those shapes route
+            # through the segmented XLA path instead)
 
 
 def kernel_supported(K: int, T: int, P: int) -> bool:
