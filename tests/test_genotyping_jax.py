@@ -119,3 +119,40 @@ def test_cli_genotype_under_jax_backend(tmp_path, monkeypatch):
             rows.append((fields[0], fields[1], call.get("GT"), call.get("GQ")))
         outputs[backend] = rows
     assert outputs["host"] == outputs["jax"]
+
+
+def test_batched_matches_single():
+    """The vmapped batched kernel must agree with per-instance runs."""
+    from whatshap_tpu.ops.genotyping_jax import run_genotyping_jax, run_genotyping_jax_batched
+
+    # identical read layout (same K/C) with differing alleles/qualities
+    def make(seed):
+        rng = random.Random(seed)
+        n_pos = 6
+        positions = [10 * (i + 1) for i in range(n_pos)]
+        rs = core.ReadSet()
+        layout = [(0, 4), (1, 5), (2, 6), (0, 3), (3, 6)]
+        for i, (a, b) in enumerate(layout):
+            read = core.Read(f"r{i}", 50, 0, 0)
+            for p in range(a, b):
+                read.add_variant(positions[p], rng.randint(0, 1), rng.choice([5, 10, 30]))
+            rs.add(read)
+        rs.sort()
+        nsi = core.NumericSampleIds()
+        ped = core.Pedigree(nsi)
+        gls = [
+            PhredGenotypeLikelihoods([rng.choice([0.0, 5.0, 20.0]) for _ in range(3)])
+            for _ in range(n_pos)
+        ]
+        ped.add_individual("ind0", [_gt(rng.randint(0, 2)) for _ in range(n_pos)], gls)
+        recomb = [rng.choice([1, 2, 5]) for _ in range(n_pos)]
+        packed = wmec.pack_problem(rs, recomb, ped, False, positions, check_conflicts=False)
+        return packed, ped
+
+    pairs = [make(1000 + s) for s in range(4)]
+    shapes = {(p.n_cols, p.K, p.T, p.P) for p, _ in pairs}
+    assert len(shapes) == 1
+    for packed, ped in pairs:
+        single = run_genotyping_jax(packed, ped)
+        batched = run_genotyping_jax_batched([packed], ped)
+        _assert_close(single, batched[0])

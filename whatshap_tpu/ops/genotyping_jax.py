@@ -210,3 +210,31 @@ def run_genotyping_jax(
         )
         out = np.asarray(jax.device_get(out))
     return out
+
+
+@partial(jax.jit, static_argnames=("K", "T", "P", "n_ind"))
+def _forward_backward_batched(K, T, P, n_ind, *stacked):
+    """vmap of the forward-backward over a leading block axis — the
+    scale-out form: many independent genotyping instances per launch."""
+    return jax.vmap(
+        lambda *args: _forward_backward(K, T, P, n_ind, *args)
+    )(*stacked)
+
+
+def run_genotyping_jax_batched(packed_list, pedigree) -> Optional[np.ndarray]:
+    """Batched device forward-backward over same-shaped instances (same
+    C/K/T/P and individual count); returns (B, C, n_ind, 3) float64."""
+    if not packed_list:
+        return None
+    shapes = {(p.n_cols, p.K, p.T, p.P) for p in packed_list}
+    assert len(shapes) == 1, "instances must share one padded shape"
+    inputs = [_prepare_inputs(p, pedigree) for p in packed_list]
+    keys = list(inputs[0])
+    n_ind = max(len(pedigree), 1)
+    first = packed_list[0]
+    with jax.enable_x64(True):
+        stacked = [
+            jnp.asarray(np.stack([inp[k] for inp in inputs])) for k in keys
+        ]
+        out = _forward_backward_batched(first.K, first.T, first.P, n_ind, *stacked)
+        return np.asarray(jax.device_get(out))
