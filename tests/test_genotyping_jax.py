@@ -90,18 +90,36 @@ def test_trio_parity(seed):
     _assert_close(host, device)
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_f32_parity(seed):
+    """The single-precision TPU-speed variant must stay within 1e-3
+    relative of the f64 kernel (the per-column rescaling keeps all
+    magnitudes near 1, so f32 holds ~1e-4)."""
+    inst = _random_instance(seed if seed % 2 else 200 + seed, trio=bool(seed % 2))
+    if inst is None:
+        pytest.skip("empty instance")
+    packed, ped = inst
+    full = run_genotyping_jax(packed, ped)
+    fast = run_genotyping_jax(packed, ped, dtype="f32")
+    assert full.shape == fast.shape
+    h = np.asarray(full)
+    d = np.asarray(fast)
+    ok = ~np.isnan(h) & ~np.isnan(d)
+    np.testing.assert_allclose(d[ok], h[ok], rtol=1e-3, atol=1e-30)
+
+
 def test_cli_genotype_under_jax_backend(tmp_path, monkeypatch):
-    """The genotype CLI under the forced device backend must produce the
+    """The genotype CLI under the forced device backends must produce the
     same calls as the host path (float formatting may differ in GL
     decimals, so compare GT/GQ columns)."""
     from whatshap_tpu.cli.genotype import run_genotype
 
     outputs = {}
-    for backend in ("host", "jax"):
-        if backend == "jax":
-            monkeypatch.setenv("WHATSHAP_TPU_GENO_BACKEND", "jax")
-        else:
+    for backend in ("host", "jax", "jax32"):
+        if backend == "host":
             monkeypatch.delenv("WHATSHAP_TPU_GENO_BACKEND", raising=False)
+        else:
+            monkeypatch.setenv("WHATSHAP_TPU_GENO_BACKEND", backend)
         out = tmp_path / f"gt_{backend}.vcf"
         run_genotype(
             phase_input_files=["tests/data/pacbio/pacbio.bam"],
@@ -119,6 +137,12 @@ def test_cli_genotype_under_jax_backend(tmp_path, monkeypatch):
             rows.append((fields[0], fields[1], call.get("GT"), call.get("GQ")))
         outputs[backend] = rows
     assert outputs["host"] == outputs["jax"]
+    # f32 keeps every GT; GQ may flip by 1 at integer-rounding boundaries
+    assert len(outputs["host"]) == len(outputs["jax32"])
+    for full, fast in zip(outputs["host"], outputs["jax32"]):
+        assert full[:3] == fast[:3]  # chrom, pos, GT
+        if full[3] is not None and fast[3] is not None:
+            assert abs(int(full[3]) - int(fast[3])) <= 1
 
 
 def test_batched_matches_single():

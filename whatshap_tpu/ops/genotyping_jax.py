@@ -19,9 +19,12 @@ The host longdouble path (ops/genotyping.py + native/genolib.cpp) remains
 the byte-exact CLI default and the oracle; this kernel is the scale-out
 path (WHATSHAP_TPU_GENO_BACKEND=jax forces it everywhere).
 
-float64 note: TPUs emulate f64 in software; the kernel exists for parity
-and batched throughput via vmap, with f32 emissions a future option once a
-rescaled f32 error analysis is in place.
+float64 note: TPUs emulate f64 in software; the f64 kernel exists for
+parity and batched throughput via vmap. dtype="f32"
+(WHATSHAP_TPU_GENO_BACKEND=jax32) is the native-speed variant — the
+per-column rescaling keeps every intermediate near magnitude 1, so single
+precision holds ~1e-4 relative on the likelihoods, far inside the integer
+GQ/GT quantization of the VCF output.
 """
 
 from functools import partial
@@ -128,17 +131,23 @@ def _sum_fold(arr, K: int, T: int, bits):
     return arr
 
 
-@partial(jax.jit, static_argnames=("K", "T", "P", "n_ind"))
-def _forward_backward(K, T, P, n_ind, trans, passign, base, diff, birth, die_next, dup, gmask):
+@partial(jax.jit, static_argnames=("K", "T", "P", "n_ind", "dtype"))
+def _forward_backward(
+    K, T, P, n_ind, trans, passign, base, diff, birth, die_next, dup, gmask, dtype="f64"
+):
+    ftype = jnp.float64 if dtype == "f64" else jnp.float32
+    trans, passign, base, diff, dup, gmask = (
+        x.astype(ftype) for x in (trans, passign, base, diff, dup, gmask)
+    )
     S = 1 << K
     nA = 1 << P
-    bits = jnp.asarray(wmec._bits_matrix(K), dtype=jnp.float64)  # (S, K)
+    bits = jnp.asarray(wmec._bits_matrix(K), dtype=ftype)  # (S, K)
     abits = np.asarray(wmec._assign_bits(P))  # (nA, P) host constant
 
     def emission(base_c, diff_c):
         # logcp: (S, T, P, 2) via one matmul over the slot axis
         logcp = (bits @ diff_c).reshape(S, T, P, 2) + base_c[None]
-        lem = jnp.zeros((S, T, nA), dtype=jnp.float64)
+        lem = jnp.zeros((S, T, nA), dtype=ftype)
         for p in range(P):
             sel = jnp.asarray(abits[:, p])  # (nA,)
             lem = lem + jnp.where(
@@ -157,7 +166,7 @@ def _forward_backward(K, T, P, n_ind, trans, passign, base, diff, birth, die_nex
         # beta_store[c] = incoming beta scaled by this column's sum
         return new_beta, (scaling_sum, beta / scaling_sum)
 
-    beta0 = jnp.ones((S, T), dtype=jnp.float64)
+    beta0 = jnp.ones((S, T), dtype=ftype)
     xs_rev = (
         base[::-1], diff[::-1], passign[::-1], trans[::-1], birth[::-1], dup[::-1]
     )
@@ -175,10 +184,10 @@ def _forward_backward(K, T, P, n_ind, trans, passign, base, diff, birth, die_nex
         base_c, diff_c, passign_c, trans_c, die_c, dup_c, scaling_c, beta_c, use_beta = xs
         em = emission(base_c, diff_c)
         sum_prev = jnp.where(
-            is_first, jnp.ones((S, T), dtype=jnp.float64), alpha_prev @ trans_c
+            is_first, jnp.ones((S, T), dtype=ftype), alpha_prev @ trans_c
         )
         fwd = sum_prev[:, :, None] * em * passign_c[None] / scaling_c  # (S, T, nA)
-        fb = fwd * jnp.where(use_beta, beta_c, jnp.ones((S, T)))[:, :, None]
+        fb = fwd * jnp.where(use_beta, beta_c, jnp.ones((S, T), dtype=ftype))[:, :, None]
         normalization = fb.sum() / dup_c
         # genotype marginals: (n_ind, 3)
         marg = jnp.einsum("sta,itag->ig", fb, gmask) / dup_c / normalization
@@ -186,42 +195,49 @@ def _forward_backward(K, T, P, n_ind, trans, passign, base, diff, birth, die_nex
         return (alpha, jnp.zeros((), dtype=bool)), marg
 
     xs_fwd = (base, diff, passign, trans, die_next, dup, scaling, beta_store, has_beta)
-    carry0 = (jnp.zeros((S, T), dtype=jnp.float64), jnp.ones((), dtype=bool))
+    carry0 = (jnp.zeros((S, T), dtype=ftype), jnp.ones((), dtype=bool))
     _, likelihoods = jax.lax.scan(fwd_step, carry0, xs_fwd)
     return likelihoods  # (C, n_ind, 3)
 
 
 def run_genotyping_jax(
-    packed: "wmec.PackedProblem", pedigree: Pedigree
+    packed: "wmec.PackedProblem", pedigree: Pedigree, dtype: str = "f64"
 ) -> Optional[np.ndarray]:
     """Device forward-backward; returns likelihoods (C, n_ind, 3) float64,
-    or None for empty problems."""
+    or None for empty problems.
+
+    dtype="f32" is the TPU-speed variant: the per-column rescaling keeps
+    magnitudes near 1 so single precision holds ~1e-4 relative accuracy on
+    the likelihoods (far inside the integer GQ/GT quantization), at native
+    MXU speed instead of emulated f64.
+    """
     if packed.n_cols == 0:
         return None
     inputs = _prepare_inputs(packed, pedigree)
     n_ind = max(len(pedigree), 1)
-    with jax.enable_x64(True):
+    with jax.enable_x64(dtype == "f64"):
         out = _forward_backward(
             packed.K,
             packed.T,
             packed.P,
             n_ind,
             **{k: jnp.asarray(v) for k, v in inputs.items()},
+            dtype=dtype,
         )
-        out = np.asarray(jax.device_get(out))
+        out = np.asarray(jax.device_get(out), dtype=np.float64)
     return out
 
 
-@partial(jax.jit, static_argnames=("K", "T", "P", "n_ind"))
-def _forward_backward_batched(K, T, P, n_ind, *stacked):
+@partial(jax.jit, static_argnames=("K", "T", "P", "n_ind", "dtype"))
+def _forward_backward_batched(K, T, P, n_ind, *stacked, dtype="f64"):
     """vmap of the forward-backward over a leading block axis — the
     scale-out form: many independent genotyping instances per launch."""
     return jax.vmap(
-        lambda *args: _forward_backward(K, T, P, n_ind, *args)
+        lambda *args: _forward_backward(K, T, P, n_ind, *args, dtype=dtype)
     )(*stacked)
 
 
-def run_genotyping_jax_batched(packed_list, pedigree) -> Optional[np.ndarray]:
+def run_genotyping_jax_batched(packed_list, pedigree, dtype: str = "f64") -> Optional[np.ndarray]:
     """Batched device forward-backward over same-shaped instances (same
     C/K/T/P and individual count); returns (B, C, n_ind, 3) float64."""
     if not packed_list:
@@ -232,9 +248,11 @@ def run_genotyping_jax_batched(packed_list, pedigree) -> Optional[np.ndarray]:
     keys = list(inputs[0])
     n_ind = max(len(pedigree), 1)
     first = packed_list[0]
-    with jax.enable_x64(True):
+    with jax.enable_x64(dtype == "f64"):
         stacked = [
             jnp.asarray(np.stack([inp[k] for inp in inputs])) for k in keys
         ]
-        out = _forward_backward_batched(first.K, first.T, first.P, n_ind, *stacked)
-        return np.asarray(jax.device_get(out))
+        out = _forward_backward_batched(
+            first.K, first.T, first.P, n_ind, *stacked, dtype=dtype
+        )
+        return np.asarray(jax.device_get(out), dtype=np.float64)

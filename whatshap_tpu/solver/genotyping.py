@@ -31,13 +31,17 @@ class GenotypeDPTable:
         )
         # The host longdouble path is the byte-exact default;
         # WHATSHAP_TPU_GENO_BACKEND=jax routes through the device
-        # forward-backward kernel (f64, parity within ~1e-12 relative).
+        # forward-backward kernel (f64, parity within ~1e-12 relative);
+        # =jax32 is the single-precision TPU-speed variant (~1e-4, well
+        # inside GQ quantization).
         import os
 
-        if os.environ.get("WHATSHAP_TPU_GENO_BACKEND") == "jax":
+        backend = os.environ.get("WHATSHAP_TPU_GENO_BACKEND")
+        if backend in ("jax", "jax32"):
             from ..ops.genotyping_jax import run_genotyping_jax
 
-            self._likelihoods = run_genotyping_jax(self._packed, pedigree)
+            dtype = "f32" if backend == "jax32" else "f64"
+            self._likelihoods = run_genotyping_jax(self._packed, pedigree, dtype=dtype)
         else:
             self._likelihoods = gt_ops.run_genotyping(self._packed, pedigree)
 
