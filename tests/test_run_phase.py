@@ -299,6 +299,19 @@ def test_phase_with_phased_blocks(tmp_path):
         assert l1 == l2
 
 
+def test_phase_trio_hapchat():
+    """hapchat has no pedigree support and must refuse --ped inputs."""
+    with raises(CommandLineError) as e:
+        run_whatshap(
+            phase_input_files=[trio_bamfile],
+            variant_file="tests/data/trio.vcf",
+            output="/dev/null",
+            ped="tests/data/trio.ped",
+            algorithm="hapchat",
+        )
+    assert "cannot do pedigree phasing" in e.value.args[0]
+
+
 def test_phase_trio(tmpdir):
     outvcf = str(tmpdir.join("output.vcf"))
     outreadlist = str(tmpdir.join("readlist.tsv"))

@@ -7,7 +7,7 @@ shared fixture files in tests/data.
 import math
 import shutil
 
-from pytest import approx, raises
+from pytest import approx, mark, raises
 
 from whatshap_tpu.core import Genotype, PhredGenotypeLikelihoods
 from whatshap_tpu.testhelpers import (
@@ -210,6 +210,79 @@ def test_phasing_to_reads():
         assert read[1].position == 350 - 1
         assert read[1].allele == 0
         assert read[1].quality == 91
+
+
+@mark.parametrize("algorithm", ["whatshap", "hapchat"])
+def test_do_not_phase_duplicate_position(algorithm, tmp_path):
+    """The HP tag must be added only to the first of duplicate positions."""
+    from whatshap_tpu.cli.phase import run_whatshap
+
+    out = tmp_path / "duplicate-positions-phased.vcf"
+    run_whatshap(
+        phase_input_files=["tests/data/oneread.bam"],
+        variant_file="tests/data/duplicate-positions.vcf",
+        output=str(out),
+        algorithm=algorithm,
+    )
+    seen_positions = set()
+    records = [line.split("\t") for line in out.read_text().splitlines() if line[0] != "#"]
+    assert len(records) == 4
+    for fields in records:
+        pos = int(fields[1])
+        has_hp = "HP" in fields[8].split(":")
+        assert not (pos in seen_positions and has_hp)
+        seen_positions.add(pos)
+
+
+def test_phasing_to_reads_polyploid():
+    for filename in [
+        "tests/data/phased-via-HP-polyploid.vcf",
+        "tests/data/phased-via-PS-polyploid.vcf",
+    ]:
+        tables = list(VcfReader(filename, phases=True, mav=True))
+        assert len(tables) == 2
+        table_a, table_b = tables
+        reads = list(
+            table_a.phased_blocks_as_reads(
+                "sample1", table_a.variants, 17, 18, default_quality=90, mapq=101, target_ploidy=4
+            )
+        )
+        assert len(reads) == 4
+        assert all(len(read) == 2 for read in reads)
+        assert reads[0].name == "sample1_phase_0_block_300"
+        assert reads[3].name == "sample1_phase_3_block_300"
+        assert all(read.source_id == 17 for read in reads)
+        assert all(read.mapqs == (101,) for read in reads)
+        assert all(read[0].position == 300 - 1 for read in reads)
+        assert all(read[0].quality == 23 for read in reads)
+        assert [read[0].allele for read in reads] == [0, 0, 1, 1]
+        assert all(read[1].position == 350 - 1 for read in reads)
+        assert all(read[1].quality == 42 for read in reads)
+        assert [read[1].allele for read in reads] == [0, 0, 1, 0]
+
+        reads = list(
+            table_a.phased_blocks_as_reads(
+                "sample2", table_a.variants, 11, 12, default_quality=91, mapq=102, target_ploidy=4
+            )
+        )
+        assert len(reads) == 8
+        assert all(len(read) == 2 for read in reads)
+        assert reads[0].name == "sample2_phase_0_block_100"
+        assert reads[3].name == "sample2_phase_3_block_100"
+        assert all(read.source_id == 11 for read in reads)
+        assert all(read.mapqs == (102,) for read in reads)
+        assert all(read[0].position == 100 - 1 for read in reads[:4])
+        assert all(read[0].quality == 10 for read in reads[:4])
+        assert [read[0].allele for read in reads[:4]] == [0, 0, 1, 1]
+        assert all(read[1].position == 150 - 1 for read in reads[:4])
+        assert all(read[1].quality == 20 for read in reads[:4])
+        assert [read[1].allele for read in reads[:4]] == [1, 0, 1, 0]
+        assert all(read[0].position == 300 - 1 for read in reads[4:])
+        assert all(read[0].quality == 30 for read in reads[4:])
+        assert [read[0].allele for read in reads[4:]] == [0, 0, 0, 1]
+        assert all(read[1].position == 350 - 1 for read in reads[4:])
+        assert all(read[1].quality == 91 for read in reads[4:])
+        assert [read[1].allele for read in reads[4:]] == [1, 0, 2, 1]
 
 
 def test_unknown_genotype():
