@@ -211,9 +211,13 @@ def bench_trio():
     from whatshap_tpu.parallel import workloads
 
     n_blocks, n_pos = 64, 256
+    # read_len caps coverage so K stays within the trio kernel limit
+    # (T=4 needs K <= 15) and the backtrace tables within HBM; the oracle
+    # instances below match this shape
     K, T, P, packed_list, arrays = workloads.build_trio_batch(
-        n_blocks, n_pos=n_pos, n_reads=60, seed=17, c_pad=n_pos
+        n_blocks, n_pos=n_pos, n_reads=120, seed=17, c_pad=n_pos, read_len=12
     )
+    assert K <= 15, f"trio workload K={K} exceeds the T=4 kernel limit"
     device_arrays = [jax.device_put(np.asarray(a)) for a in arrays]
     out = wmec.solve_batched_auto(K, T, P, *device_arrays)
     _ = jax.device_get(out[1])
@@ -240,7 +244,7 @@ def bench_trio():
         for b in range(10):
             positions = [(i + 1) * 10 for i in range(n_pos)]
             rs = ReadSet()
-            for i in range(60):
+            for i in range(120):
                 sample = rng.randint(0, 2)
                 start = rng.randint(0, n_pos - 2)
                 end = rng.randint(start + 1, min(start + 12, n_pos - 1))
@@ -383,12 +387,20 @@ def bench_batch_scaling(K, T, P, arrays_small, arrays_big, b_small, b_big):
     return {"value": round(eff, 3), "unit": "throughput_ratio_8x_batch"}
 
 
+def _progress(msg):
+    # stderr, flushed: the stdout contract is exactly one JSON line
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     configs = {}
 
+    _progress("headline: batched wMEC vs oracle baseline ...")
     throughput, baseline = bench_headline()
+    _progress(f"headline done: {throughput:.0f} var/s (baseline {baseline:.0f})")
 
     try:
+        _progress("batch_scaling ...")
         K, T, P, arrays_small, _, _ = build_workload(32, 512)
         _, _, _, arrays_big, _, _ = build_workload(256, 512)
         configs["batch_scaling"] = bench_batch_scaling(
@@ -405,9 +417,11 @@ def main():
         ("polyphase_tetraploid", bench_polyphase),
     ]:
         try:
+            _progress(f"{name} ...")
             configs[name] = fn()
         except Exception as e:  # pragma: no cover
             configs[name] = {"error": str(e)[:200]}
+        _progress(f"{name}: {configs[name]}")
 
     result = {
         "metric": "variants_phased_per_sec_per_chip",

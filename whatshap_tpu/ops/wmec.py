@@ -647,16 +647,39 @@ def forward_cost_batched(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc):
     return jax.vmap(one)(wdiff, wbase, rankw, acost, die_prev, rc)
 
 
+#: HBM budget for the per-column backtrace tables of one batched launch
+#: (two s32 tables of C * T * 2^K entries per block); batches whose tables
+#: would exceed it are split into sequential chunks.  Overridable for
+#: smaller-HBM parts via WHATSHAP_TPU_HBM_TABLE_BUDGET (bytes).
+HBM_TABLE_BUDGET = int(os.environ.get("WHATSHAP_TPU_HBM_TABLE_BUDGET", 8 << 30))
+
+
 def solve_batched_auto(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc):
     """Batched solve, dispatching to the Pallas TPU kernels when the problem
     shape supports them (T*2^K states fit VMEM: single samples up to K=16,
     single trios up to K=15) and a real accelerator is attached; otherwise
-    the XLA scan path.  Both are bit-identical."""
+    the XLA scan path.  Both are bit-identical.
+
+    On accelerators the batch is chunked so the backtrace tables stay under
+    HBM_TABLE_BUDGET (e.g. K=15, T=4, C=256 needs 256 MiB/block — a B=64
+    launch would want 16 GiB and OOM a 16 GiB part)."""
     from . import wmec_pallas
 
-    if wmec_pallas.kernel_supported(K, T, P) and jax.default_backend() != "cpu":
-        return wmec_pallas.solve_batched_pallas(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc)
-    return solve_batched(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc)
+    use_pallas = wmec_pallas.kernel_supported(K, T, P) and jax.default_backend() != "cpu"
+    kernel = wmec_pallas.solve_batched_pallas if use_pallas else solve_batched
+    arrays = (wdiff, wbase, rankw, acost, die_prev, rc)
+
+    if jax.default_backend() != "cpu":
+        B, C = wdiff.shape[0], wdiff.shape[1]
+        per_block = C * T * (1 << K) * 4 * 2  # index + trans backtrace, s32
+        max_b = max(1, HBM_TABLE_BUDGET // per_block)
+        if B > max_b:
+            parts = [
+                kernel(K, T, P, *(a[i : i + max_b] for a in arrays))
+                for i in range(0, B, max_b)
+            ]
+            return tuple(jnp.concatenate(xs, axis=0) for xs in zip(*parts))
+    return kernel(K, T, P, *arrays)
 
 
 @dataclass

@@ -46,9 +46,15 @@ def build_single_sample_batch(
 def build_trio_batch(
     n_blocks: int, n_pos: int = 12, n_reads: int = 10, seed: int = 31,
     n_ind: int = 3, trios=((0, 1, 2),), c_pad: int = 16, k_pad: int = None,
+    read_len: int = None,
 ) -> Tuple[int, int, int, List[wmec.PackedProblem], tuple]:
     """(K, T, P, packed problems, stacked padded arrays) for a batch of
-    pedigree instances (one trio -> T=4; two trios -> T=16)."""
+    pedigree instances (one trio -> T=4; two trios -> T=16).
+
+    read_len caps the read span in columns; without it reads run from
+    their start to a uniform point anywhere right of it (fine for the
+    default n_pos=12, but at hundreds of columns that stacks coverage —
+    and K — far beyond any kernel limit)."""
     rng = np.random.RandomState(seed)
     packed_list = []
     for _ in range(n_blocks):
@@ -57,7 +63,8 @@ def build_trio_batch(
         for i in range(n_reads):
             sample = int(rng.randint(0, n_ind))
             start = int(rng.randint(0, n_pos - 1))
-            end = int(rng.randint(start + 1, n_pos))
+            hi = n_pos if read_len is None else min(start + read_len, n_pos)
+            end = int(rng.randint(start + 1, hi))
             read = Read(f"R{i}", 50, 0, sample)
             for c in range(start, end + 1):
                 if rng.rand() < 0.2 and c not in (start, end):
