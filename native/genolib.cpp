@@ -4,13 +4,20 @@
 // the reference's src/genotypedptable.cpp, genotypecolumncostcomputer.cpp and
 // transitionprobabilitycomputer.cpp): scaled backward then forward pass over
 // the bipartition x transmission state space in 80-bit long double, with the
-// same slot layout, fold structure, scaling points and unconditional
-// normalizations (0/0 -> NaN exactly like the C++ reference).  Loop/operation
-// order follows the numpy implementation element-for-element; the only
-// deviation is plain left-to-right accumulation where numpy uses pairwise
-// summation (bounded by a ~1e-15 relative reassociation difference, far
-// inside the 1e-9 parity tolerance against the reference oracle — the
-// differential test asserts 1e-12 against the numpy path).
+// same fold structure, scaling points and unconditional normalizations
+// (0/0 -> NaN exactly like the C++ reference).
+//
+// Unlike the numpy path, which works on the full padded 2^K slot space with
+// power-of-two duplicate factors, this engine works on the COMPACT per-column
+// space of the k_c actually-active slots (2^k_c states, exactly like the
+// reference's ColumnIndexingScheme) and projects between adjacent columns'
+// spaces with bit gathers.  Every pointwise operation, fold pairing and fold
+// order (ascending slot index) is identical to the numpy path restricted to
+// the distinct states, so results agree to reassociation rounding (~1e-15
+// relative, far inside the 1e-9 oracle tolerance; the differential test
+// asserts 1e-12 against the numpy path).  Complexity drops from
+// O(C * 2^K * T * nA) to O(sum_c 2^k_c * T * nA) — the reference's own
+// adaptive cost.
 //
 // Compile with -ffp-contract=off to keep x87 long double semantics stable.
 
@@ -35,7 +42,12 @@ struct Geno {
     const int32_t* h2p;        // T*n_ind*2
     const double* gl;          // n_ind*C*3
 
-    int S, nA;
+    int nA;
+
+    // per-column compact layout
+    std::vector<int> kc;                 // C: number of active slots
+    std::vector<std::vector<int>> act;   // C: ascending active slot indices
+    std::vector<std::vector<int>> pos;   // C: slot -> compact bit, -1 inactive
 
     int h2p_at(int t, int ind, int h) const { return h2p[(t * n_ind + ind) * 2 + h]; }
 
@@ -44,13 +56,13 @@ struct Geno {
         return powl(10.0L, -(ld)phred / 10.0L);
     }
 
-    // emission em[x][t][a], flattened (S*T*nA)
+    // emission em[x][t][a] over the compact space of column c
     void column_emission(int c, std::vector<ld>& em, std::vector<ld>& cp) const {
-        // cp[x][t][p][al]
-        size_t cpn = (size_t)S * T * P * 2;
+        int k = kc[c], Sc = 1 << k;
+        size_t cpn = (size_t)Sc * T * P * 2;
         cp.assign(cpn, 1.0L);
-        for (int s = 0; s < K; s++) {
-            if (!active[(size_t)c * K + s]) continue;
+        for (int j = 0; j < k; j++) {
+            int s = act[c][j];
             int al = allele[(size_t)c * K + s];
             if (al == 2) continue;  // BLANK
             ld proba = phred_probability(weight[(size_t)c * K + s]);
@@ -59,8 +71,8 @@ struct Geno {
             else { q[0] = proba; q[1] = 1.0L - proba; }
             int ridx = slot_read[(size_t)c * K + s];
             int ind = ridx >= 0 ? read_source[ridx] : 0;
-            for (int x = 0; x < S; x++) {
-                int bit = (x >> s) & 1;
+            for (int x = 0; x < Sc; x++) {
+                int bit = (x >> j) & 1;
                 for (int t = 0; t < T; t++) {
                     // bit==0 -> haplotype 1, bit==1 -> haplotype 0
                     int psel = bit == 0 ? h2p_at(t, ind, 1) : h2p_at(t, ind, 0);
@@ -70,9 +82,9 @@ struct Geno {
                 }
             }
         }
-        size_t emn = (size_t)S * T * nA;
+        size_t emn = (size_t)Sc * T * nA;
         em.assign(emn, 1.0L);
-        for (int x = 0; x < S; x++)
+        for (int x = 0; x < Sc; x++)
             for (int t = 0; t < T; t++) {
                 const ld* cpt = &cp[((size_t)x * T + t) * P * 2];
                 ld* emt = &em[((size_t)x * T + t) * nA];
@@ -84,11 +96,13 @@ struct Geno {
             }
     }
 
-    // in-place sum-fold of bits over arr[x][t] (S*T)
-    void sum_fold(std::vector<ld>& arr, const uint8_t* bits) const {
-        for (int p = 0; p < K; p++) {
-            if (!bits[p]) continue;
-            int hi = 1 << (K - 1 - p);
+    // in-place sum-fold over arr[x][t] ((1<<k)*T) along compact bits where
+    // foldbit[j] is set; ascending j matches the numpy path's ascending
+    // slot-index fold order (compact positions preserve slot order)
+    void sum_fold(std::vector<ld>& arr, int k, const std::vector<uint8_t>& foldbit) const {
+        for (int p = 0; p < k; p++) {
+            if (!foldbit[p]) continue;
+            int hi = 1 << (k - 1 - p);
             int lo = 1 << p;
             for (int h = 0; h < hi; h++)
                 for (int l = 0; l < lo; l++) {
@@ -103,11 +117,29 @@ struct Geno {
         }
     }
 
-    int run(ld* out) const {
-        size_t st = (size_t)S * T;
-        // beta storage: C columns of (S*T); bail out on absurd footprints
-        if ((double)C * st * sizeof(ld) > 8e9) return -1;
+    // gather masks mapping compact states of column `dst` into the (folded)
+    // compact array of column `src`: x = OR over dst bits j kept in src of
+    // ((y >> j) & 1) << keep[j]; bits of src not covered are zero (the
+    // source array is constant along them after folding)
+    std::vector<int> keep_masks(int dst, int src, const uint8_t* dst_birth) const {
+        std::vector<int> m(kc[dst], 0);
+        for (int j = 0; j < kc[dst]; j++) {
+            int s = act[dst][j];
+            if (dst_birth && dst_birth[s]) continue;  // summed out on the src side
+            int pj = pos[src][s];
+            if (pj >= 0) m[j] = 1 << pj;
+        }
+        return m;
+    }
 
+    static inline int gather(int y, const std::vector<int>& masks) {
+        int x = 0;
+        for (size_t j = 0; j < masks.size(); j++)
+            if ((y >> j) & 1) x |= masks[j];
+        return x;
+    }
+
+    int run(ld* out) const {
         // ---- transition tables / assignment priors / genotype indices ----
         std::vector<int> pcmat((size_t)T * T, 0);
         for (int i = 0; i < T; i++)
@@ -170,38 +202,51 @@ struct Geno {
             }
         }
 
-        std::vector<ld> dup(C);
+        // birth[c*K+s]: newly active (or reused after a death) entering c —
+        // the bits the backward pass sums out when projecting onto c-1
         std::vector<uint8_t> birth((size_t)C * K, 0);
         {
             std::vector<uint8_t> prev(K, 0);
             for (int c = 0; c < C; c++) {
-                int k_active = 0;
                 for (int s = 0; s < K; s++) {
                     uint8_t a = active[(size_t)c * K + s];
-                    if (a) k_active++;
                     birth[(size_t)c * K + s] =
                         a && (!prev[s] || die_prev[(size_t)c * K + s]);
                     prev[s] = a;
                 }
-                dup[c] = powl(2.0L, (ld)(K - k_active));
             }
         }
+
+        double beta_bytes = 0;
+        for (int c = 0; c < C; c++) beta_bytes += (double)(1 << kc[c]) * T * sizeof(ld);
+        if (beta_bytes > 8e9) return -1;
 
         // ---- backward pass ----
         std::vector<ld> scaling(C, 0.0L);
         std::vector<std::vector<ld>> beta_store(C);  // empty = None
-        std::vector<ld> em, cp, weighted(st), ones(st, 1.0L);
+        std::vector<ld> em, cp, weighted, contrib;
         int beta_next = -1;  // index into beta_store, -1 = None
         for (int c = C - 1; c >= 0; c--) {
+            int k = kc[c], Sc = 1 << k;
+            size_t st = (size_t)Sc * T;
             column_emission(c, em, cp);
-            const std::vector<ld>& bval = beta_next >= 0 ? beta_store[beta_next] : ones;
+            std::vector<ld> ones;
+            const std::vector<ld>* bvalp;
+            if (beta_next >= 0) {
+                bvalp = &beta_store[beta_next];
+            } else {
+                ones.assign(st, 1.0L);
+                bvalp = &ones;
+            }
+            const std::vector<ld>& bval = *bvalp;
             ld total = 0.0L;
             for (size_t i = 0; i < st; i++) total += bval[i];
-            ld scaling_sum = (total / dup[c]) * (ld)nA;
+            ld scaling_sum = total * (ld)nA;  // == (full sum / dup) * nA
             scaling[c] = scaling_sum;
             if (c > 0) {
                 const ld* pa = &passign[(size_t)c * T * nA];
-                for (int x = 0; x < S; x++)
+                weighted.assign(st, 0.0L);
+                for (int x = 0; x < Sc; x++)
                     for (int i = 0; i < T; i++) {
                         ld acc = 0.0L;
                         const ld* emx = &em[((size_t)x * T + i) * nA];
@@ -209,43 +254,70 @@ struct Geno {
                             acc += bval[(size_t)x * T + i] * emx[a] * pa[(size_t)i * nA + a];
                         weighted[(size_t)x * T + i] = acc;
                     }
-                std::vector<ld>& nbeta = beta_store[c - 1];
-                nbeta.assign(st, 0.0L);
+                contrib.assign(st, 0.0L);
                 const ld* tr = &trans[(size_t)c * T * T];
-                for (int x = 0; x < S; x++)
+                for (int x = 0; x < Sc; x++)
                     for (int j = 0; j < T; j++) {
                         ld acc = 0.0L;
                         for (int i = 0; i < T; i++)
                             acc += weighted[(size_t)x * T + i] * tr[(size_t)j * T + i];
-                        nbeta[(size_t)x * T + j] = acc;
+                        contrib[(size_t)x * T + j] = acc;
                     }
-                sum_fold(nbeta, &birth[(size_t)c * K]);
-                for (size_t i = 0; i < st; i++) nbeta[i] /= scaling_sum;
+                // sum out bits born entering c, then gather into c-1's space
+                std::vector<uint8_t> foldbit(k, 0);
+                for (int j = 0; j < k; j++)
+                    foldbit[j] = birth[(size_t)c * K + act[c][j]];
+                sum_fold(contrib, k, foldbit);
+                int kp = kc[c - 1], Sp = 1 << kp;
+                std::vector<int> masks = keep_masks(c - 1, c, nullptr);
+                // drop bits of c-1 that are not alive (unborn) in c: slots of
+                // c-1 absent from c, or reborn in c, contribute mask 0 via
+                // pos/birth checks inside keep_masks
+                for (int j = 0; j < kp; j++) {
+                    int s = act[c - 1][j];
+                    if (pos[c][s] >= 0 && birth[(size_t)c * K + s]) masks[j] = 0;
+                }
+                std::vector<ld>& nbeta = beta_store[c - 1];
+                nbeta.assign((size_t)Sp * T, 0.0L);
+                for (int y = 0; y < Sp; y++) {
+                    int x = gather(y, masks);
+                    for (int t = 0; t < T; t++)
+                        nbeta[(size_t)y * T + t] = contrib[(size_t)x * T + t] / scaling_sum;
+                }
             }
             if (beta_next >= 0)
-                for (size_t i = 0; i < st; i++) beta_store[beta_next][i] /= scaling_sum;
+                for (size_t i = 0; i < beta_store[beta_next].size(); i++)
+                    beta_store[beta_next][i] /= scaling_sum;
             beta_next = c > 0 ? c - 1 : -1;
         }
 
         // ---- forward pass ----
-        std::vector<ld> fwd((size_t)S * T * nA), fb_sum_prev(st), alpha(st);
+        std::vector<ld> fwd, fb_sum_prev, alpha;
+        int alpha_col = -1;  // column whose compact space `alpha` lives in
         int n_out_ind = n_ind > 0 ? n_ind : 1;
         for (int c = 0; c < C; c++) {
+            int k = kc[c], Sc = 1 << k;
+            size_t st = (size_t)Sc * T;
             column_emission(c, em, cp);
+            fb_sum_prev.assign(st, 1.0L);
             if (c > 0) {
+                // gather alpha (folded over deaths entering c) from c-1's
+                // space, then apply the transmission transition
+                std::vector<int> masks = keep_masks(c, alpha_col, &birth[(size_t)c * K]);
                 const ld* tr = &trans[(size_t)c * T * T];
-                for (int x = 0; x < S; x++)
+                for (int y = 0; y < Sc; y++) {
+                    int x = gather(y, masks);
                     for (int i = 0; i < T; i++) {
                         ld acc = 0.0L;
                         for (int j = 0; j < T; j++)
                             acc += alpha[(size_t)x * T + j] * tr[(size_t)j * T + i];
-                        fb_sum_prev[(size_t)x * T + i] = acc;
+                        fb_sum_prev[(size_t)y * T + i] = acc;
                     }
-            } else {
-                for (size_t i = 0; i < st; i++) fb_sum_prev[i] = 1.0L;
+                }
             }
             const ld* pa = &passign[(size_t)c * T * nA];
-            for (int x = 0; x < S; x++)
+            fwd.assign((size_t)Sc * T * nA, 0.0L);
+            for (int x = 0; x < Sc; x++)
                 for (int t = 0; t < T; t++) {
                     const ld* emx = &em[((size_t)x * T + t) * nA];
                     ld* fx = &fwd[((size_t)x * T + t) * nA];
@@ -256,9 +328,10 @@ struct Geno {
             const std::vector<ld>& beta_here = beta_store[c];
             bool have_beta = !beta_here.empty();
             // fb = fwd * beta (or fwd); accumulate normalization + marginals
+            // (the full-space /dup cancels against the duplicate multiplicity)
             ld normalization = 0.0L;
             std::vector<ld> marg((size_t)n_out_ind * 3, 0.0L);
-            for (int x = 0; x < S; x++)
+            for (int x = 0; x < Sc; x++)
                 for (int t = 0; t < T; t++)
                     for (int a = 0; a < nA; a++) {
                         ld v = fwd[((size_t)x * T + t) * nA + a];
@@ -269,20 +342,24 @@ struct Geno {
                             marg[(size_t)ind * 3 + g] += v;
                         }
                     }
-            normalization /= dup[c];
             for (int ind = 0; ind < n_ind; ind++)
                 for (int g = 0; g < 3; g++)
                     out[((size_t)c * n_out_ind + ind) * 3 + g] =
-                        (marg[(size_t)ind * 3 + g] / dup[c]) / normalization;
+                        marg[(size_t)ind * 3 + g] / normalization;
             if (c + 1 < C) {
-                for (int x = 0; x < S; x++)
+                alpha.assign(st, 0.0L);
+                for (int x = 0; x < Sc; x++)
                     for (int t = 0; t < T; t++) {
                         ld acc = 0.0L;
                         const ld* fx = &fwd[((size_t)x * T + t) * nA];
                         for (int a = 0; a < nA; a++) acc += fx[a];
                         alpha[(size_t)x * T + t] = acc;
                     }
-                sum_fold(alpha, &die_prev[(size_t)(c + 1) * K]);
+                std::vector<uint8_t> foldbit(k, 0);
+                for (int j = 0; j < k; j++)
+                    foldbit[j] = die_prev[(size_t)(c + 1) * K + act[c][j]];
+                sum_fold(alpha, k, foldbit);
+                alpha_col = c;
             }
         }
         return 0;
@@ -303,7 +380,18 @@ extern "C" int32_t wh_genotype_run(
     g.active = active; g.allele = allele; g.weight = weight; g.slot_read = slot_read;
     g.read_source = read_source; g.die_prev = die_prev; g.rc = rc; g.h2p = h2p;
     g.gl = gl;
-    g.S = 1 << K;
     g.nA = 1 << P;
+    g.kc.resize(C);
+    g.act.resize(C);
+    g.pos.assign(C, std::vector<int>(K, -1));
+    for (int c = 0; c < C; c++) {
+        for (int s = 0; s < K; s++)
+            if (active[(size_t)c * K + s]) {
+                g.pos[c][s] = (int)g.act[c].size();
+                g.act[c].push_back(s);
+            }
+        g.kc[c] = (int)g.act[c].size();
+        if (g.kc[c] > 30) return -1;
+    }
     return g.run(out);
 }
