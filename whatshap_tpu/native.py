@@ -855,7 +855,90 @@ if _build_switchfliplib():
         switchfliplib = None
 
 
+# --- native exact wMEC/PedMEC DP (native/wmeclib.cpp) -----------------------
+
+_WMEC_SO_PATH = _NATIVE_DIR / "_wmeclib.so"
+
+
+class _WmecLib:
+    def __init__(self, cdll):
+        c = self._lib = cdll
+        c.wh_wmec_solve.restype = ctypes.c_int32
+        c.wh_wmec_solve.argtypes = [
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+
+    def solve(self, C, K, T, P, active, die_prev, wdiff, wbase, acost, rank, rc):
+        import numpy as np
+
+        keep = []
+        ptrs = []
+        for a, ct in (
+            (active.astype(np.uint8), ctypes.c_uint8),
+            (die_prev.astype(np.uint8), ctypes.c_uint8),
+            (wdiff.astype(np.int32), ctypes.c_int32),
+            (wbase.astype(np.int32), ctypes.c_int32),
+            (acost.astype(np.int32), ctypes.c_int32),
+            (rank.astype(np.int8), ctypes.c_int8),
+            (rc.astype(np.int32), ctypes.c_int32),
+        ):
+            a = np.ascontiguousarray(a)
+            keep.append(a)
+            ptrs.append(a.ctypes.data_as(ctypes.POINTER(ct)))
+        out_cost = (ctypes.c_int64 * 1)()
+        out_index = (ctypes.c_int64 * C)()
+        out_trans = (ctypes.c_int64 * C)()
+        rcode = self._lib.wh_wmec_solve(
+            C, K, T, P, *ptrs, out_cost, out_index, out_trans
+        )
+        if rcode != 0:
+            return None
+        return (
+            int(out_cost[0]),
+            np.frombuffer(out_index, dtype=np.int64).copy(),
+            np.frombuffer(out_trans, dtype=np.int64).copy(),
+        )
+
+
+def _build_wmeclib() -> bool:
+    src = _NATIVE_DIR / "wmeclib.cpp"
+    if not src.exists():
+        return False
+    if _WMEC_SO_PATH.exists() and _WMEC_SO_PATH.stat().st_mtime >= src.stat().st_mtime:
+        return True
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", str(_WMEC_SO_PATH), str(src)],
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+wmeclib = None
+if _build_wmeclib():
+    try:
+        wmeclib = _WmecLib(ctypes.CDLL(str(_WMEC_SO_PATH)))
+    except OSError:
+        wmeclib = None
+
+
 # WHATSHAP_TPU_NO_NATIVE=1 disables every native engine (pure-Python
 # fallbacks take over) — a debugging/verification kill switch.
 if os.environ.get("WHATSHAP_TPU_NO_NATIVE"):
-    lib = bamlib = clusterlib = threadlib = genolib = pqext = heurlib = cigarlib = hapchatlib = scorelib = switchfliplib = None
+    lib = bamlib = clusterlib = threadlib = genolib = pqext = heurlib = cigarlib = hapchatlib = scorelib = switchfliplib = wmeclib = None

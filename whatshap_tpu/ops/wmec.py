@@ -795,6 +795,36 @@ def run_dp_batched(packed: PackedProblem) -> Optional[DPResult]:
     return DPResult(total_cost, index_path, trans_path)
 
 
+def _run_dp_native(packed: PackedProblem) -> Optional[DPResult]:
+    """Dispatch to the C++ exact engine (native/wmeclib.cpp) — bit-exact
+    with the numpy mirror (differential-fuzzed), but with the reference's
+    adaptive per-column 2^k_c complexity instead of the padded 2^K.
+    WHATSHAP_TPU_NO_NATIVE=1 disables."""
+    try:
+        from ..native import wmeclib
+    except ImportError:  # pragma: no cover
+        return None
+    if wmeclib is None:
+        return None
+    result = wmeclib.solve(
+        packed.n_cols,
+        packed.K,
+        packed.T,
+        packed.P,
+        packed.active,
+        packed.die_prev,
+        packed.wdiff,
+        packed.wbase,
+        packed.acost,
+        packed.rank,
+        packed.rc,
+    )
+    if result is None:
+        return None
+    cost, index_path, trans_path = result
+    return DPResult(cost, index_path, trans_path)
+
+
 def run_dp(packed: PackedProblem, backend: str = "auto") -> Optional[DPResult]:
     """Run the forward scan + backtrace.  Returns None for empty problems.
 
@@ -891,6 +921,10 @@ def run_dp(packed: PackedProblem, backend: str = "auto") -> Optional[DPResult]:
             np.asarray(index_path, dtype=np.int64)[:C],
             np.asarray(trans_path, dtype=np.int64)[:C],
         )
+
+    native = _run_dp_native(packed)
+    if native is not None:
+        return native
 
     from . import wmec_numpy
 
