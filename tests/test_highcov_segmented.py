@@ -111,6 +111,30 @@ def test_run_dp_routes_high_coverage_to_segmented(monkeypatch):
 
 @pytest.mark.skipif(
     not os.environ.get("WHATSHAP_TPU_SLOW_TESTS"),
+    reason="K=23 XLA-CPU scan takes ~30+ min; tools/verify_k23_tpu.py runs "
+    "the same parity check on a real TPU in seconds",
+)
+def test_coverage_23_segmented_vs_native():
+    """K=23 is the reference's hard coverage cap; the segmented XLA path at
+    that depth must agree with the C++ exact engine (which is adaptive in
+    per-column coverage and therefore cheap even at K=23)."""
+    from whatshap_tpu.native import wmeclib
+
+    if wmeclib is None:
+        pytest.skip("native wmeclib unavailable")
+    _, _, packed = _pack_synthetic(24, 23, seed=6)
+    assert packed.K == 23
+    serial = wmec._run_dp_native(packed)
+    assert serial is not None
+    args = _device_args(packed, 24)
+    seg = wmec.solve_scan_segmented(packed.K, packed.T, packed.P, *args, seg=8)
+    assert seg.optimal_cost == serial.optimal_cost
+    assert list(seg.index_path[: packed.n_cols]) == list(serial.index_path)
+    assert list(seg.trans_path[: packed.n_cols]) == list(serial.trans_path)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("WHATSHAP_TPU_SLOW_TESTS"),
     reason="coverage-20 oracle comparison takes several minutes on XLA-CPU",
 )
 def test_coverage_20_oracle():

@@ -12,6 +12,7 @@ from collections import defaultdict
 from contextlib import ExitStack
 from dataclasses import dataclass
 from enum import Enum
+from pathlib import Path
 from typing import Dict, FrozenSet, List, Optional, Sequence, TextIO, Tuple, Union
 
 from .. import __version__
@@ -40,10 +41,16 @@ class SupplementaryHaplotaggingStrategy(Enum):
         return self is not SupplementaryHaplotaggingStrategy.SKIP
 
     def attempt_to_haplotag_each_supplementary(self) -> bool:
-        return self.value.startswith("independent")
+        return self in (
+            SupplementaryHaplotaggingStrategy.INDEPENDENT_OR_SKIP,
+            SupplementaryHaplotaggingStrategy.INDEPENDENT_OR_COPY_PRIMARY,
+        )
 
     def attempt_to_copy_primary(self) -> bool:
-        return self.value.endswith("copy-primary")
+        return self in (
+            SupplementaryHaplotaggingStrategy.COPY_PRIMARY,
+            SupplementaryHaplotaggingStrategy.INDEPENDENT_OR_COPY_PRIMARY,
+        )
 
     def __str__(self):
         return self.value
@@ -147,11 +154,8 @@ def alignment_representation(alignment, as_primary: bool = False) -> ReadAlignme
 def min_alignment_distance(first_start, first_end, second_start, second_end) -> int:
     a, b = sorted((first_start, first_end))
     c, d = sorted((second_start, second_end))
-    if a > d:
-        return a - d
-    if c > b:
-        return c - b
-    return 0
+    # gap between the two intervals, zero when they overlap
+    return max(0, a - d, c - b)
 
 
 # ---------------------------------------------------------------------------
@@ -159,19 +163,20 @@ def min_alignment_distance(first_start, first_end, second_start, second_end) -> 
 
 
 def md5_of(filename):
-    with open(filename, "rb") as f:
-        return hashlib.md5(f.read()).hexdigest()
+    return hashlib.md5(Path(filename).read_bytes()).hexdigest()
 
 
 def get_variant_information(variant_table: VariantTable, sample: str):
     """(position -> (block id, phase tuple), list of het phased variants)."""
-    genotypes = variant_table.genotypes_of(sample)
-    phases: List[Optional[VariantCallPhase]] = variant_table.phases_of(sample)
-
+    rows = zip(
+        variant_table.variants,
+        variant_table.genotypes_of(sample),
+        variant_table.phases_of(sample),
+    )
     phase_info_at = {}
     het_variants = []
-    for variant, gt, phase in zip(variant_table.variants, genotypes, phases):
-        if phase is None or phase.block_id is None:
+    for variant, gt, phase in rows:
+        if getattr(phase, "block_id", None) is None:
             continue
         phase_info_at[variant.position] = (int(phase.block_id), phase.phase)
         if not gt.is_homozygous():
@@ -182,14 +187,14 @@ def get_variant_information(variant_table: VariantTable, sample: str):
 def load_chromosome_variants(
     vcf_reader: VcfReader, chromosome: str, regions: Sequence[Tuple[int, Optional[int]]]
 ) -> VariantTable:
+    logger.debug(f"Loading variants from {len(regions)} distinct region(s)")
     try:
-        logger.debug(f"Loading variants from {len(regions)} distinct region(s)")
-        variant_table = vcf_reader.fetch_regions(chromosome, regions)
-        logger.debug(f"Loaded {len(variant_table)} variants for chromosome {chromosome} in VCF")
+        table = vcf_reader.fetch_regions(chromosome, regions)
     except OSError as err:
         logger.error(str(err))
-        raise err
-    return variant_table
+        raise
+    logger.debug(f"Loaded {len(table)} variants for chromosome {chromosome} in VCF")
+    return table
 
 
 # ---------------------------------------------------------------------------
@@ -230,10 +235,9 @@ def prepare_haplotag_information(
 
         for read in read_set:
             if not read.is_supplementary:
-                primary_info[read_representation(read, as_primary=True)] = PrimaryInfo(
-                    reference_start=read.reference_start,
-                    reference_end=read.reference_end,
-                    is_reverse=read.is_reverse,
+                key = read_representation(read, as_primary=True)
+                primary_info[key] = PrimaryInfo(
+                    read.reference_start, read.reference_end, read.is_reverse
                 )
 
         done = set()
@@ -257,11 +261,11 @@ def prepare_haplotag_information(
             for member in group:
                 done.add(read_representation(member, as_primary=False))
                 for v in member:
-                    assert v.allele in [0, 1]
+                    assert v.allele in (0, 1)
                     phaseset, phasing = phase_info_at[v.position]
+                    tally = votes[phaseset]
                     for hap, hap_allele in enumerate(phasing):
-                        if v.allele == hap_allele:
-                            votes[phaseset][hap] += v.quality
+                        tally[hap] += v.quality * (v.allele == hap_allele)
 
             if not votes:
                 continue
@@ -284,10 +288,8 @@ def prepare_haplotag_information(
                     phaseset,
                 )
                 logger.debug(
-                    "Assigned read {} to haplotype {} with a "
-                    "quality of {} based on {} covered variants".format(
-                        member.name, best_hap, quality, len(member)
-                    )
+                    f"Assigned read {member.name} to haplotype {best_hap} with a "
+                    f"quality of {quality} based on {len(member)} covered variants"
                 )
     return bx_to_haplotype, read_to_haplotype, n_multiple_phase_sets, primary_info
 
@@ -356,28 +358,25 @@ def attempt_add_phase_information(
         supplementary_strand_match,
         supplementary_distance_threshold,
     )
+    def tag_with(haplotype, quality, phaseset):
+        for name, value in (("HP", haplotype + 1), ("PC", quality), ("PS", phaseset)):
+            alignment.set_tag(name, value)
+        return 1, f"H{haplotype + 1}", phaseset
+
     for candidate in candidates:
-        if candidate in read_to_haplotype:
-            haplotype, quality, phaseset = read_to_haplotype[candidate]
-            alignment.set_tag("HP", haplotype + 1)
-            alignment.set_tag("PC", quality)
-            alignment.set_tag("PS", phaseset)
-            return 1, f"H{haplotype + 1}", phaseset
+        assignment = read_to_haplotype.get(candidate)
+        if assignment is not None:
+            return tag_with(*assignment)
 
     # fall back to the linked-read cloud of this BX tag
     if not ignore_linked_read:
         try:
-            tag = alignment.get_tag("BX")
+            clouds = bxtag_to_haplotype[alignment.get_tag("BX")]
         except KeyError:
             clouds = []
-        else:
-            clouds = bxtag_to_haplotype[tag]
         for reference_start, haplotype, phaseset in clouds:
             if abs(reference_start - alignment.reference_start) <= linked_read_cutoff:
-                alignment.set_tag("HP", haplotype + 1)
-                alignment.set_tag("PC", value=None)
-                alignment.set_tag("PS", phaseset)
-                return 1, f"H{haplotype + 1}", phaseset
+                return tag_with(haplotype, None, phaseset)
     return 0, "none", "none"
 
 
@@ -551,29 +550,31 @@ def run_haplotag(
         )
     with ExitStack() as stack:
         timers.start("haplotag-init")
-        try:
-            vcf_reader = stack.enter_context(
-                VcfReader(variant_file, only_snvs=False, phases=True, ploidy=ploidy)
-            )
-        except OSError as err:
-            raise CommandLineError(f"Error while loading variant file {variant_file}: {err}")
 
-        use_vcf_samples = compute_variant_file_samples_to_use(
-            vcf_reader.samples, given_samples, ignore_read_groups
+        def managed(resource_factory, what, path):
+            try:
+                return stack.enter_context(resource_factory())
+            except OSError as err:
+                raise CommandLineError(f"Error while loading {what} file {path}: {err}")
+
+        vcf = managed(
+            lambda: VcfReader(variant_file, only_snvs=False, phases=True, ploidy=ploidy),
+            "variant", variant_file,
         )
-        try:
-            bam_reader = stack.enter_context(
-                samlib.AlignmentFile(
-                    alignment_file,
-                    reference_filename=reference if reference else None,
-                    require_index=True,
-                )
-            )
-        except OSError as err:
-            raise CommandLineError(f"Error while loading alignment file {alignment_file}: {err}")
-        shared_samples = compute_shared_samples(bam_reader, ignore_read_groups, use_vcf_samples)
+        use_vcf_samples = compute_variant_file_samples_to_use(
+            vcf.samples, given_samples, ignore_read_groups
+        )
+        aln_reader = managed(
+            lambda: samlib.AlignmentFile(
+                alignment_file,
+                reference_filename=reference if reference else None,
+                require_index=True,
+            ),
+            "alignment", alignment_file,
+        )
+        shared_samples = compute_shared_samples(aln_reader, ignore_read_groups, use_vcf_samples)
 
-        user_regions = normalize_user_regions(regions, bam_reader.references)
+        user_regions = normalize_user_regions(regions, aln_reader.references)
         include_unmapped = regions is None
 
         phased_input_reader = stack.enter_context(
@@ -596,13 +597,10 @@ def run_haplotag(
                 "or use --no-reference at the expense of phasing quality."
             )
 
-        bam_writer = stack.enter_context(
+        aln_writer = stack.enter_context(
             open_output_alignment_file(
-                output,
-                reference,
-                md5_of(variant_file),
-                bam_reader.header.to_dict(),
-                threads=output_threads,
+                output, reference, md5_of(variant_file),
+                aln_reader.header.to_dict(), threads=output_threads,
             )
         )
         haplotag_writer = None
@@ -613,7 +611,8 @@ def run_haplotag(
         timers.start("haplotag-process")
 
         n_alignments = n_tagged = n_multiple_phase_sets = 0
-        has_alignments = contigs_with_alignments(bam_reader)
+        has_alignments = contigs_with_alignments(aln_reader)
+        want_supplementary = supplementary_strategy.consider_supplementary()
 
         for chrom, chrom_regions in user_regions.items():
             logger.debug(f"Processing chromosome {chrom}")
@@ -621,7 +620,7 @@ def run_haplotag(
                 # BAM header may list contigs the VCF knows nothing about
                 continue
             try:
-                variant_table = load_chromosome_variants(vcf_reader, chrom, chrom_regions)
+                variant_table = load_chromosome_variants(vcf, chrom, chrom_regions)
             except VcfInvalidChromosome:
                 if skip_missing_contigs:
                     logger.info(
@@ -638,18 +637,12 @@ def run_haplotag(
 
             if variant_table is not None:
                 logger.debug("Preparing haplotype information")
-                bx_to_haplotype, read_to_haplotype, n_mult, primary_info = (
-                    prepare_haplotag_information(
-                        variant_table,
-                        shared_samples,
-                        phased_input_reader,
-                        chrom_regions,
-                        ignore_linked_read,
-                        linked_read_distance_cutoff,
-                        ploidy,
-                        supplementary_strategy=supplementary_strategy,
-                    )
+                prepared = prepare_haplotag_information(
+                    variant_table, shared_samples, phased_input_reader, chrom_regions,
+                    ignore_linked_read, linked_read_distance_cutoff, ploidy,
+                    supplementary_strategy=supplementary_strategy,
                 )
+                bx_to_haplotype, read_to_haplotype, n_mult, primary_info = prepared
                 n_multiple_phase_sets += n_mult
             else:
                 bx_to_haplotype = read_to_haplotype = None
@@ -658,22 +651,19 @@ def run_haplotag(
             assert not include_unmapped or len(chrom_regions) == 1
             for start, end in chrom_regions:
                 logger.debug("Working on %s:%s-%s", chrom, start, end)
-                for alignment in bam_reader.fetch(contig=chrom, start=start, stop=end):
+                for alignment in aln_reader.fetch(contig=chrom, start=start, stop=end):
                     n_alignments += 1
                     haplotype_name = "none"
                     phaseset = "none"
-                    if variant_table is None or ignore_read(
-                        alignment,
-                        include_supplementary=supplementary_strategy.consider_supplementary(),
-                    ):
+                    skip = variant_table is None or ignore_read(
+                        alignment, include_supplementary=want_supplementary
+                    )
+                    if skip:
                         _strip_phase_tags(alignment)
                     else:
                         is_tagged, haplotype_name, phaseset = attempt_add_phase_information(
-                            alignment,
-                            read_to_haplotype,
-                            bx_to_haplotype,
-                            linked_read_distance_cutoff,
-                            ignore_linked_read,
+                            alignment, read_to_haplotype, bx_to_haplotype,
+                            linked_read_distance_cutoff, ignore_linked_read,
                             supplementary_strategy=supplementary_strategy,
                             primary_info_by_repr=primary_info,
                             supplementary_strand_match=supplementary_strand_match,
@@ -683,37 +673,31 @@ def run_haplotag(
                         if not is_tagged:
                             _strip_phase_tags(alignment)
 
-                    bam_writer.write(alignment)
+                    aln_writer.write(alignment)
                     list_this = haplotag_writer is not None and not (
                         alignment.is_secondary
-                        or (
-                            alignment.is_supplementary
-                            and not supplementary_strategy.consider_supplementary()
-                        )
+                        or (alignment.is_supplementary and not want_supplementary)
                     )
                     if list_this:
-                        print(
-                            alignment.query_name,
-                            haplotype_name,
-                            phaseset,
-                            chrom,
-                            sep="\t",
-                            file=haplotag_writer,
-                        )
+                        row = (alignment.query_name, haplotype_name, phaseset, chrom)
+                        print(*row, sep="\t", file=haplotag_writer)
                     if n_alignments % 100_000 == 0:
                         logger.debug(f"Processed {n_alignments} alignment records.")
 
         if include_unmapped:
             logger.debug("Copying unmapped reads to output")
-            for alignment in bam_reader.fetch(contig="*"):
-                bam_writer.write(alignment)
+            for alignment in aln_reader.fetch(contig="*"):
+                aln_writer.write(alignment)
         timers.stop("haplotag-process")
 
     timers.stop("haplotag-run")
     logger.info("\n== SUMMARY ==")
-    logger.info("Total alignments processed:              %12d", n_alignments)
-    logger.info("Alignments that could be tagged:         %12d", n_tagged)
-    logger.info("Alignments spanning multiple phase sets: %12d", n_multiple_phase_sets)
+    for label, count in (
+        ("Total alignments processed:", n_alignments),
+        ("Alignments that could be tagged:", n_tagged),
+        ("Alignments spanning multiple phase sets:", n_multiple_phase_sets),
+    ):
+        logger.info("%-40s %12d", label, count)
     logger.info("Finished in %.1f s", timers.elapsed("haplotag-run"))
 
 

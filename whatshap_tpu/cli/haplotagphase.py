@@ -73,20 +73,19 @@ def compute_votes(
     n_bad_hp = 0
     for read in reads:
         phase_set, haplotype = read.PS_tag - 1, read.HP_tag - 1
-        if haplotype < 0 or phase_set < 0:
+        if min(haplotype, phase_set) < 0:
             continue
         if haplotype > 1:
             n_bad_hp += 1
             continue
         for variant in read:
-            if is_homozygous[variant.position]:
+            pos = variant.position
+            if is_homozygous[pos]:
                 continue
-            site = votes.setdefault(variant.position, {})
+            site = votes.setdefault(pos, {(phase_set, 0): 0, (phase_set, 1): 0})
             if (phase_set, 0) not in site:
-                site[(phase_set, 0)] = 0
-                site[(phase_set, 1)] = 0
-            key = (phase_set, haplotype ^ allele_to_id[variant.position][variant.allele])
-            site[key] += variant.quality
+                site.update({(phase_set, 0): 0, (phase_set, 1): 0})
+            site[phase_set, haplotype ^ allele_to_id[pos][variant.allele]] += variant.quality
     if n_bad_hp > 0:
         logger.warning(
             f"{n_bad_hp} reads were skipped due incorrect HP. "
@@ -146,35 +145,43 @@ def consensus(
     gap_threshold: int,
     cut_homopolymers: int,
     refseq,
-    change: Dict[int, VcfVariant],
-    phased: Dict[int, Optional[VariantCallPhase]],
+    variant_at: Dict[int, VcfVariant],
+    phase_at: Dict[int, Optional[VariantCallPhase]],
     votes: Dict[int, Dict[Tuple[int, int], int]],
     id_to_allele: Dict[int, Dict[int, int]],
 ):
     """Turn per-position votes into the two superreads.  Variants that
     were not already phased must clear the vote-share threshold and the
     indel-only / homopolymer screens."""
+
+    def in_long_homopolymer(pos: int) -> bool:
+        if cut_homopolymers <= 0:
+            return False
+        longest = max(
+            length_of_homopolymer(refseq, pos + 1, 1, cut_homopolymers),
+            length_of_homopolymer(refseq, pos, -1, cut_homopolymers),
+        )
+        return longest > cut_homopolymers
+
     super_reads: List[List[Variant]] = [[], []]
     components = {}
 
     for pos, site_votes in votes.items():
         allele, phase_set, share, score = best_candidate(site_votes)
         components[pos] = phase_set
-        if phased[pos] is None:
-            if 100 * share < gap_threshold:
+        if phase_at[pos] is None:
+            screened_out = (
+                100 * share < gap_threshold
+                or (only_indels and variant_at[pos].is_snv())
+                or in_long_homopolymer(pos)
+            )
+            if screened_out:
                 continue
-            if only_indels and change[pos].is_snv():
-                continue
-            if cut_homopolymers > 0:
-                run = max(
-                    length_of_homopolymer(refseq, pos + 1, 1, cut_homopolymers),
-                    length_of_homopolymer(refseq, pos, -1, cut_homopolymers),
-                )
-                if run > cut_homopolymers:
-                    continue
         alleles_at = id_to_allele[pos]
-        super_reads[0].append(Variant(pos, allele=alleles_at[allele], quality=score))
-        super_reads[1].append(Variant(pos, allele=alleles_at[1 - allele], quality=score))
+        for hap in (0, 1):
+            super_reads[hap].append(
+                Variant(pos, allele=alleles_at[allele ^ hap], quality=score)
+            )
 
     for read in super_reads:
         read.sort(key=lambda v: v.position)
@@ -213,7 +220,7 @@ def run_haplotagphase(
         else None
     )
     with ExitStack() as stack:
-        phased_input_reader = stack.enter_context(
+        bam_reader = stack.enter_context(
             PhasedInputReader(
                 [alignment_file],
                 None if reference is False else reference,
@@ -223,7 +230,7 @@ def run_haplotagphase(
             )
         )
         try:
-            vcf_writer = stack.enter_context(
+            writer = stack.enter_context(
                 PhasedVcfWriter(
                     command_line=command_line,
                     in_path=variant_file,
@@ -235,36 +242,36 @@ def run_haplotagphase(
         except (OSError, VcfError) as e:
             raise CommandLineError(e)
 
-        vcf_reader = stack.enter_context(VcfReader(variant_file, phases=True, mav=mav))
-        if ignore_read_groups and not samples and len(vcf_reader.samples) > 1:
+        reader = stack.enter_context(VcfReader(variant_file, phases=True, mav=mav))
+        if ignore_read_groups and not samples and len(reader.samples) > 1:
             raise CommandLineError(
                 "When using --ignore-read-groups on a VCF with "
                 "multiple samples, --sample must also be used."
             )
         if not samples:
-            samples = vcf_reader.samples
-        raise_if_any_sample_not_in_vcf(vcf_reader, samples)
+            samples = reader.samples
+        raise_if_any_sample_not_in_vcf(reader, samples)
 
         with timers("read-fasta"):
             fasta = stack.enter_context(IndexedFasta(reference))
 
         wanted = ChromosomeFilter(chromosomes, excluded_chromosomes)
-        for variant_table in timers.iterate("parse-vcf", vcf_reader):
+        for variant_table in timers.iterate("parse-vcf", reader):
             chromosome = variant_table.chromosome
             refseq = fasta[chromosome]
             logger.info(f"Processing chromosome {chromosome}...")
             if chromosome not in wanted:
                 logger.info(f"Leaving chromosome {chromosome} unchanged")
                 with timers("write-vcf"):
-                    vcf_writer.write_unchanged(chromosome)
+                    writer.write_unchanged(chromosome)
                 continue
 
             superreads_of, components_of = {}, {}
-            for sample in vcf_reader.samples:
+            for sample in reader.samples:
                 logger.info(f"Processing sample {sample}")
                 genotypes = variant_table.genotypes_of(sample)
                 with timers("read-bam"):
-                    reads, _ = phased_input_reader.read(
+                    reads, _ = bam_reader.read(
                         chromosome, variant_table.variants, sample, restricted_genotypes=genotypes
                     )
                 phases = variant_table.phases_of(sample)
@@ -306,23 +313,27 @@ def run_haplotagphase(
                         id_to_allele,
                     )
             with timers("write-vcf"):
-                vcf_writer.write(chromosome, superreads_of, components_of)
+                writer.write(chromosome, superreads_of, components_of)
     timers.stop("haplotagphase-run")
     log_time_and_memory_usage(timers)
+
+
+_SUMMARY_STAGES = [
+    ("Finished in :", "haplotagphase-run"),
+    ("Time spent reading reference:", "read-fasta"),
+    ("Time spent reading VCF:", "parse-vcf"),
+    ("Time spent writing VCF:", "write-vcf"),
+    ("Time spent reading BAM:", "read-bam"),
+    ("Time spent computing votes:", "compute-votes"),
+    ("Time spent spent computing consensus:", "compute-consensus"),
+]
 
 
 def log_time_and_memory_usage(timers):
     logger.info("\n# Resource usage")
     log_memory_usage()
-    # fmt: off
-    logger.info("Finished in :                              %6.1f s", timers.elapsed("haplotagphase-run"))
-    logger.info("Time spent reading reference:              %6.1f s", timers.elapsed("read-fasta"))
-    logger.info("Time spent reading VCF:                    %6.1f s", timers.elapsed("parse-vcf"))
-    logger.info("Time spent writing VCF:                    %6.1f s", timers.elapsed("write-vcf"))
-    logger.info("Time spent reading BAM:                    %6.1f s", timers.elapsed("read-bam"))
-    logger.info("Time spent computing votes:                %6.1f s", timers.elapsed("compute-votes"))
-    logger.info("Time spent spent computing consensus:      %6.1f s", timers.elapsed("compute-consensus"))
-    # fmt: on
+    for label, stage in _SUMMARY_STAGES:
+        logger.info("%-42s %6.1f s", label, timers.elapsed(stage))
 
 
 def main(args):

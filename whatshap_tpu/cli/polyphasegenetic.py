@@ -31,8 +31,6 @@ from ..utils import ChromosomeFilter
 from ..vcf import PhasedVcfWriter, PloidyError, VcfReader
 from . import CommandLineError, log_memory_usage, populate_arg_parser
 
-__author__ = "Sven Schrinner"
-
 logger = logging.getLogger(__name__)
 
 
@@ -95,17 +93,21 @@ def add_arguments(parser):
     populate_arg_parser(parser, POLYPHASEGENETIC_ARGUMENTS)
 
 
+_ARG_CHECKS = [
+    (lambda a: 0.01 <= a.allele_error_rate <= 0.5,
+     "Allele error rate must be between 0.01 and 0.5."),
+    (lambda a: a.scoring_window >= 1, "Scoring window must be a positive integer."),
+    (lambda a: a.complexity_support in (0, 1, 2),
+     "Complexity support level must be either 0, 1 or 2."),
+    (lambda a: a.ploidy % 2 == 0, "Odd ploidies are not supported."),
+    (lambda a: a.ploidy >= 2, "Ploidy must be at least 2."),
+]
+
+
 def validate(args, parser):
-    if args.allele_error_rate > 0.5 or args.allele_error_rate < 0.01:
-        parser.error("Allele error rate must be between 0.01 and 0.5.")
-    if args.scoring_window < 1:
-        parser.error("Scoring window must be a positive integer.")
-    if args.complexity_support not in [0, 1, 2]:
-        parser.error("Complexity support level must be either 0, 1 or 2.")
-    if args.ploidy % 2 > 0:
-        parser.error("Odd ploidies are not supported.")
-    if args.ploidy < 2:
-        parser.error("Ploidy must be at least 2.")
+    for ok, message in _ARG_CHECKS:
+        if not ok(args):
+            parser.error(message)
 
 
 # ---------------------------------------------------------------------------
@@ -118,19 +120,24 @@ def _parse_trio_file(pedigree_file):
     coparents = {}
     progenies = defaultdict(list)
     with open(pedigree_file) as ped:
-        for i, line in enumerate(ped):
-            tokens = line.replace("\n", "").split(" ")
+        for lineno, raw in enumerate(ped):
+            tokens = raw.rstrip("\n").split(" ")
             if len(tokens) != 3:
-                logger.error(f"Line {i} in pedfile contains {len(tokens)} values instead of 3.")
+                logger.error(
+                    f"Line {lineno} in pedfile contains {len(tokens)} values instead of 3."
+                )
                 raise CommandLineError(None)
-            progeny = tokens[2]
-            if progeny in tokens[:2]:
-                logger.warning(f"Ignore: Sample {progeny} defined as its own parent in line {i}.")
+            father, mother, progeny = tokens
+            if progeny == father or progeny == mother:
+                logger.warning(
+                    f"Ignore: Sample {progeny} defined as its own parent in line {lineno}."
+                )
                 continue
-            for parent, co_parent in zip(tokens[:2], tokens[-2::-1]):
-                if parent in coparents and coparents[parent] != co_parent:
+            for parent, co_parent in ((father, mother), (mother, father)):
+                known_partner = coparents.get(parent)
+                if known_partner is not None and known_partner != co_parent:
                     msg = (
-                        f"Pedfile assigns multiple partners ({co_parent}, {coparents[parent]}) to "
+                        f"Pedfile assigns multiple partners ({co_parent}, {known_partner}) to "
                         f"{parent}. Currently only one partner per sample is supported."
                     )
                     logger.error(msg)
@@ -139,7 +146,7 @@ def _parse_trio_file(pedigree_file):
                 if progeny in progenies[parent]:
                     logger.warning(
                         f"Ignore: Duplicate trio ({parent}, {co_parent}, {progeny}) "
-                        f"in pedfile line {i}"
+                        f"in pedfile line {lineno}"
                     )
                 else:
                     progenies[parent].append(progeny)
@@ -152,33 +159,28 @@ def determine_pedigree(pedigree_file, samples, parent_samples, progeny_samples=N
     its genotypes are available (progeny VCF, else the primary VCF)."""
     coparents, progenies = _parse_trio_file(pedigree_file)
 
+    def fail(msg):
+        logger.error(msg)
+        raise CommandLineError(msg)
+
+    primary = set(parent_samples)
     if samples:
         for sample in samples:
             if sample not in coparents:
-                msg = f"Requested parent sample {sample} does not occur as parent in pedfile."
-                logger.error(msg)
-                raise CommandLineError(msg)
-            if sample not in parent_samples:
-                msg = f"Requested parent sample {sample} is not present in primary VCF file."
-                logger.error(msg)
-                raise CommandLineError(msg)
-            if coparents[sample] not in parent_samples:
-                msg = (
+                fail(f"Requested parent sample {sample} does not occur as parent in pedfile.")
+            if sample not in primary:
+                fail(f"Requested parent sample {sample} is not present in primary VCF file.")
+            if coparents[sample] not in primary:
+                fail(
                     f"Partner {coparents[sample]} of requested parent sample {sample} "
                     "is not present in primary VCF file."
                 )
-                logger.error(msg)
-                raise CommandLineError(msg)
     else:
         if not coparents:
-            msg = "Pedfile does not contain any trios."
-            logger.error(msg)
-            raise CommandLineError(msg)
-        samples = [s for s in coparents if s in parent_samples]
+            fail("Pedfile does not contain any trios.")
+        samples = [s for s in coparents if s in primary]
         if not samples:
-            msg = "No prospect parent sample from the pedfile is present in primary VCF file"
-            logger.error(msg)
-            raise CommandLineError(msg)
+            fail("No prospect parent sample from the pedfile is present in primary VCF file")
 
     usable_progenies = {}
     chosen_coparents = {}
@@ -186,20 +188,16 @@ def determine_pedigree(pedigree_file, samples, parent_samples, progeny_samples=N
         chosen_coparents[sample] = coparents[sample]
         kept = []
         for progeny in progenies[sample]:
-            if progeny_samples:
-                if progeny in progeny_samples:
-                    kept.append(progeny)
-                elif progeny in parent_samples:
-                    logger.warning(
-                        f"Ignore: Progeny {progeny} present in primary VCF instead of "
-                        "progeny VCF."
-                    )
-                else:
-                    logger.warning(f"Ignore: Progeny {progeny} not present in progeny VCF.")
-            elif progeny in parent_samples:
+            pool = progeny_samples if progeny_samples else primary
+            if progeny in pool:
                 kept.append(progeny)
+            elif progeny_samples and progeny in primary:
+                logger.warning(
+                    f"Ignore: Progeny {progeny} present in primary VCF instead of progeny VCF."
+                )
             else:
-                logger.warning(f"Ignore: Progeny {progeny} not present in primary VCF.")
+                where = "progeny VCF" if progeny_samples else "primary VCF"
+                logger.warning(f"Ignore: Progeny {progeny} not present in {where}.")
         usable_progenies[sample] = kept
     return samples, chosen_coparents, usable_progenies
 
@@ -468,17 +466,21 @@ def run_polyphasegenetic(
 
     logger.info("\n== SUMMARY ==")
     log_memory_usage()
-    # fmt: off
-    logger.info("Time spent parsing VCF:                   %6.1f s", timers.elapsed("parse_vcf"))
-    logger.info("Time spent for genetic scoring:           %6.1f s", timers.elapsed("scoring"))
-    logger.info("Time spent for clustering:                %6.1f s", timers.elapsed("clustering"))
-    logger.info("Time spent for cluster arrangement:       %6.1f s", timers.elapsed("arrangement"))
-    logger.info("Time spent writing VCF:                   %6.1f s", timers.elapsed("write_vcf"))
+    summary_rows = [
+        ("Time spent parsing VCF:", timers.elapsed("parse_vcf")),
+        ("Time spent for genetic scoring:", timers.elapsed("scoring")),
+        ("Time spent for clustering:", timers.elapsed("clustering")),
+        ("Time spent for cluster arrangement:", timers.elapsed("arrangement")),
+        ("Time spent writing VCF:", timers.elapsed("write_vcf")),
+    ]
     if plot:
-        logger.info("Time spent creating plots:                %6.1f s", timers.elapsed("plots"))
-    logger.info("Time spent on rest:                       %6.1f s", timers.total() - timers.sum())
-    logger.info("Total elapsed time:                       %6.1f s", timers.total())
-    # fmt: on
+        summary_rows.append(("Time spent creating plots:", timers.elapsed("plots")))
+    summary_rows += [
+        ("Time spent on rest:", timers.total() - timers.sum()),
+        ("Total elapsed time:", timers.total()),
+    ]
+    for label, seconds in summary_rows:
+        logger.info("%-41s %6.1f s", label, seconds)
 
 
 def main(args):

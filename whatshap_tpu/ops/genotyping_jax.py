@@ -141,7 +141,15 @@ def _forward_backward(
     )
     S = 1 << K
     nA = 1 << P
-    bits = jnp.asarray(wmec._bits_matrix(K), dtype=ftype)  # (S, K)
+    # device-generated to keep the serialized HLO free of O(2^K * K)
+    # constants; the barrier additionally stops XLA constant folding from
+    # re-materializing it inside the compiler (OOM at high K)
+    bits = jax.lax.optimization_barrier(
+        (
+            (jnp.arange(S, dtype=jnp.uint32)[:, None] >> jnp.arange(K, dtype=jnp.uint32)[None, :])
+            & 1
+        ).astype(ftype)
+    )  # (S, K)
     abits = np.asarray(wmec._assign_bits(P))  # (nA, P) host constant
 
     def emission(base_c, diff_c):

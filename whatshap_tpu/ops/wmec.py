@@ -363,7 +363,18 @@ def _forward_scan_impl(
     """Forward pass.  Returns per-column backtrace arrays and final state."""
     S = 1 << K
     nA = 1 << P
-    bits = jnp.asarray(_bits_matrix(K))  # (S, K) f32
+    # generate the (S, K) bit matrix on device: baking it in as a host
+    # constant makes the serialized HLO O(2^K * K) — at K=23 that is a
+    # ~770 MB constant that oversizes remote-compile requests.  The
+    # optimization_barrier stops XLA from constant-folding the iota
+    # expression back into exactly that constant at compile time (the fold
+    # OOMs the compiler at high K).
+    bits = jax.lax.optimization_barrier(
+        (
+            (jnp.arange(S, dtype=jnp.uint32)[:, None] >> jnp.arange(K, dtype=jnp.uint32)[None, :])
+            & 1
+        ).astype(jnp.float32)
+    )  # (S, K) f32
     abits = jnp.asarray(_assign_bits(P))  # (nA, P) i32
     pcmat_np = _popcount_matrix(T)
     max_pc = max(int(pcmat_np.max()), 1)

@@ -6,7 +6,7 @@ polyphase subcommand (counterpart of whatshap/polyphase/__init__.py).
 
 import logging
 from collections import Counter, defaultdict
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Dict, Iterator, List
 
 from ..core import ReadSet
@@ -16,15 +16,11 @@ from .solver import AlleleMatrix
 logger = logging.getLogger(__name__)
 
 
-Position = int
-Allele = int
-Genotype = Dict[Allele, int]
-AlleleDepth = Dict[Allele, int]
-Haplotype = List[Allele]
-ReadId = int
-Cluster = List[ReadId]
+# type aliases shared across the polyphase package
+Position = Allele = ReadId = ClusterId = int
+Genotype = AlleleDepth = Dict[int, int]
+Haplotype = Cluster = List[int]
 Clustering = List[Cluster]
-ClusterId = int
 Threading = List[List[ClusterId]]
 
 
@@ -32,11 +28,14 @@ class SolverError(Exception):
     pass
 
 
+@dataclass
 class Interval:
-    def __init__(self, start: Position, end: Position):
-        self.start = start
-        self.end = end
-        self.length = end - start
+    start: Position
+    end: Position
+    length: int = field(init=False)
+
+    def __post_init__(self):
+        self.length = self.end - self.start
 
 
 @dataclass
@@ -61,11 +60,14 @@ class BlockContext:
     recursion_level: int
 
 
+@dataclass
 class PhaseBreakpoint:
-    def __init__(self, position: int, haplotypes: List[int], confidence: float):
-        self.position = position
-        self.haplotypes = sorted(haplotypes[:])
-        self.confidence = confidence
+    position: int
+    haplotypes: List[int]
+    confidence: float
+
+    def __post_init__(self):
+        self.haplotypes = sorted(self.haplotypes)
 
 
 @dataclass
@@ -85,40 +87,37 @@ class PolyphaseResult:
     breakpoints: List[PhaseBreakpoint]
 
 
-def get_coverage(
-    allele_matrix: AlleleMatrix, clustering: List[Cluster]
-) -> List[Dict[ClusterId, float]]:
+def get_coverage(allele_matrix, clustering):
     """Per position: cluster id -> that cluster's share of the reads
     covering the position."""
-    num_vars = allele_matrix.getNumPositions()
-    hits: List[Dict[int, float]] = [defaultdict(float) for _ in range(num_vars)]
-    totals = [0] * num_vars
-    for c_id, cluster in enumerate(clustering):
-        for read in cluster:
+    n_pos = allele_matrix.getNumPositions()
+    tallies = [Counter() for _ in range(n_pos)]
+    for c_id, members in enumerate(clustering):
+        for read in members:
             for pos, _ in allele_matrix.getRead(read):
-                hits[pos][c_id] += 1
-                totals[pos] += 1
-    for pos, bucket in enumerate(hits):
-        for c_id in bucket:
-            bucket[c_id] /= totals[pos]
-    return hits
+                tallies[pos][c_id] += 1
+    shares = []
+    for bucket in tallies:
+        depth = sum(bucket.values())
+        shares.append({c_id: n / depth for c_id, n in bucket.items()})
+    return shares
 
 
 def _cut_coverage_threshold(ploidy: int) -> int:
     """Smallest read count giving >= 98% chance of touching at least
     ploidy-1 haplotypes; replicates the reference's fallback of
     ploidy^2 - 1 when the loop never converges."""
-    threshold = ploidy * ploidy
-    for i in range(ploidy - 1, ploidy * ploidy):
-        threshold = i
-        if ploidy * ((ploidy - 2) / ploidy) ** i < 0.02:
+    miss_rate = (ploidy - 2) / ploidy
+    hi = ploidy * ploidy
+    threshold = hi
+    for count in range(ploidy - 1, hi):
+        threshold = count
+        if ploidy * miss_rate**count < 0.02:
             break
     return threshold
 
 
-def compute_block_bounds(
-    am: AlleleMatrix, ploidy: int, single_linkage: bool = False
-) -> Iterator[Interval]:
+def compute_block_bounds(am, ploidy: int, single_linkage: bool = False) -> Iterator[Interval]:
     """Split the variant range into independently phasable intervals.
 
     Consecutive variants stay in one interval when enough reads link them
@@ -126,51 +125,50 @@ def compute_block_bounds(
     read suffices for diploid input or with single_linkage; otherwise the
     coverage threshold from _cut_coverage_threshold applies.
     """
-    num_vars = am.getNumPositions()
-    if num_vars == 0:
+    n_pos = am.getNumPositions()
+    if not n_pos:
         return
 
-    if ploidy == 2 or single_linkage:
-        cut_threshold = 1
-    else:
-        cut_threshold = _cut_coverage_threshold(ploidy)
-    logger.debug(f"Cut position threshold: coverage >= {cut_threshold}")
+    link_min = (
+        1 if ploidy == 2 or single_linkage else _cut_coverage_threshold(ploidy)
+    )
+    logger.debug(f"Cut position threshold: coverage >= {link_min}")
 
     # adjacency coverage between consecutive positions
-    links = [0] * num_vars
+    adjacent = [0] * n_pos
     for read in am:
-        positions = [pos for (pos, _) in read]
-        for a, b in zip(positions, positions[1:]):
-            if a + 1 == b:
-                links[a] += 1
+        covered = [pos for (pos, _) in read]
+        for a, b in zip(covered, covered[1:]):
+            if b - a == 1:
+                adjacent[a] += 1
 
     # runs of well-linked consecutive positions
-    run_of = [0] * num_vars
-    for i in range(1, num_vars):
-        run_of[i] = run_of[i - 1] if links[i - 1] >= cut_threshold else run_of[i - 1] + 1
-    num_runs = run_of[-1] + 1
+    run_of = [0] * n_pos
+    for pos in range(1, n_pos):
+        run_of[pos] = run_of[pos - 1] + (adjacent[pos - 1] < link_min)
+    n_runs = run_of[-1] + 1
 
     # reads spanning several runs link them; merge transitively when the
     # pairwise read count clears the threshold
-    pair_support: List[Dict[int, int]] = [defaultdict(int) for _ in range(num_runs)]
+    pair_support = defaultdict(int)
     for read in am:
         touched = {run_of[pos] for (pos, _) in read}
         for r1 in touched:
             for r2 in touched:
-                pair_support[r1][r2] += 1
+                if r1 < r2:
+                    pair_support[r1, r2] += 1
 
-    finder = ComponentFinder(range(num_runs))
-    for r1 in range(num_runs):
-        for r2, support in pair_support[r1].items():
-            if r1 != r2 and support >= cut_threshold:
-                finder.merge(r1, r2)
+    finder = ComponentFinder(range(n_runs))
+    for (r1, r2), support in pair_support.items():
+        if support >= link_min:
+            finder.merge(r1, r2)
 
-    start = 0
-    for i in range(1, num_vars):
-        if finder.find(run_of[i]) != finder.find(run_of[i - 1]):
-            yield Interval(start, i)
-            start = i
-    yield Interval(start, num_vars)
+    cut_at = 0
+    for pos in range(1, n_pos):
+        if finder.find(run_of[pos]) != finder.find(run_of[pos - 1]):
+            yield Interval(cut_at, pos)
+            cut_at = pos
+    yield Interval(cut_at, n_pos)
 
 
 def create_genotype_list(variant_table, sample: str):
@@ -183,18 +181,19 @@ def create_genotype_list(variant_table, sample: str):
 def extract_partial_phasing(variant_table, sample: str, ploidy: int):
     """Existing phased blocks of the input VCF as an AlleleMatrix of
     pseudo-reads (ploidy consecutive rows per block), or None."""
-    readset = ReadSet()
+    pseudo = ReadSet()
     for read in variant_table.phased_blocks_as_reads(
         sample, variant_table.variants, 0, 0, target_ploidy=ploidy
     ):
-        readset.add(read)
-    if len(readset) == 0:
+        pseudo.add(read)
+    if not len(pseudo):
         return None
-    am = AlleleMatrix(readset)
+    am = AlleleMatrix(pseudo)
     assert len(am) % ploidy == 0
-    for i in range(0, len(am), ploidy):
-        assert all(am.getFirstPos(i) == am.getFirstPos(i + j) for j in range(1, ploidy))
-        assert all(am.getLastPos(i) == am.getLastPos(i + j) for j in range(1, ploidy))
+    for row in range(0, len(am), ploidy):
+        block_rows = range(row, row + ploidy)
+        assert len({am.getFirstPos(r) for r in block_rows}) == 1
+        assert len({am.getLastPos(r) for r in block_rows}) == 1
     return am
 
 
@@ -202,13 +201,13 @@ def get_ilp_solver():
     """A quiet PuLP solver, preferring Gurobi, then CBC; SolverError when
     PuLP or every backend is missing."""
     try:
-        from pulp import listSolvers, getSolver
+        import pulp
     except ImportError:
         raise SolverError("PuLP is not installed; no ILP solver available.")
-    available = listSolvers(onlyAvailable=True)
-    for preferred in ("GUROBI_CMD", "GUROBI", "COIN_CMD", "PULP_CBC_CMD"):
-        if preferred in available:
-            return getSolver(preferred, msg=0)
-    if available:
-        return getSolver(available[0], msg=0)
+    usable = pulp.listSolvers(onlyAvailable=True)
+    for wanted in ("GUROBI_CMD", "GUROBI", "COIN_CMD", "PULP_CBC_CMD"):
+        if wanted in usable:
+            return pulp.getSolver(wanted, msg=0)
+    if usable:
+        return pulp.getSolver(usable[0], msg=0)
     raise SolverError("No ILP solver is available for PuLP.")
