@@ -39,20 +39,20 @@ def _block_inputs(allele_matrix, genotypes, partial_phasing, block):
 def solve_polyphase_instance(
     allele_matrix: AlleleMatrix, genotypes: List[Genotype],
     param: PolyphaseParameter, timers: StageTimer,
-    partial_phasing: AlleleMatrix = None, recurion_level: int = 0,
+    partial_phasing: AlleleMatrix = None, recursion_level: int = 0,
 ) -> PolyphaseResult:
     """Phase one polyploid instance end to end."""
     num_vars = len(allele_matrix.getPositions())
     assert num_vars > 0
     assert len(allele_matrix) > 0
 
-    if recurion_level == 0:
+    if recursion_level == 0:
         logger.info("Detecting connected components with weak interconnect ..")
     timers.start("detecting_blocks")
     single_linkage = param.block_cut_sensitivity <= 1
     blocks = list(compute_block_bounds(allele_matrix, param.ploidy, single_linkage))
     num_nontrivial = sum(1 for b in blocks if b.length > 1)
-    if recurion_level == 0:
+    if recursion_level == 0:
         logger.info(
             f"Split variants into {num_nontrivial} blocks (and "
             f"{len(blocks) - num_nontrivial} singleton blocks)."
@@ -63,21 +63,10 @@ def solve_polyphase_instance(
         results = []
         job_counter = 0
         for block_id, block in enumerate(blocks):
-            if block.length > 1:
-                job_counter += 1
-            matrix, gts, prephasing = _block_inputs(
-                allele_matrix, genotypes, partial_phasing, block
-            )
-            results.append(
-                phase_single_block(
-                    matrix,
-                    gts,
-                    prephasing,
-                    param,
-                    timers,
-                    BlockContext(block_id, job_counter, num_nontrivial, recurion_level),
-                )
-            )
+            job_counter += block.length > 1
+            ctx = BlockContext(block_id, job_counter, num_nontrivial, recursion_level)
+            inputs = _block_inputs(allele_matrix, genotypes, partial_phasing, block)
+            results.append(phase_single_block(*inputs, param, timers, ctx))
     else:
         timers.start("phase_blocks")
         # Biggest blocks first: a 4/3-approximation for makespan scheduling.
@@ -85,25 +74,14 @@ def solve_polyphase_instance(
         # thread pools exist in this process.  Job arguments are pickled,
         # which AlleleMatrix supports via __getstate__/__setstate__.
         queue = sorted(enumerate(blocks), key=lambda item: -item[1].length)
-        ctx = multiprocessing.get_context("spawn")
-        with ctx.Pool(processes=param.threads) as pool:
+        spawn = multiprocessing.get_context("spawn")
+        with spawn.Pool(processes=param.threads) as pool:
             pending = []
             for job_id, (block_id, block) in enumerate(queue):
-                matrix, gts, prephasing = _block_inputs(
-                    allele_matrix, genotypes, partial_phasing, block
-                )
+                ctx = BlockContext(block_id, job_id, num_nontrivial, recursion_level)
+                inputs = _block_inputs(allele_matrix, genotypes, partial_phasing, block)
                 pending.append(
-                    pool.apply_async(
-                        phase_single_block,
-                        (
-                            matrix,
-                            gts,
-                            prephasing,
-                            param,
-                            timers,
-                            BlockContext(block_id, job_id, num_nontrivial, recurion_level),
-                        ),
-                    )
+                    pool.apply_async(phase_single_block, (*inputs, param, timers, ctx))
                 )
             results = [job.get() for job in pending]
         results.sort(key=lambda r: r.block_id)
@@ -167,10 +145,7 @@ def phase_single_block(
     logger.debug(f"Threading haplotypes through {len(clustering)} clusters ..\r")
     timers.start("threading")
     threads, haplotypes = run_threading(
-        allele_matrix,
-        clustering,
-        param.ploidy,
-        genotypes,
+        allele_matrix, clustering, param.ploidy, genotypes,
         distrust_genotypes=param.distrust_genotypes,
     )
     timers.stop("threading")
@@ -193,11 +168,8 @@ def phase_single_block(
         timers.stop("reordering")
         sub_results.append(
             solve_polyphase_instance(
-                submatrix,
-                sub_genotypes,
-                sub_param,
-                timers,
-                recurion_level=context.recursion_level + 1,
+                submatrix, sub_genotypes, sub_param, timers,
+                recursion_level=context.recursion_level + 1,
             )
         )
         timers.start("reordering")
@@ -225,25 +197,23 @@ def aggregate_results(
     results: List[PolyphaseBlockResult], ploidy: int, borders: List[int]
 ) -> PolyphaseResult:
     """Concatenate block results, offsetting cluster ids and positions."""
-    clustering: List[List[int]] = []
-    threads: List[List[int]] = []
-    breakpoints: List[PhaseBreakpoint] = []
-    haplotypes: List[List[int]] = [[] for _ in range(ploidy)]
+    total = PolyphaseResult([], [], [[] for _ in range(ploidy)], [])
     cid_offset = pos_offset = 0
     for r in results:
-        clustering.extend(r.clustering)
-        threads.extend([cid_offset + cid for cid in thread] for thread in r.threads)
-        for hap, extension in zip(haplotypes, r.haplotypes):
+        total.clustering.extend(r.clustering)
+        total.threads.extend([cid_offset + cid for cid in thread] for thread in r.threads)
+        for hap, extension in zip(total.haplotypes, r.haplotypes):
             hap += extension
-        if not borders or pos_offset in borders or pos_offset == 0:
-            breakpoints.append(PhaseBreakpoint(pos_offset, list(range(ploidy)), 0.0))
-        breakpoints.extend(
+        block_start_is_cut = not borders or pos_offset in borders or pos_offset == 0
+        if block_start_is_cut:
+            total.breakpoints.append(PhaseBreakpoint(pos_offset, list(range(ploidy)), 0.0))
+        total.breakpoints.extend(
             PhaseBreakpoint(b.position + pos_offset, b.haplotypes, b.confidence)
             for b in r.breakpoints
         )
-        cid_offset = len(clustering)
-        pos_offset = len(haplotypes[0])
-    return PolyphaseResult(clustering, threads, haplotypes, breakpoints)
+        cid_offset = len(total.clustering)
+        pos_offset = len(total.haplotypes[0])
+    return total
 
 
 def compute_cut_positions(
@@ -259,24 +229,25 @@ def compute_cut_positions(
     cuts: List[int] = []
     hap_cuts: List[List[int]] = [[] for _ in range(ploidy)]
     accumulated = [0.0] * ploidy
+
+    def cut_here(position, on_haplotypes):
+        cuts.append(position)
+        for h in on_haplotypes:
+            hap_cuts[h].append(position)
+        accumulated[:] = [0.0] * ploidy
+
     for b in breakpoints:
         if cuts and cuts[-1] == b.position:
             continue
         if cuts and block_cut_sensitivity == 0:
             break
-
         if b.confidence == 0.0:
             # hard breakpoint: always cut, on every haplotype
-            cuts.append(b.position)
-            for h in range(ploidy):
-                hap_cuts[h].append(b.position)
-            accumulated = [0.0] * ploidy
+            cut_here(b.position, range(ploidy))
             continue
         for h in b.haplotypes:
             accumulated[h] += log(b.confidence)
-        if sum(1 for h in range(ploidy) if accumulated[h] <= threshold) >= needed:
-            cuts.append(b.position)
-            for h in b.haplotypes:
-                hap_cuts[h].append(b.position)
-            accumulated = [0.0] * ploidy
+        n_uncertain = sum(acc <= threshold for acc in accumulated)
+        if n_uncertain >= needed:
+            cut_here(b.position, b.haplotypes)
     return cuts, hap_cuts

@@ -10,10 +10,9 @@ whether two marker alleles travel on the same parental haplotype.
 import logging
 from collections import defaultdict
 from functools import lru_cache
-from math import isnan, log
+from math import comb, isnan, log
 from typing import Iterable, List, Tuple
 
-from scipy.special import binom as binom_coeff
 from scipy.stats import binom
 
 from .solver import ProgenyGenotypeLikelihoods, TriangleSparseMatrix
@@ -25,30 +24,38 @@ logger = logging.getLogger(__name__)
 @lru_cache(maxsize=None)
 def get_binom_pmf(n, k, g, ploidy, error_rate):
     """P(k alt reads out of n | genotype has g alt copies of ploidy)."""
-    if g < 0 or g > ploidy or not isinstance(g, int):
+    if not (isinstance(g, int) and 0 <= g <= ploidy):
         raise ValueError(f"Invalid genotype alt-count ({g}).")
-    alt_fraction = (1 - g / ploidy) * error_rate + (g / ploidy) * (1 - error_rate)
+    dosage = g / ploidy
+    alt_fraction = (1 - dosage) * error_rate + dosage * (1 - error_rate)
     return binom.pmf(k, n, alt_fraction)
 
 
 def hyp(k, N, M, n):
-    """Hypergeometric pmf via binomials."""
-    return binom_coeff(M, k) * binom_coeff(N - M, n - k) / binom_coeff(N, n)
+    """Hypergeometric pmf: draw n of N without replacement, k of the M
+    marked ones."""
+    if not (0 <= k <= M and 0 <= n - k <= N - M):
+        return 0.0
+    return comb(M, k) * comb(N - M, n - k) / comb(N, n)
 
 
 def compute_gt_likelihood_priors(ploidy):
     """priors[i][j][m] = P(progeny inherits m alt copies | the parents
     carry i resp. j alt copies out of ploidy)."""
-    k = ploidy
-    priors = [[[] for _ in range(k + 1)] for _ in range(k + 1)]
-    for i in range(k + 1):
+    gametes = ploidy // 2
+
+    def inherit(m, i, j):
+        # m alt copies split between a gamete from each parent
+        return sum(
+            hyp(l, ploidy, i, gametes) * hyp(m - l, ploidy, j, gametes)
+            for l in range(m + 1)
+        )
+
+    priors = [[None] * (ploidy + 1) for _ in range(ploidy + 1)]
+    for i in range(ploidy + 1):
         for j in range(i + 1):
-            dist = [
-                sum(hyp(l, k, i, k // 2) * hyp(m - l, k, j, k // 2) for l in range(m + 1))
-                for m in range(k + 1)
-            ]
-            priors[i][j] = dist
-            priors[j][i] = dist
+            dist = [inherit(m, i, j) for m in range(ploidy + 1)]
+            priors[i][j] = priors[j][i] = dist
     return priors
 
 
@@ -73,13 +80,17 @@ def compute_gt_likelihoods(
         last_row = progeny_row
         info = varinfo[parent_pos]
         depths = allele_depths[progeny_row]
-        ref_dp = depths[info.ref] if len(depths) > info.ref else 0
-        alt_dp = depths[info.alt] if len(depths) > info.alt else 0
-        if ref_dp + alt_dp < param.ploidy:
+
+        def depth_of(allele):
+            return depths[allele] if allele < len(depths) else 0
+
+        ref_dp, alt_dp = depth_of(info.ref), depth_of(info.alt)
+        covered = ref_dp + alt_dp
+        if covered < param.ploidy:
             results.append(None)
             continue
         gl = [
-            get_binom_pmf(ref_dp + alt_dp, alt_dp, g, param.ploidy, param.allele_error_rate)
+            get_binom_pmf(covered, alt_dp, g, param.ploidy, param.allele_error_rate)
             for g in range(param.ploidy + 1)
         ]
         if gt_priors:
@@ -186,24 +197,30 @@ def get_most_likely_variant_type(priors, genpos, off_gl, pos):
     """Maximum-likelihood (parent alt, co-parent alt) pair for one node,
     marginalizing the progeny genotype under the inheritance priors."""
     k = len(priors)
+    # gl vectors of the progenies with usable depth at this node
+    usable = [
+        [off_gl.getGl(pos, i, g) for g in range(k)]
+        for i in range(off_gl.getNumSamples())
+        if off_gl.getGl(pos, i, 0) >= 0.0
+    ]
+
+    def loglik(pair):
+        prior_row = priors[pair[0]][pair[1]]
+        # the reference seeds this accumulator at 1.0, not 0.0; the offset
+        # is constant across pairs so the argmax is unaffected
+        llh = 1.0
+        for gl in usable:
+            marginal = sum(p * q for p, q in zip(prior_row, gl))
+            llh = llh - float("inf") if marginal <= 0.0 else llh + log(marginal)
+        return llh
+
     best = (0, 0)
     best_llh = -float("inf")
     for g0 in range(k):
         for g1 in range(g0 + 1):
-            llh = 1.0
-            for i in range(off_gl.getNumSamples()):
-                if off_gl.getGl(pos, i, 0) < 0.0:
-                    continue
-                marginal = sum(
-                    priors[g0][g1][g] * off_gl.getGl(pos, i, g) for g in range(k)
-                )
-                if marginal <= 0.0:
-                    llh -= float("inf")
-                else:
-                    llh += log(marginal)
+            llh = loglik((g0, g1))
             if llh > best_llh:
-                best = (g0, g1)
-                best_llh = llh
+                best, best_llh = (g0, g1), llh
     return best
 
 
@@ -221,10 +238,14 @@ def get_variant_scoring(varinfo, off_gl, phasing_param):
     strides += [strides[-1] + 7 * i for i in range(1, q3 - q2 + 1)]
     strides += [strides[-1] + 13 * i for i in range(1, w - q3 + 1)]
 
+    scorer_of = {
+        (1, 0): off_gl.getSimplexNulliplexScore,
+        (2, 0): off_gl.getDuplexNulliplexScore,
+        (1, 1): off_gl.getSimplexSimplexScore,
+    }
     for i in range(num_nodes):
         ni = varinfo.node_to_variant(i)
-        prev_variant = -1
-        prev_score = 0
+        prev_variant, prev_score = -1, 0
         for j in (i + s for s in strides):
             if j >= num_nodes:
                 break
@@ -232,19 +253,17 @@ def get_variant_scoring(varinfo, off_gl, phasing_param):
             if ni == nj:
                 score = -float("inf")
             else:
-                if varinfo[ni].alt_count != 1 or varinfo[ni].co_alt_count != 0:
+                if (varinfo[ni].alt_count, varinfo[ni].co_alt_count) != (1, 0):
                     continue
                 if nj == prev_variant:
                     # another node of the same multiplex variant: reuse
                     score = prev_score
                 else:
-                    pair = (varinfo[nj].alt_count, varinfo[nj].co_alt_count)
-                    if pair == (1, 0):
-                        score = off_gl.getSimplexNulliplexScore(i, j)
-                    elif pair == (2, 0):
-                        score = off_gl.getDuplexNulliplexScore(i, j)
-                    elif pair == (1, 1):
-                        score = off_gl.getSimplexSimplexScore(i, j)
+                    scorer = scorer_of.get(
+                        (varinfo[nj].alt_count, varinfo[nj].co_alt_count)
+                    )
+                    if scorer is not None:
+                        score = scorer(i, j)
                     prev_score = score
                     prev_variant = nj
             assert score != float("inf")
