@@ -147,10 +147,10 @@ def bench_genotype():
     from whatshap_tpu.core.phredgl import PhredGenotypeLikelihoods
 
     rng = random.Random(11)
-    n_pos = 400
+    n_pos = 2000
     positions = sorted(rng.sample(range(10, 10**6), n_pos))
     rows = []
-    for i in range(120):
+    for i in range(600):
         start = rng.randint(0, n_pos - 10)
         length = rng.randint(5, 25)
         vs = [
@@ -168,7 +168,15 @@ def bench_genotype():
     nsi = core.NumericSampleIds()
     ped = core.Pedigree(nsi)
     gts = [rng.randint(0, 2) for _ in range(n_pos)]
-    gls = [[rng.choice([0.0, 5.0, 20.0]) for _ in range(3)] for _ in range(n_pos)]
+    # linear-scale likelihood triples from random phred scores: always one
+    # likelihood of 1.0, never an all-zero row (an all-zero row is 0/0 ->
+    # NaN in both engines -- reference parity -- and x87 NaN propagation is
+    # so slow the bench would otherwise measure microcode assists)
+    gls = []
+    for _ in range(n_pos):
+        triple = [10.0 ** (-rng.choice([0, 5, 20]) / 10.0) for _ in range(3)]
+        triple[rng.randint(0, 2)] = 1.0
+        gls.append(triple)
     ped.add_individual(
         "ind0",
         [Genotype.from_index(g, 2) for g in gts],

@@ -56,44 +56,54 @@ struct Geno {
         return powl(10.0L, -(ld)phred / 10.0L);
     }
 
-    // emission em[x][t][a] over the compact space of column c
-    void column_emission(int c, std::vector<ld>& em, std::vector<ld>& cp) const {
-        int k = kc[c], Sc = 1 << k;
-        size_t cpn = (size_t)Sc * T * P * 2;
-        cp.assign(cpn, 1.0L);
+    // emission em[x][t][a] over the compact space of column c, built by
+    // recursive doubling over the active slots: the emission is a product of
+    // independent per-slot factors f_bit[t][a], so the 2^k-state table is k
+    // block-duplications (lo block *= f0, hi block = old * f1) — O(2^k*T*nA)
+    // multiplies total instead of the O(k*2^k) partition-table sweeps, and a
+    // BLANK slot is a plain memcpy.  Same factors and values as the
+    // per-partition formulation (genotypecolumncostcomputer.cpp:54-103);
+    // only multiplication association differs (ulp-level).
+    void column_emission(int c, std::vector<ld>& em, std::vector<ld>& scratch) const {
+        int k = kc[c];
+        size_t stride = (size_t)T * nA;
+        em.assign(((size_t)1 << k) * stride, 1.0L);
+        scratch.resize(2 * stride);
+        ld* f0 = scratch.data();
+        ld* f1 = scratch.data() + stride;
         for (int j = 0; j < k; j++) {
+            size_t half = ((size_t)1 << j) * stride;
             int s = act[c][j];
             int al = allele[(size_t)c * K + s];
-            if (al == 2) continue;  // BLANK
+            if (al == 2) {  // BLANK: factor 1 either way
+                std::memcpy(&em[half], &em[0], half * sizeof(ld));
+                continue;
+            }
             ld proba = phred_probability(weight[(size_t)c * K + s]);
             ld q[2];
             if (al == 0) { q[0] = 1.0L - proba; q[1] = proba; }
             else { q[0] = proba; q[1] = 1.0L - proba; }
             int ridx = slot_read[(size_t)c * K + s];
             int ind = ridx >= 0 ? read_source[ridx] : 0;
-            for (int x = 0; x < Sc; x++) {
-                int bit = (x >> j) & 1;
-                for (int t = 0; t < T; t++) {
-                    // bit==0 -> haplotype 1, bit==1 -> haplotype 0
-                    int psel = bit == 0 ? h2p_at(t, ind, 1) : h2p_at(t, ind, 0);
-                    ld* base = &cp[(((size_t)x * T + t) * P + psel) * 2];
-                    base[0] *= q[0];
-                    base[1] *= q[1];
+            for (int t = 0; t < T; t++) {
+                // bit==0 -> haplotype 1, bit==1 -> haplotype 0
+                int p0 = h2p_at(t, ind, 1);
+                int p1 = h2p_at(t, ind, 0);
+                for (int a = 0; a < nA; a++) {
+                    f0[(size_t)t * nA + a] = q[(a >> p0) & 1];
+                    f1[(size_t)t * nA + a] = q[(a >> p1) & 1];
+                }
+            }
+            for (size_t base = 0; base < half; base += stride) {
+                ld* lo = &em[base];
+                ld* hi = &em[half + base];
+                for (size_t i = 0; i < stride; i++) {
+                    ld v = lo[i];
+                    hi[i] = v * f1[i];
+                    lo[i] = v * f0[i];
                 }
             }
         }
-        size_t emn = (size_t)Sc * T * nA;
-        em.assign(emn, 1.0L);
-        for (int x = 0; x < Sc; x++)
-            for (int t = 0; t < T; t++) {
-                const ld* cpt = &cp[((size_t)x * T + t) * P * 2];
-                ld* emt = &em[((size_t)x * T + t) * nA];
-                for (int p = 0; p < P; p++)
-                    for (int a = 0; a < nA; a++) {
-                        int b = (a >> p) & 1;
-                        emt[a] *= cpt[p * 2 + b];
-                    }
-            }
     }
 
     // in-place sum-fold over arr[x][t] ((1<<k)*T) along compact bits where
@@ -221,14 +231,24 @@ struct Geno {
         for (int c = 0; c < C; c++) beta_bytes += (double)(1 << kc[c]) * T * sizeof(ld);
         if (beta_bytes > 8e9) return -1;
 
+        // Cache per-column emissions computed in the backward pass for reuse
+        // by the forward pass (they are identical); fall back to recomputing
+        // when the tables would not fit.
+        double em_bytes = 0;
+        for (int c = 0; c < C; c++)
+            em_bytes += (double)(1 << kc[c]) * T * nA * sizeof(ld);
+        bool cache_em = em_bytes < 4e9;
+        std::vector<std::vector<ld>> em_store(cache_em ? C : 0);
+
         // ---- backward pass ----
         std::vector<ld> scaling(C, 0.0L);
         std::vector<std::vector<ld>> beta_store(C);  // empty = None
-        std::vector<ld> em, cp, weighted, contrib;
+        std::vector<ld> em_local, cp, weighted, contrib;
         int beta_next = -1;  // index into beta_store, -1 = None
         for (int c = C - 1; c >= 0; c--) {
             int k = kc[c], Sc = 1 << k;
             size_t st = (size_t)Sc * T;
+            std::vector<ld>& em = cache_em ? em_store[c] : em_local;
             column_emission(c, em, cp);
             std::vector<ld> ones;
             const std::vector<ld>* bvalp;
@@ -279,15 +299,21 @@ struct Geno {
                 }
                 std::vector<ld>& nbeta = beta_store[c - 1];
                 nbeta.assign((size_t)Sp * T, 0.0L);
+                // multiply by the reciprocal instead of dividing per element
+                // (ulp-level difference; 0/NaN special cases propagate the
+                // same way: x*(1/0)=x*inf and 0*inf=NaN match x/0 and 0/0)
+                ld inv_scaling = 1.0L / scaling_sum;
                 for (int y = 0; y < Sp; y++) {
                     int x = gather(y, masks);
                     for (int t = 0; t < T; t++)
-                        nbeta[(size_t)y * T + t] = contrib[(size_t)x * T + t] / scaling_sum;
+                        nbeta[(size_t)y * T + t] = contrib[(size_t)x * T + t] * inv_scaling;
                 }
             }
-            if (beta_next >= 0)
+            if (beta_next >= 0) {
+                ld inv_scaling = 1.0L / scaling_sum;
                 for (size_t i = 0; i < beta_store[beta_next].size(); i++)
-                    beta_store[beta_next][i] /= scaling_sum;
+                    beta_store[beta_next][i] *= inv_scaling;
+            }
             beta_next = c > 0 ? c - 1 : -1;
         }
 
@@ -298,7 +324,8 @@ struct Geno {
         for (int c = 0; c < C; c++) {
             int k = kc[c], Sc = 1 << k;
             size_t st = (size_t)Sc * T;
-            column_emission(c, em, cp);
+            const std::vector<ld>& em =
+                cache_em ? em_store[c] : (column_emission(c, em_local, cp), em_local);
             fb_sum_prev.assign(st, 1.0L);
             if (c > 0) {
                 // gather alpha (folded over deaths entering c) from c-1's
@@ -317,13 +344,14 @@ struct Geno {
             }
             const ld* pa = &passign[(size_t)c * T * nA];
             fwd.assign((size_t)Sc * T * nA, 0.0L);
+            ld inv_scaling = 1.0L / scaling[c];
             for (int x = 0; x < Sc; x++)
                 for (int t = 0; t < T; t++) {
                     const ld* emx = &em[((size_t)x * T + t) * nA];
                     ld* fx = &fwd[((size_t)x * T + t) * nA];
                     ld sp = fb_sum_prev[(size_t)x * T + t];
                     for (int a = 0; a < nA; a++)
-                        fx[a] = sp * emx[a] * pa[(size_t)t * nA + a] / scaling[c];
+                        fx[a] = sp * emx[a] * pa[(size_t)t * nA + a] * inv_scaling;
                 }
             const std::vector<ld>& beta_here = beta_store[c];
             bool have_beta = !beta_here.empty();

@@ -165,11 +165,10 @@ def _run_native(packed: "wmec.PackedProblem", pedigree: Pedigree) -> Optional[np
     n_ind = len(pedigree)
     gl = np.zeros((max(n_ind, 1), C, 3), dtype=np.float64)
     for ind in range(n_ind):
-        for c in range(C):
-            gls = pedigree.get_genotype_likelihoods(ind, c)
-            if gls is None:
-                return None
-            gl[ind, c] = gls.as_vector()[:3]
+        gl_row = pedigree._genotype_likelihoods[ind][:C]
+        if len(gl_row) < C or any(g is None for g in gl_row):
+            return None
+        gl[ind] = np.asarray([g._gl[:3] for g in gl_row], dtype=np.float64)
     return genolib.run(
         C,
         K,

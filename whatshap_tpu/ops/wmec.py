@@ -117,26 +117,31 @@ def pack_problem(
     T = 4 ** n_trios
     P = 2 * (n_ind - n_trios) if n_ind else 2
 
-    # read -> individual index
+    # read -> individual index (direct slot access: this function is the
+    # packing hot path for every solver, so Variant-object construction and
+    # per-entry method calls are avoided throughout)
+    reads = list(readset)
     read_source = np.zeros(n_reads, dtype=np.int32)
-    for i, read in enumerate(readset):
+    for i, read in enumerate(reads):
         read_source[i] = pedigree.id_to_index(read.sample_id)
 
     # Per-read active column ranges; all first/last positions must be columns
     # (asserted by the reference's ColumnIterator constructor).
     first_col = np.full(n_reads, -1, dtype=np.int32)
     last_col = np.full(n_reads, -1, dtype=np.int32)
-    for i, read in enumerate(readset):
-        if len(read) == 0:
+    for i, read in enumerate(reads):
+        rpos = read._positions
+        if not rpos:
             continue
-        fp, lp = read.first_position(), read.last_position()
-        if fp not in pos_to_col or lp not in pos_to_col:
+        fc = pos_to_col.get(rpos[0])
+        lc = pos_to_col.get(rpos[-1])
+        if fc is None or lc is None:
             raise ValueError(
                 "ColumnIterator: read end positions must be contained in the "
                 "column position set"
             )
-        first_col[i] = pos_to_col[fp]
-        last_col[i] = pos_to_col[lp]
+        first_col[i] = fc
+        last_col[i] = lc
 
     # Slot assignment: greedy lowest-free-slot over activation order.
     import heapq
@@ -174,26 +179,64 @@ def pack_problem(
     rank = np.full((C, K), -1, dtype=np.int8)
     die = np.zeros((C, K), dtype=bool)  # slot dies AFTER column c
 
-    # Per-read entry maps
-    for i, read in enumerate(readset):
+    # Per-read entry maps.  Entry lookups are flattened into one scatter:
+    # collect (col, slot, allele, quality) for every variant that lands on a
+    # column, then assign in bulk.
+    flat_pos: List[int] = []
+    flat_slot: List[int] = []
+    flat_read: List[int] = []
+    flat_allele: List[int] = []
+    flat_weight: List[int] = []
+    for i, read in enumerate(reads):
         if first_col[i] < 0:
             continue
         s = read_slot[i]
         active[first_col[i] : last_col[i] + 1, s] = True
         slot_read[first_col[i] : last_col[i] + 1, s] = i
         die[last_col[i], s] = True
-        for v in read:
-            c = pos_to_col.get(v.position)
-            if c is not None and first_col[i] <= c <= last_col[i]:
-                allele[c, s] = v.allele
-                weight[c, s] = v.quality
+        rpos = read._positions
+        flat_pos.extend(rpos)
+        flat_slot.extend([s] * len(rpos))
+        flat_read.extend([i] * len(rpos))
+        flat_allele.extend(read._alleles)
+        flat_weight.extend(read._qualities)
+    if flat_pos:
+        fp_arr = np.asarray(flat_pos, dtype=np.int64)
+        cols_arr = np.asarray(cols, dtype=np.int64)
+        sorted_cols = C > 1 and bool(np.all(cols_arr[1:] > cols_arr[:-1])) or C <= 1
+        if sorted_cols:
+            ci = np.searchsorted(cols_arr, fp_arr)
+            fl_read = np.asarray(flat_read, dtype=np.int64)
+            ok = (
+                (ci < C)
+                & (cols_arr[np.minimum(ci, C - 1)] == fp_arr)
+                & (ci >= first_col[fl_read])
+                & (ci <= last_col[fl_read])
+            )
+        else:  # unsorted position list: fall back to the dict
+            ci = np.asarray([pos_to_col.get(p, -1) for p in flat_pos], dtype=np.int64)
+            fl_read = np.asarray(flat_read, dtype=np.int64)
+            # keep the per-variant active-span guard of the column iterator
+            ok = (
+                (ci >= 0)
+                & (ci >= first_col[fl_read])
+                & (ci <= last_col[fl_read])
+            )
+        ci_ok = ci[ok]
+        sl_ok = np.asarray(flat_slot, dtype=np.int64)[ok]
+        allele[ci_ok, sl_ok] = np.asarray(flat_allele, dtype=np.int8)[ok]
+        weight[ci_ok, sl_ok] = np.asarray(flat_weight, dtype=np.int32)[ok]
 
-    # rank among active reads in read-id order
-    for c in range(C):
-        slots = np.nonzero(active[c])[0]
-        order = slots[np.argsort(slot_read[c, slots], kind="stable")]
-        for r, s in enumerate(order):
-            rank[c, s] = r
+    # rank among active reads in read-id order, vectorized over columns:
+    # stable-argsort the (inactive -> +inf) read ids per row, then scatter
+    # 0..n_active-1 back through the ordering
+    sort_key = np.where(active, slot_read, np.iinfo(np.int32).max)
+    order_all = np.argsort(sort_key, axis=1, kind="stable")  # (C, K)
+    n_act = active.sum(axis=1)
+    rank_vals = np.where(
+        np.arange(K)[None, :] < n_act[:, None], np.arange(K)[None, :], -1
+    ).astype(np.int8)
+    np.put_along_axis(rank, order_all, rank_vals, axis=1)
 
     die_prev = np.zeros((C, K), dtype=bool)
     if C > 1:
@@ -242,6 +285,37 @@ def pack_problem(
     nA = 1 << P
     acost = np.zeros((C, T, nA), dtype=np.int64)
     assign_idx = np.arange(nA)
+    # per-individual genotype data is transmission-independent: extract once
+    ind_gl_cols: List[Optional[np.ndarray]] = []
+    ind_gt_idx: List[Optional[np.ndarray]] = []
+    for ind in range(n_ind):
+        if distrust_genotypes:
+            gl_cols = np.zeros((C, 3), dtype=np.int64)
+            gl_row = pedigree._genotype_likelihoods[ind]
+            for c in range(C):
+                gls = gl_row[c]  # IndexError on short rows, like the getter
+                if gls is None:
+                    raise RuntimeError(
+                        "genotype likelihoods required with distrust_genotypes"
+                    )
+                # unsigned-int truncation per addition, as in the C++
+                vec = gls._gl
+                gl_cols[c, 0] = int(vec[0])
+                gl_cols[c, 1] = int(vec[1])
+                gl_cols[c, 2] = int(vec[2])
+            ind_gl_cols.append(gl_cols)
+            ind_gt_idx.append(None)
+        else:
+            gt_row = pedigree._genotypes[ind]
+            gt_list = []
+            for c in range(C):
+                als = gt_row[c]._alleles  # IndexError on short rows, like the getter
+                if len(als) == 2 and als[0] in (0, 1) and als[1] in (0, 1):
+                    gt_list.append(als[0] + als[1])
+                else:
+                    gt_list.append(-1)
+            ind_gl_cols.append(None)
+            ind_gt_idx.append(np.asarray(gt_list, dtype=np.int64))
     for t in range(T):
         for ind in range(n_ind):
             part0 = h2p[t, ind, 0]
@@ -250,26 +324,9 @@ def pack_problem(
             a1 = (assign_idx >> part1) & 1
             gt_of_assign = a0 + a1  # canonical diploid biallelic index
             if distrust_genotypes:
-                gl_cols = np.zeros((C, 3), dtype=np.int64)
-                for c in range(C):
-                    gls = pedigree.get_genotype_likelihoods(ind, c)
-                    if gls is None:
-                        raise RuntimeError(
-                            "genotype likelihoods required with distrust_genotypes"
-                        )
-                    # unsigned-int truncation per addition, as in the C++
-                    for g in range(3):
-                        gl_cols[c, g] = int(gls.as_vector()[g])
-                acost[:, t, :] += gl_cols[:, gt_of_assign]
+                acost[:, t, :] += ind_gl_cols[ind][:, gt_of_assign]
             else:
-                gt_idx = np.full(C, -1, dtype=np.int64)
-                for c in range(C):
-                    gt = pedigree.get_genotype(ind, c)
-                    if gt.get_ploidy() == 2 and not gt.is_none():
-                        alleles = gt.as_vector()
-                        if all(a in (0, 1) for a in alleles):
-                            gt_idx[c] = sum(alleles)
-                ok = gt_of_assign[None, :] == gt_idx[:, None]  # (C, nA)
+                ok = gt_of_assign[None, :] == ind_gt_idx[ind][:, None]  # (C, nA)
                 acost[:, t, :] += np.where(ok, 0, np.int64(INF) * 4)
     acost = np.minimum(acost, INF).astype(np.int32)
 
