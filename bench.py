@@ -211,6 +211,100 @@ def bench_genotype():
     }
 
 
+def bench_genotype_device():
+    """Batched device genotyping (f32 forward-backward, vmapped over
+    same-shaped instances) vs the reference C++ oracle.  The f32 kernel is
+    the TPU scale-out path (GT-identical, GQ within +-1 of the longdouble
+    host engine); the host engine stays the byte-exact CLI default."""
+    import random
+
+    import whatshap_tpu.core as core
+    from whatshap_tpu.core.genotype import Genotype
+    from whatshap_tpu.core.phredgl import PhredGenotypeLikelihoods
+    from whatshap_tpu.ops import genotyping as gt_ops
+    from whatshap_tpu.ops import genotyping_jax, wmec
+
+    B, n_pos, n_reads = 32, 512, 160
+    rng = random.Random(5)
+    positions = sorted(rng.sample(range(10, 10**6), n_pos))
+    # identical read geometry across blocks -> identical (C, K) shapes, so
+    # the batch vmaps; alleles/qualities vary per block
+    geometry = []
+    for _ in range(n_reads):
+        start = rng.randint(0, n_pos - 10)
+        geometry.append((start, min(start + rng.randint(5, 25), n_pos)))
+    nsi = core.NumericSampleIds()
+    ped = core.Pedigree(nsi)
+    gts = [rng.randint(0, 2) for _ in range(n_pos)]
+    gls = []
+    for _ in range(n_pos):
+        triple = [10.0 ** (-rng.choice([0, 5, 20]) / 10.0) for _ in range(3)]
+        triple[rng.randint(0, 2)] = 1.0
+        gls.append(triple)
+    ped.add_individual(
+        "ind0",
+        [Genotype.from_index(g, 2) for g in gts],
+        [PhredGenotypeLikelihoods(gl) for gl in gls],
+    )
+    recomb = [rng.choice([1, 2, 5]) for _ in range(n_pos)]
+
+    packed_list = []
+    rows0 = None
+    for b in range(B):
+        rngb = random.Random(1000 + b)
+        rs = core.ReadSet()
+        rows = []
+        for i, (s, e) in enumerate(geometry):
+            r = core.Read(f"r{i}", 50, 0, 0)
+            vs = [(positions[p], rngb.randint(0, 1), rngb.choice([5, 10, 30]))
+                  for p in range(s, e)]
+            for p, a, q in vs:
+                r.add_variant(p, a, q)
+            rs.add(r)
+            rows.append((f"r{i}", 0, vs))
+        rs.sort()
+        if b == 0:
+            rows0 = rows
+        packed_list.append(
+            wmec.pack_problem(rs, recomb, ped, False, positions, check_conflicts=False)
+        )
+
+    static, stacked = genotyping_jax.prepare_genotyping_batch(packed_list, ped)
+    out = genotyping_jax.launch_genotyping_batch(static, stacked, dtype="f32")
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = genotyping_jax.launch_genotyping_batch(static, stacked, dtype="f32")
+        times.append(time.perf_counter() - t0)
+    ours = B * n_pos / min(times)
+
+    # spot parity: genotype calls of block 0 vs the byte-exact host engine
+    host = gt_ops.run_genotyping(packed_list[0], ped)
+    gt_dev = np.argmax(out[0, :, 0, :], axis=1)
+    gt_host = np.argmax(np.asarray(host[:, 0, :], dtype=np.float64), axis=1)
+    gt_match = float(np.mean(gt_dev == gt_host))
+
+    baseline = None
+    oracle = _oracle()
+    if oracle is not None and oracle.ensure_extra_oracle("geno") is not None:
+        inp = [f"{len(rows0)} {n_pos} 1 0", " ".join(map(str, positions))]
+        for name, sid, vs in rows0:
+            inp.append(f"{name} {sid} {len(vs)}")
+            inp += [f"{p} {a} {q}" for p, a, q in vs]
+        for c in range(n_pos):
+            inp.append(f"{gts[c]} {gls[c][0]} {gls[c][1]} {gls[c][2]}")
+        inp.append(" ".join(map(str, recomb)))
+        t0 = time.perf_counter()
+        oracle.run_extra_oracle("geno", "\n".join(inp) + "\n")
+        baseline = n_pos / (time.perf_counter() - t0)
+    return {
+        "value": round(ours, 1),
+        "unit": "variants/s",
+        "gt_match": gt_match,
+        "vs_baseline": round(ours / baseline, 2) if baseline else None,
+    }
+
+
 def bench_trio():
     """Batched trio PedMEC (T=4) on the device vs the reference oracle."""
     import jax
@@ -218,22 +312,33 @@ def bench_trio():
     from whatshap_tpu.ops import wmec
     from whatshap_tpu.parallel import workloads
 
-    n_blocks, n_pos = 64, 256
+    n_blocks, n_pos = 256, 256
     # read_len caps coverage so K stays within the trio kernel limit
     # (T=4 needs K <= 15) and the backtrace tables within HBM; the oracle
     # instances below match this shape
-    K, T, P, packed_list, arrays = workloads.build_trio_batch(
+    K, T, P, packed_list, _ = workloads.build_trio_batch(
         n_blocks, n_pos=n_pos, n_reads=120, seed=17, c_pad=n_pos, read_len=12
     )
     assert K <= 15, f"trio workload K={K} exceeds the T=4 kernel limit"
-    device_arrays = [jax.device_put(np.asarray(a)) for a in arrays]
-    out = wmec.solve_batched_auto(K, T, P, *device_arrays)
-    _ = jax.device_get(out[1])
+    # bucket blocks by (K, C) so sparse blocks don't pay the densest
+    # block's 2^K state space, then time the per-bucket launches
+    buckets = [
+        (k_b, idxs, [jax.device_put(np.asarray(a)) for a in stacked])
+        for k_b, _, idxs, stacked in wmec.bucket_packed_list(packed_list, c_pad=n_pos)
+    ]
+
+    def solve_all():
+        outs = [
+            wmec.solve_batched_auto(k_b, T, P, *dev) for k_b, _, dev in buckets
+        ]
+        for out in outs:
+            _ = jax.device_get(out[1])
+
+    solve_all()  # compile
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        out = wmec.solve_batched_auto(K, T, P, *device_arrays)
-        _ = jax.device_get(out[1])
+        solve_all()
         times.append(time.perf_counter() - t0)
     ours = n_blocks * n_pos / min(times)
 
@@ -420,6 +525,7 @@ def main():
     for name, fn in [
         ("phase_cli_fixture", bench_phase_cli),
         ("genotype_fb", bench_genotype),
+        ("genotype_fb_device", bench_genotype_device),
         ("trio_pedmec", bench_trio),
         ("whole_chromosome", bench_whole_chromosome),
         ("polyphase_tetraploid", bench_polyphase),

@@ -109,3 +109,46 @@ def test_cli_phase_under_forced_backends(tmp_path, monkeypatch):
         ]
     assert outputs["numpy"] == outputs["jax"]
     assert outputs["numpy"] == outputs["batched"]
+
+
+def test_solve_packed_list_heterogeneous_k():
+    """solve_packed_list buckets by (K, C); each block's result must equal
+    its own serial solve even when coverages differ wildly across blocks."""
+    from whatshap_tpu.parallel import workloads
+
+    # trio instances with K spread (different read counts/lengths per block)
+    packed_list = []
+    for nb, (n_reads, rl) in enumerate([(12, 3), (24, 4), (40, 5)]):
+        _, _, _, pl, _ = workloads.build_trio_batch(
+            2, n_pos=48, n_reads=n_reads, seed=100 + nb, c_pad=48, read_len=rl
+        )
+        packed_list.extend(pl)
+    assert max(p.K for p in packed_list) <= 12, [p.K for p in packed_list]
+    ks = {p.K for p in packed_list}
+    assert len(ks) > 1, "workload should span multiple K"
+    results = wmec.solve_packed_list(packed_list)
+    assert len(results) == len(packed_list)
+    for p, r in zip(packed_list, results):
+        serial = wmec.run_dp(p, backend="numpy")
+        assert r.optimal_cost == serial.optimal_cost
+        # paths must agree on active-slot bits (inactive bits are don't-care)
+        act_mask = np.array(
+            [int("".join("1" if a else "0" for a in row[::-1]), 2) for row in p.active],
+            dtype=np.int64,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r.index_path) & act_mask,
+            np.asarray(serial.index_path) & act_mask,
+        )
+        np.testing.assert_array_equal(r.trans_path, serial.trans_path)
+
+
+def test_solve_packed_list_mixed_tp_rejected():
+    from whatshap_tpu.parallel import workloads
+
+    _, _, _, single, _ = workloads.build_trio_batch(
+        1, n_pos=8, n_reads=6, seed=7, n_ind=1, trios=(), c_pad=8
+    )
+    _, _, _, trio, _ = workloads.build_trio_batch(1, n_pos=8, n_reads=9, seed=8, c_pad=8)
+    with pytest.raises(ValueError):
+        wmec.solve_packed_list(single + trio)

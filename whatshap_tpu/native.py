@@ -163,15 +163,26 @@ class _ClusterLib:
         c.wh_cluster_offsets.argtypes = []
 
     def run(self, n_nodes, us, vs, ws, bundle_edges):
+        import numpy as np
+
         n = len(us)
-        ua = (ctypes.c_int * n)(*us)
-        va = (ctypes.c_int * n)(*vs)
-        wa = (ctypes.c_float * n)(*ws)
-        k = self._lib.wh_cluster_run(n_nodes, n, ua, va, wa, int(bundle_edges))
+        ua = np.ascontiguousarray(us, dtype=np.int32)
+        va = np.ascontiguousarray(vs, dtype=np.int32)
+        wa = np.ascontiguousarray(ws, dtype=np.float32)
+        k = self._lib.wh_cluster_run(
+            n_nodes,
+            n,
+            ua.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            va.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            wa.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            int(bundle_edges),
+        )
         nodes_p = self._lib.wh_cluster_nodes()
         offs_p = self._lib.wh_cluster_offsets()
         offs = [offs_p[i] for i in range(k + 1)]
-        return [[nodes_p[j] for j in range(offs[i], offs[i + 1])] for i in range(k)]
+        total = offs[k] if k > 0 else 0
+        nodes = [nodes_p[j] for j in range(total)]
+        return [nodes[offs[i] : offs[i + 1]] for i in range(k)]
 
 
 def _build_clusterlib() -> bool:

@@ -245,22 +245,35 @@ def _forward_backward_batched(K, T, P, n_ind, *stacked, dtype="f64"):
     )(*stacked)
 
 
-def run_genotyping_jax_batched(packed_list, pedigree, dtype: str = "f64") -> Optional[np.ndarray]:
-    """Batched device forward-backward over same-shaped instances (same
-    C/K/T/P and individual count); returns (B, C, n_ind, 3) float64."""
-    if not packed_list:
-        return None
+def prepare_genotyping_batch(packed_list, pedigree):
+    """Host-side packing for a batched device launch: stacks the per-block
+    HMM tables of same-shaped instances.  Returns (static, stacked numpy
+    arrays) for `launch_genotyping_batch`."""
     shapes = {(p.n_cols, p.K, p.T, p.P) for p in packed_list}
     assert len(shapes) == 1, "instances must share one padded shape"
     inputs = [_prepare_inputs(p, pedigree) for p in packed_list]
     keys = list(inputs[0])
     n_ind = max(len(pedigree), 1)
     first = packed_list[0]
+    static = (first.K, first.T, first.P, n_ind)
+    stacked = [np.stack([inp[k] for inp in inputs]) for k in keys]
+    return static, stacked
+
+
+def launch_genotyping_batch(static, stacked, dtype: str = "f64") -> np.ndarray:
+    """Run the batched forward-backward; returns (B, C, n_ind, 3) float64."""
+    K, T, P, n_ind = static
     with jax.enable_x64(dtype == "f64"):
-        stacked = [
-            jnp.asarray(np.stack([inp[k] for inp in inputs])) for k in keys
-        ]
         out = _forward_backward_batched(
-            first.K, first.T, first.P, n_ind, *stacked, dtype=dtype
+            K, T, P, n_ind, *[jnp.asarray(a) for a in stacked], dtype=dtype
         )
         return np.asarray(jax.device_get(out), dtype=np.float64)
+
+
+def run_genotyping_jax_batched(packed_list, pedigree, dtype: str = "f64") -> Optional[np.ndarray]:
+    """Batched device forward-backward over same-shaped instances (same
+    C/K/T/P and individual count); returns (B, C, n_ind, 3) float64."""
+    if not packed_list:
+        return None
+    static, stacked = prepare_genotyping_batch(packed_list, pedigree)
+    return launch_genotyping_batch(static, stacked, dtype=dtype)

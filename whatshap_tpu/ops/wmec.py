@@ -807,10 +807,7 @@ def run_dp_batched(packed: PackedProblem) -> Optional[DPResult]:
     if len(ranges) <= 1:
         return None
 
-    use_pallas = (
-        jax.default_backend() != "cpu" and wmec_pallas.kernel_supported(max(K, 7), T, P)
-    )
-    k_run = max(K, wmec_pallas.LANE_BITS) if use_pallas else K
+    on_accel = jax.default_backend() != "cpu"
 
     # Slice out each block as an independent padded problem.  die_prev of a
     # block's first column may keep stale True flags; folding a fresh
@@ -820,37 +817,46 @@ def run_dp_batched(packed: PackedProblem) -> Optional[DPResult]:
     ).astype(np.float32)
     wdiff_full = packed.wdiff.reshape(C, K, T * P * 2).astype(np.float32)
 
-    buckets: dict = {}  # c_pad -> list of (range_index, PaddedArrays)
+    # Per-range slot count: the greedy lowest-free-slot assignment keeps a
+    # read-connected range's occupied slots dense at the bottom, so slicing
+    # to the highest active slot gives each range its own 2^k state space
+    # (bucketing by K as well as by C — one high-coverage range must not
+    # make every sparse range pay its exponent).
+    buckets: dict = {}  # (c_pad, k_b) -> list of (range_index, PaddedArrays)
     for ri, (a, b) in enumerate(ranges):
         n = b - a
         c_pad = _next_pow2(n)
+        act = np.nonzero(packed.active[a:b].any(axis=0))[0]
+        k_used = int(act[-1]) + 1 if act.size else 1
+        k_b = _k_tier(k_used, T, P, on_accel)
+        kk = min(K, k_b)
         nA = 1 << P
         arrs = PaddedArrays(
-            wdiff=np.zeros((c_pad, k_run, T * P * 2), dtype=np.float32),
+            wdiff=np.zeros((c_pad, k_b, T * P * 2), dtype=np.float32),
             wbase=np.zeros((c_pad, T, P, 2), dtype=np.int32),
-            rankw=np.zeros((c_pad, k_run), dtype=np.float32),
+            rankw=np.zeros((c_pad, k_b), dtype=np.float32),
             acost=np.zeros((c_pad, T, nA), dtype=np.int32),
-            die_prev=np.zeros((c_pad, k_run), dtype=bool),
+            die_prev=np.zeros((c_pad, k_b), dtype=bool),
             rc=np.full(c_pad, INF, dtype=np.int32),
             n_cols=n,
         )
-        arrs.wdiff[:n, :K] = wdiff_full[a:b]
+        arrs.wdiff[:n, :kk] = wdiff_full[a:b, :kk]
         arrs.wbase[:n] = packed.wbase[a:b]
-        arrs.rankw[:n, :K] = rankw_full[a:b]
+        arrs.rankw[:n, :kk] = rankw_full[a:b, :kk]
         arrs.acost[:n] = packed.acost[a:b]
-        arrs.die_prev[:n, :K] = packed.die_prev[a:b]
+        arrs.die_prev[:n, :kk] = packed.die_prev[a:b, :kk]
         arrs.rc[:n] = packed.rc[a:b]
         if c_pad > n:
-            arrs.rankw[n:, :K] = rankw_full[b - 1]
-        buckets.setdefault(c_pad, []).append((ri, arrs))
+            arrs.rankw[n:, :kk] = rankw_full[b - 1, :kk]
+        buckets.setdefault((c_pad, k_b), []).append((ri, arrs))
 
     total_cost = 0
     index_path = np.zeros(C, dtype=np.int64)
     trans_path = np.zeros(C, dtype=np.int64)
-    for c_pad, members in buckets.items():
+    for (c_pad, k_b), members in buckets.items():
         stacked = stack_blocks([arrs for _, arrs in members])
         costs, index_paths, trans_paths = solve_batched_auto(
-            k_run, T, P, *[jnp.asarray(x) for x in stacked]
+            k_b, T, P, *[jnp.asarray(x) for x in stacked]
         )
         costs = np.asarray(jax.device_get(costs))
         index_paths = np.asarray(jax.device_get(index_paths), dtype=np.int64)
@@ -861,6 +867,127 @@ def run_dp_batched(packed: PackedProblem) -> Optional[DPResult]:
             index_path[a:b] = index_paths[bi, : b - a]
             trans_path[a:b] = trans_paths[bi, : b - a]
     return DPResult(total_cost, index_path, trans_path)
+
+
+def solve_packed_list(
+    packed_list: Sequence[PackedProblem], c_pad: Optional[int] = None
+) -> List[Optional[DPResult]]:
+    """Solve a list of independent same-(T, P) instances as a few batched
+    device launches, bucketed by (padded K, padded column count).
+
+    Bucketing by K matters as much as by C: the state space is 2^K, so one
+    high-coverage block in a batch would otherwise make every low-coverage
+    block pay its exponent (the batch analogue of the reference's adaptive
+    per-column 2^k_c cost, pedigreedptable.cpp:84-135).  Each bucket pads
+    to its own slot count and column count; results are returned in input
+    order and are bit-identical to per-block serial solves (inactive-slot
+    index-path bits are don't-cares).
+    """
+    from . import wmec_pallas
+    from ..parallel.blocks import pad_block, stack_blocks
+
+    results: List[Optional[DPResult]] = [None] * len(packed_list)
+    if not packed_list:
+        return results
+    T, P = packed_list[0].T, packed_list[0].P
+    for k_b, cp, idxs, stacked in bucket_packed_list(packed_list, c_pad):
+        costs, ipaths, tpaths = solve_batched_auto(
+            k_b, T, P, *[jnp.asarray(x) for x in stacked]
+        )
+        costs = np.asarray(jax.device_get(costs))
+        ipaths = np.asarray(jax.device_get(ipaths), dtype=np.int64)
+        tpaths = np.asarray(jax.device_get(tpaths), dtype=np.int64)
+        for bi, i in enumerate(idxs):
+            n = packed_list[i].n_cols
+            results[i] = DPResult(int(costs[bi]), ipaths[bi, :n], tpaths[bi, :n])
+    return results
+
+
+# One kernel launch+fence costs roughly this many state*column*T units of
+# VPU work (calibrated on the v5e trio workload); used to decide whether a
+# small launch bucket is worth its dispatch overhead.
+MERGE_OVERHEAD_STATES = 2.5e7
+
+
+def _k_tier(k: int, T: int, P: int, on_accel: bool) -> int:
+    """Launch-bucket slot count for a block of coverage k.
+
+    On accelerators, rounds up to the Pallas lane minimum and then to an
+    even tier (8, 10, 12, ...) when the kernel supports it: each distinct K
+    is a separate Mosaic compile (minutes on first use), so tiers trade at
+    most a 2x state padding for half the kernel shapes.  On CPU the XLA
+    scan compiles fast and exact K wins.
+    """
+    from . import wmec_pallas
+
+    k = max(k, 1)
+    if not on_accel or not wmec_pallas.kernel_supported(
+        max(k, wmec_pallas.LANE_BITS), T, P
+    ):
+        return k
+    k = max(k, wmec_pallas.LANE_BITS)
+    if (k & 1) and wmec_pallas.kernel_supported(k + 1, T, P):
+        k += 1
+    return k
+
+
+def bucket_packed_list(
+    packed_list: Sequence[PackedProblem], c_pad: Optional[int] = None
+) -> List[Tuple[int, int, List[int], tuple]]:
+    """Group same-(T, P) instances into fixed-shape launch buckets.
+
+    Returns [(k_pad, c_pad, block_indices, stacked_arrays)] ready for
+    `solve_batched_auto(k_pad, T, P, *stacked_arrays)` per bucket.
+    """
+    from . import wmec_pallas
+    from ..parallel.blocks import pad_block, stack_blocks
+
+    if not packed_list:
+        return []
+    T, P = packed_list[0].T, packed_list[0].P
+    on_accel = jax.default_backend() != "cpu"
+    buckets: dict = {}  # (k_pad, c_pad) -> list of block indices
+    for i, p in enumerate(packed_list):
+        if p.T != T or p.P != P:
+            raise ValueError("solve_packed_list: all blocks must share (T, P)")
+        k_b = _k_tier(p.K, T, P, on_accel)
+        cp = c_pad if c_pad is not None else _next_pow2(max(p.n_cols, 1))
+        cp = max(cp, p.n_cols)
+        buckets.setdefault((k_b, cp), []).append(i)
+
+    if on_accel:
+        # Launch-count / state-work trade-off: a separate small bucket saves
+        # 2^Δk of state work for its blocks but pays a full kernel dispatch
+        # + fence (tens of ms over an RPC-attached chip, and low VPU
+        # occupancy for small batches).  Merge a bucket into the next K tier
+        # (same c_pad) when the extra padded state work costs less than a
+        # launch.  Measured on v5e (trio workload, B=64 vs 256): uniform
+        # beats naive per-K buckets at B=64, per-K wins 1.44x at B=256;
+        # this model picks correctly in both regimes.
+        by_cp: dict = {}
+        for (k_b, cp), idxs in buckets.items():
+            by_cp.setdefault(cp, []).append((k_b, idxs))
+        buckets = {}
+        for cp, items in by_cp.items():
+            items.sort()
+            i = 0
+            while i < len(items):
+                k_b, idxs = items[i]
+                if i + 1 < len(items):
+                    k_next = items[i + 1][0]
+                    added_states = len(idxs) * ((1 << k_next) - (1 << k_b)) * cp * T
+                    if added_states < MERGE_OVERHEAD_STATES:
+                        items[i + 1] = (k_next, idxs + items[i + 1][1])
+                        i += 1
+                        continue
+                buckets[(k_b, cp)] = idxs
+                i += 1
+
+    out = []
+    for (k_b, cp), idxs in buckets.items():
+        padded = [pad_block(packed_list[i], cp, k_pad=k_b) for i in idxs]
+        out.append((k_b, cp, idxs, stack_blocks(padded)))
+    return out
 
 
 def _run_dp_native(packed: PackedProblem) -> Optional[DPResult]:

@@ -39,15 +39,17 @@ LANE_BITS = 7  # 128 lanes
 LANES = 1 << LANE_BITS
 
 MAX_T = 16
-MAX_K = 16  # state must fit VMEM (K=17+ fails the Mosaic compile: the
-            # fold/backtrace working set exceeds VMEM; those shapes route
-            # through the segmented XLA path instead)
+MAX_K = 17  # T * 2^K states must fit the VMEM working set.  K=17 (T=1)
+            # compiles once bit masks are built on demand in the slot loop
+            # (materializing all K masks at once was the VMEM blowup that
+            # used to cap this at 16); K=18+ still fails the Mosaic compile
+            # even table-free and routes through the segmented XLA path.
 
 
 def kernel_supported(K: int, T: int, P: int) -> bool:
-    # T == 1 (single individual), T == 4 (one trio) and T == 16 (two trios,
-    # e.g. a quartet) fit the VMEM-resident state budget; larger pedigrees
-    # still run on XLA
+    # T == 1 (single individual, K<=17), T == 4 (one trio, K<=15) and
+    # T == 16 (two trios, e.g. a quartet, K<=13) fit the VMEM-resident
+    # state budget; larger pedigrees still run on XLA
     if not (LANE_BITS <= K <= MAX_K and T <= MAX_T and P <= 4):
         return False
     return T * (1 << K) <= (1 << 17)
@@ -257,14 +259,20 @@ def _make_kernel(
 
         # ---- current column cost ----
         # f[j] = sum_k bit_k(i) * wdiff[k, j]; weights are < 2^24 so f32
-        # accumulation is exact (no MXU, no bf16 rounding)
-        bitmasks = [((idx0 >> k) & 1).astype(jnp.float32) for k in range(K)]
-        f = []
-        for j in range(TP2):
-            acc = jnp.zeros((R, LANES), jnp.float32)
-            for k in range(K):
-                acc = acc + bitmasks[k] * wdiff_ref[0, 0, k, j]
-            f.append(acc.astype(jnp.int32))
+        # accumulation is exact (no MXU, no bf16 rounding).  The slot loop
+        # is outermost and each bit mask is consumed immediately (the rank
+        # key accumulates in the same pass): materializing all K masks at
+        # once puts K*(R,LANES) f32 live in VMEM, which is what used to
+        # break the Mosaic compile above K=16.  Addition order per
+        # accumulator (ascending k) is unchanged, so values are bit-equal.
+        facc = [jnp.zeros((R, LANES), jnp.float32) for _ in range(TP2)]
+        racc = jnp.zeros((R, LANES), jnp.float32)
+        for k in range(K):
+            mask = ((idx0 >> k) & 1).astype(jnp.float32)
+            for j in range(TP2):
+                facc[j] = facc[j] + mask * wdiff_ref[0, 0, k, j]
+            racc = racc + mask * rankw_ref[0, 0, 0, k]
+        f = [acc.astype(jnp.int32) for acc in facc]
         # cp[t][p][a] = f[(t*P + p)*2 + a] + wbase[t,p,a]
         for t in range(T):
             s0 = jnp.zeros((R, LANES), jnp.int32)
@@ -293,10 +301,7 @@ def _make_kernel(
                 jmin_s[t] = jmin_new[t]
 
         # ---- tie-break key for this column ----
-        r = jnp.zeros((R, LANES), jnp.float32)
-        for k in range(K):
-            r = r + bitmasks[k] * rankw_ref[0, 0, 0, k]
-        n = r.astype(jnp.int32)
+        n = racc.astype(jnp.int32)
         shift = 1
         while shift < max(K, 1):
             n = n ^ (n >> shift)

@@ -682,6 +682,8 @@ class ClusterEditingSolver:
     def _run_native(self) -> Optional[List[List[int]]]:
         """C++ engine (native/clusterlib.cpp), same algorithm and float32
         semantics; differential-tested against the Python path."""
+        import numpy as np
+
         from ..native import clusterlib
 
         if clusterlib is None:
@@ -690,13 +692,18 @@ class ClusterEditingSolver:
         n_nodes = m.getMaxDim()
         if n_nodes == 0:
             return []
-        us: List[int] = []
-        vs: List[int] = []
-        ws: List[float] = []
-        for eid in m.getIndices():
-            v = _ceil_sqrt_node(eid)
-            u = eid - v * (v - 1) // 2
-            us.append(u)
-            vs.append(v)
-            ws.append(m.get(u, v))
-        return clusterlib.run(n_nodes, us, vs, ws, self.bundleEdges)
+        # decode all edge ids in one vectorized pass (same formula as
+        # _ceil_sqrt_node; the stored keys are index+1 in ascending order)
+        keys = np.fromiter(m.m.keys(), dtype=np.int64, count=len(m.m))
+        vals = np.fromiter(m.m.values(), dtype=np.float64, count=len(m.m))
+        order = np.argsort(keys)
+        eids = keys[order] - 1
+        vs = np.ceil(np.sqrt(2.0 * (eids + 1) + 0.25) - 0.5).astype(np.int64)
+        us = eids - vs * (vs - 1) // 2
+        return clusterlib.run(
+            n_nodes,
+            us.astype(np.int32),
+            vs.astype(np.int32),
+            vals[order].astype(np.float32),
+            self.bundleEdges,
+        )

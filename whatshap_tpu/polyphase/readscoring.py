@@ -232,10 +232,19 @@ class ReadScoring:
         if err == 0.0:
             err = _estimate_allele_error_rate(am, ploidy)
 
+        # Genotype likelihoods depend on the position only through its
+        # allele-depth vector, so identical depth vectors (very common along
+        # a chromosome) share one computation — values are exactly those of
+        # the per-position loop.
         gl: List[Dict[Genotype, float]] = []
         occ = {}
+        gl_cache: Dict[Tuple[int, ...], Dict[Genotype, float]] = {}
         for i in range(am.getNumPositions()):
-            col = computeGenotypeLikelihoods(am.getAlleleDepths(i), ploidy, err)
+            depths = tuple(am.getAlleleDepths(i))
+            col = gl_cache.get(depths)
+            if col is None:
+                col = computeGenotypeLikelihoods(list(depths), ploidy, err)
+                gl_cache[depths] = col
             gl.append(col)
             for g in col:
                 occ[g] = True
@@ -247,10 +256,16 @@ class ReadScoring:
         sortedReads = sorted(range(am.size()), key=am.getFirstPos)
         offset = _f32(-math.log(ploidy * (1.0 - 1.0 / ploidy)))
 
-        luts = [
-            _single_pos_table(numAlleles, gl[pos], gMap, apls, apld)
-            for pos in range(am.getNumPositions())
-        ]
+        # the LUT is a pure function of the (shared) gl dict within one call
+        lut_cache: Dict[int, List[List[float]]] = {}
+        luts = []
+        for pos in range(am.getNumPositions()):
+            key = id(gl[pos])
+            lut = lut_cache.get(key)
+            if lut is None:
+                lut = _single_pos_table(numAlleles, gl[pos], gMap, apls, apld)
+                lut_cache[key] = lut
+            luts.append(lut)
         reads_cache = [am.getRead(r) for r in range(am.size())]
 
         nans = self._score_pairs_native(
