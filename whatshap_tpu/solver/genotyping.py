@@ -33,11 +33,17 @@ class GenotypeDPTable:
         # WHATSHAP_TPU_GENO_BACKEND=jax routes through the device
         # forward-backward kernel (f64, parity within ~1e-12 relative);
         # =jax32 is the single-precision TPU-speed variant (~1e-4, well
-        # inside GQ quantization).
+        # inside GQ quantization); =pallas is the VMEM-resident Pallas
+        # kernel (f32, same tolerance class as jax32).
         import os
 
         backend = os.environ.get("WHATSHAP_TPU_GENO_BACKEND")
-        if backend in ("jax", "jax32"):
+        if backend == "pallas":
+            from ..ops.genotyping_pallas import run_genotyping_pallas_batched
+
+            out = run_genotyping_pallas_batched([self._packed], pedigree)
+            self._likelihoods = None if out is None else out[0]
+        elif backend in ("jax", "jax32"):
             from ..ops.genotyping_jax import run_genotyping_jax
 
             dtype = "f32" if backend == "jax32" else "f64"
