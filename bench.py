@@ -510,6 +510,48 @@ def bench_polyphase():
     }
 
 
+def bench_mesh_virtual():
+    """Sharded-solve scaling on a virtual 8-device CPU mesh (subprocess,
+    since this process owns the TPU platform).  A mechanism check: the
+    mesh path compiles, runs, and bit-matches the serial solve inside
+    tools/mesh_bench.py; virtual-device efficiency is bounded by host
+    cores, not ICI, so it is a lower bound, not a hardware claim."""
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+    p = subprocess.run(
+        [
+            sys.executable,
+            str(Path(__file__).parent / "tools" / "mesh_bench.py"),
+            "--cpu",
+            "--devices",
+            "8",
+            "--blocks",
+            "128",
+            "--cols",
+            "64",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env=env,
+    )
+    if p.returncode != 0:
+        return {"error": (p.stderr or p.stdout)[-200:]}
+    d = json.loads(p.stdout.strip().splitlines()[-1])
+    return {
+        "value": d["efficiency"],
+        "unit": "virtual8_cpu_efficiency",
+        "devices": d["devices"],
+        "blocks": d["blocks"],
+    }
+
+
 def bench_batch_scaling(K, T, P, arrays_small, arrays_big, b_small, b_big):
     small = measure_device(K, T, P, arrays_small, n_iters=2)
     big = measure_device(K, T, P, arrays_big, n_iters=2)
@@ -547,6 +589,7 @@ def main():
         ("trio_pedmec", bench_trio),
         ("whole_chromosome", bench_whole_chromosome),
         ("polyphase_tetraploid", bench_polyphase),
+        ("mesh_virtual8", bench_mesh_virtual),
     ]:
         try:
             _progress(f"{name} ...")

@@ -62,6 +62,9 @@ def alleles_to_index(alleles: Sequence[int]) -> int:
     return index
 
 
+_FROM_INDEX_CACHE: dict = {}
+
+
 class Genotype:
     """Multiset of alleles (sorted); hashable and comparable.
 
@@ -79,7 +82,15 @@ class Genotype:
 
     @classmethod
     def from_index(cls, index: int, ploidy: int) -> "Genotype":
-        return cls(convert_index_to_alleles(index, ploidy))
+        # instances are immutable value objects, so common (index, ploidy)
+        # pairs share one cached instance (hot in polyphase scoring)
+        key = (index, ploidy)
+        g = _FROM_INDEX_CACHE.get(key)
+        if g is None:
+            g = cls(convert_index_to_alleles(index, ploidy))
+            if len(_FROM_INDEX_CACHE) < 65536:
+                _FROM_INDEX_CACHE[key] = g
+        return g
 
     def is_none(self) -> bool:
         return len(self._alleles) == 0
