@@ -211,6 +211,80 @@ def bench_genotype():
     }
 
 
+def bench_phase_chromosome_cli():
+    """End-to-end `phase` on a synthetic 4k-variant chromosome (FASTA +
+    BAM + VCF on disk -> phased VCF): BAM parsing, realignment allele
+    detection, read selection, the batched device solve, and VCF writing
+    all included.  The second run is reported (first pays jit compiles);
+    switch-error rate vs the simulated truth is a correctness gate."""
+    import sys as _sys
+    import tempfile
+
+    _sys.path.insert(0, str(Path(__file__).parent / "tools"))
+    from make_synth_chrom import generate
+
+    from whatshap_tpu.cli.phase import run_whatshap
+
+    out_dir = Path(tempfile.gettempdir()) / "whatshap_tpu_bench_chrom_v1"
+    marker = out_dir / "reads.bam"
+    if not marker.exists():
+        info = generate(out_dir, n_vars=4000, coverage=14, seed=7)
+    else:
+        info = generate(out_dir, n_vars=4000, coverage=14, seed=7)  # deterministic
+
+    def run_once():
+        out = io.StringIO()
+        t0 = time.perf_counter()
+        run_whatshap(
+            phase_input_files=[info["bam"]],
+            variant_file=info["vcf"],
+            reference=info["fasta"],
+            output=out,
+            write_command_line_header=False,
+        )
+        return time.perf_counter() - t0, out.getvalue()
+
+    run_once()  # compile warmup
+    dt, text = run_once()
+
+    # switch-error rate within phase blocks vs the simulated truth
+    hap0 = info["hap0"]
+    blocks = {}
+    for line in text.splitlines():
+        if not line or line.startswith("#"):
+            continue
+        f = line.split("\t")
+        call = dict(zip(f[8].split(":"), f[9].split(":")))
+        gt = call.get("GT", "")
+        if "|" not in gt:
+            continue
+        vi = int(f[1]) // 150 - 1
+        blocks.setdefault(call.get("PS"), []).append(
+            (vi, int(gt.split("|")[0]))
+        )
+    n_pairs = 0
+    n_switch = 0
+    for members in blocks.values():
+        members.sort()
+        rel_prev = None
+        for vi, a in members:
+            rel = a ^ hap0[vi]
+            if rel_prev is not None:
+                n_pairs += 1
+                if rel != rel_prev:
+                    n_switch += 1
+            rel_prev = rel
+    switch_rate = n_switch / n_pairs if n_pairs else None
+    n_vars = info["n_vars"]
+    return {
+        "value": round(n_vars / dt, 1),
+        "unit": "variants/s",
+        "seconds": round(dt, 2),
+        "reads": info["n_reads"],
+        "switch_error_rate": round(switch_rate, 4) if switch_rate is not None else None,
+    }
+
+
 def bench_genotype_device():
     """Batched device genotyping (f32 forward-backward, vmapped over
     same-shaped instances) vs the reference C++ oracle.  The f32 kernel is
@@ -584,6 +658,7 @@ def main():
 
     for name, fn in [
         ("phase_cli_fixture", bench_phase_cli),
+        ("phase_chromosome_cli", bench_phase_chromosome_cli),
         ("genotype_fb", bench_genotype),
         ("genotype_fb_device", bench_genotype_device),
         ("trio_pedmec", bench_trio),

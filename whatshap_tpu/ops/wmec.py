@@ -1048,6 +1048,30 @@ def run_dp(packed: PackedProblem, backend: str = "auto") -> Optional[DPResult]:
                 backend = "batched"
             else:
                 backend = "jax"
+                # When the jax route would land on the XLA scan (no
+                # accelerator or unsupported kernel shape), prefer the
+                # native host engine if its ADAPTIVE cost is small: it pays
+                # sum_c 2^k_c per column like the reference, so a high-K
+                # but sparse-coverage instance that is infeasible padded to
+                # 2^K stays cheap on the host.
+                from . import wmec_pallas
+
+                pallas_ok = (
+                    jax.default_backend() != "cpu"
+                    and wmec_pallas.kernel_supported(max(K, 7), T, P)
+                )
+                if not pallas_ok:
+                    try:
+                        from ..native import wmeclib
+                    except ImportError:  # pragma: no cover
+                        wmeclib = None
+                    if wmeclib is not None:
+                        k_c = packed.active.sum(axis=1).astype(np.int64)
+                        adaptive = int(
+                            np.sum(np.int64(1) << np.minimum(k_c, 40))
+                        ) * T * T
+                        if adaptive <= (1 << 28):
+                            backend = "numpy"
 
     if backend == "batched":
         result = run_dp_batched(packed)
