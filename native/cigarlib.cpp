@@ -274,3 +274,157 @@ int32_t wh_detect_alleles(
 }
 
 }  // extern "C"
+// ---------------------------------------------------------------------------
+// Batched realignment scoring: one call per read instead of one Python ->
+// ctypes round trip per (read, variant).  Covers the default realign mode
+// (unit-cost edit distance, no affine gaps, no kmerald, no genotype
+// restriction); hits it cannot handle exactly (symbolic ALTs, reference
+// bound violations) are emitted with allele == -2 so the Python
+// _realign_variant path handles them identically.
+//
+// Semantics mirror whatshap_tpu/variants.py _realign_variant +
+// _advance_along_cigar (including the N-skip quirk that claims the full
+// target) and align.py edit_distance (same DP as native/alignlib.cpp).
+
+namespace {
+
+int edit_distance_unit(const char* s, int m, const char* t, int n) {
+    // identical to wh_edit_distance (native/alignlib.cpp) with maxdiff=-1
+    while (m > 0 && n > 0 && s[0] == t[0]) { ++s; ++t; --m; --n; }
+    while (m > 0 && n > 0 && s[m - 1] == t[n - 1]) { --m; --n; }
+    std::vector<int> costs(m + 1);
+    for (int i = 0; i <= m; ++i) costs[i] = i;
+    for (int j = 1; j <= n; ++j) {
+        int prev = costs[0];
+        costs[0] += 1;
+        const char tj = t[j - 1];
+        for (int i = 1; i <= m; ++i) {
+            const int match = (s[i - 1] == tj) ? 1 : 0;
+            const int c = std::min(prev + 1 - match,
+                                   std::min(costs[i] + 1, costs[i - 1] + 1));
+            prev = costs[i];
+            costs[i] = c;
+        }
+    }
+    return costs[m];
+}
+
+// _advance_along_cigar over an element sequence; returns false on an
+// unknown op (Python raises AssertionError -> fallback)
+bool advance_cigar(const std::vector<std::pair<int, long>>& seq, long target,
+                   long* ref_out, long* q_out) {
+    long ref = 0, query = 0;
+    for (const auto& e : seq) {
+        int op = e.first;
+        long length = e.second;
+        if (op == 0 || op == 7 || op == 8) {  // M, =, X
+            ref += length;
+            query += length;
+            if (ref >= target) { *ref_out = target; *q_out = query - (ref - target); return true; }
+        } else if (op == 2) {  // D
+            ref += length;
+            if (ref >= target) { *ref_out = target; *q_out = query; return true; }
+        } else if (op == 1) {  // I
+            query += length;
+        } else if (op == 4 || op == 5) {  // S, H
+        } else if (op == 3) {  // N quirk: claim the full target
+            *ref_out = target; *q_out = query; return true;
+        } else {
+            return false;
+        }
+    }
+    *ref_out = ref;
+    *q_out = query;
+    return true;
+}
+
+}  // namespace
+
+extern "C" int32_t wh_realign_read(
+    const int64_t* var_positions, int32_t n_vars, int32_t j0,
+    const int32_t* ref_lens,
+    const int32_t* alt_off,      // n_vars+1: per-variant alt range
+    const int32_t* alt_seq_off,  // n_alts+1: per-alt offset into alt_seq
+    const char* alt_seq,
+    const uint8_t* skip,         // per variant: needs the Python path
+    const char* reference, int64_t ref_total_len,
+    int64_t ref_start,
+    const int32_t* cigar_ops, const int32_t* cigar_lens, int32_t n_cigar,
+    const char* query, int32_t query_len,
+    int32_t overhang,
+    int32_t* out_index, int32_t* out_allele, int32_t* out_quality, int32_t cap) {
+    (void)query_len;
+    std::vector<int32_t> hi(cap), he(cap), hc(cap), hq(cap);
+    int32_t n_hits = wh_iterate_cigar(
+        var_positions, n_vars, j0, ref_start, cigar_ops, cigar_lens, n_cigar,
+        hi.data(), he.data(), hc.data(), hq.data(), cap);
+    int32_t count = 0;
+    std::vector<std::pair<int, long>> seq;
+    std::vector<char> hap;
+    for (int32_t h = 0; h < n_hits && count < cap; ++h) {
+        int idx = hi[h], i = he[h], consumed = hc[h];
+        long qpos = hq[h];
+        int32_t allele = -2;  // Python fallback by default
+        int32_t quality = 0;
+        if (!skip[idx]) {
+            int64_t pos = var_positions[idx];
+            long reflen = ref_lens[idx];
+            // left: prefix reversed from the split point
+            seq.clear();
+            if (consumed > 0) seq.emplace_back(cigar_ops[i], (long)consumed);
+            for (int j = i - 1; j >= 0; --j)
+                seq.emplace_back(cigar_ops[j], (long)cigar_lens[j]);
+            long left_ref, left_query;
+            bool ok = advance_cigar(seq, overhang, &left_ref, &left_query);
+            // right: suffix from the split point
+            seq.clear();
+            if (consumed < cigar_lens[i])
+                seq.emplace_back(cigar_ops[i], (long)(cigar_lens[i] - consumed));
+            for (int j = i + 1; j < n_cigar; ++j)
+                seq.emplace_back(cigar_ops[j], (long)cigar_lens[j]);
+            long right_ref, right_query;
+            ok = ok && advance_cigar(seq, reflen + overhang, &right_ref, &right_query);
+            if (ok && pos - left_ref >= 0 && pos + right_ref <= ref_total_len) {
+                const char* q = query + (qpos - left_query);
+                int qlen = (int)(left_query + right_query);
+                const char* left_pad = reference + (pos - left_ref);
+                long right_pad_len = right_ref - reflen;
+                if (right_pad_len < 0) right_pad_len = 0;
+                const char* right_pad = reference + (pos + reflen);
+                // allele 0: the reference haplotype window
+                int best_a = 0;
+                int best_d = edit_distance_unit(q, qlen, left_pad,
+                                                (int)(left_ref + right_ref));
+                int second_d = INT32_MAX;
+                for (int32_t a = alt_off[idx]; a < alt_off[idx + 1]; ++a) {
+                    int32_t alt_len = alt_seq_off[a + 1] - alt_seq_off[a];
+                    hap.clear();
+                    hap.insert(hap.end(), left_pad, left_pad + left_ref);
+                    hap.insert(hap.end(), alt_seq + alt_seq_off[a],
+                               alt_seq + alt_seq_off[a + 1]);
+                    hap.insert(hap.end(), right_pad, right_pad + right_pad_len);
+                    (void)alt_len;
+                    int d = edit_distance_unit(q, qlen, hap.data(), (int)hap.size());
+                    if (d < best_d) {
+                        second_d = best_d;
+                        best_d = d;
+                        best_a = (int)(a - alt_off[idx]) + 1;
+                    } else if (d < second_d) {
+                        second_d = d;
+                    }
+                }
+                if (second_d == best_d) {
+                    allele = -1;  // tie -> variant skipped (Python returns None)
+                } else {
+                    allele = best_a;
+                    quality = 30;
+                }
+            }
+        }
+        out_index[count] = idx;
+        out_allele[count] = allele;
+        out_quality[count] = quality;
+        ++count;
+    }
+    return count;
+}

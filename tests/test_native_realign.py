@@ -1,0 +1,75 @@
+"""
+The batched native realignment engine (cigarlib wh_realign_read) must
+reproduce the Python per-variant realign path byte-for-byte through the
+whole phase pipeline.
+"""
+
+import io
+import sys
+from pathlib import Path
+
+import whatshap_tpu.native
+from whatshap_tpu.cli.phase import run_whatshap
+
+sys.path.insert(0, str(Path(__file__).parent.parent / "tools"))
+
+
+def _phase(bam, vcf, fasta):
+    out = io.StringIO()
+    run_whatshap(
+        phase_input_files=[bam],
+        variant_file=vcf,
+        reference=fasta,
+        output=out,
+        write_command_line_header=False,
+    )
+    return [
+        line for line in out.getvalue().splitlines() if not line.startswith("##")
+    ]
+
+
+def _parity(bam, vcf, fasta, monkeypatch):
+    native = _phase(bam, vcf, fasta)
+    monkeypatch.setattr(whatshap_tpu.native, "cigarlib", None)
+    python = _phase(bam, vcf, fasta)
+    assert native == python
+
+
+def test_realign_parity_pacbio(monkeypatch):
+    _parity(
+        "tests/data/pacbio/pacbio.bam",
+        "tests/data/pacbio/variants.vcf",
+        "tests/data/pacbio/reference.fasta",
+        monkeypatch,
+    )
+
+
+def test_realign_parity_synthetic(tmp_path, monkeypatch):
+    from make_synth_chrom import generate
+
+    info = generate(tmp_path / "chrom", n_vars=300, coverage=8, seed=11)
+    _parity(info["bam"], info["vcf"], info["fasta"], monkeypatch)
+
+
+def test_realign_parity_indels(tmp_path, monkeypatch):
+    """Multi-length alleles force the padded-haplotype branches."""
+    from make_synth_chrom import generate
+
+    info = generate(tmp_path / "chrom", n_vars=120, coverage=8, seed=13)
+    # rewrite a few VCF records into insertions/deletions relative to the
+    # reference (keeps positions/REF bases consistent with the FASTA)
+    vcf = Path(info["vcf"])
+    lines = vcf.read_text().splitlines()
+    out = []
+    k = 0
+    for line in lines:
+        if line.startswith("#"):
+            out.append(line)
+            continue
+        f = line.split("\t")
+        if k % 7 == 3:
+            f[4] = f[3] + "ACG"  # insertion
+        k += 1
+        out.append("\t".join(f))
+    vcf.write_text("\n".join(out) + "\n")
+    _parity(info["bam"], str(vcf), info["fasta"], monkeypatch)

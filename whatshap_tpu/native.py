@@ -568,6 +568,16 @@ class _CigarLib:
             ctypes.POINTER(ctypes.c_int8), ctypes.c_int32,
             i32p, i32p, i32p, ctypes.c_int32,
         ]
+        c.wh_realign_read.restype = ctypes.c_int32
+        c.wh_realign_read.argtypes = [
+            i64p, ctypes.c_int32, ctypes.c_int32,
+            i32p, i32p, i32p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            i32p, i32p, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32,
+            i32p, i32p, i32p, ctypes.c_int32,
+        ]
 
     @staticmethod
     def _i32(xs):
@@ -618,6 +628,24 @@ class _CigarLib:
         if n < 0:
             return None
         return [(ov[k], oa[k], oq[k]) for k in range(n)]
+
+    def realign_read(
+        self, var_positions, n_vars, j0, ref_lens, alt_off, alt_seq_off,
+        alt_seq, skip, reference, ref_start, cigar_ops, cigar_lens,
+        query_seq, overhang,
+    ):
+        cap = max(n_vars - j0, 1)
+        oi = (ctypes.c_int32 * cap)()
+        oa = (ctypes.c_int32 * cap)()
+        oq = (ctypes.c_int32 * cap)()
+        n = self._lib.wh_realign_read(
+            var_positions, n_vars, j0, ref_lens, alt_off, alt_seq_off,
+            alt_seq, skip, reference, len(reference), ref_start,
+            cigar_ops, cigar_lens, len(cigar_ops),
+            query_seq.encode() if isinstance(query_seq, str) else query_seq,
+            len(query_seq), overhang, oi, oa, oq, cap,
+        )
+        return [(oi[k], oa[k], oq[k]) for k in range(n)]
 
 
 def _build_cigarlib() -> bool:

@@ -470,7 +470,46 @@ class ReadSetReader:
                 native_cigar._i64([v.position for v in variants]) if native_cigar else None
             )
             self._native_cigar = native_cigar
+            # Batched native realignment (one engine call per read) covers
+            # the default mode exactly; affine/kmerald/restricted modes and
+            # symbolic-ALT variants keep the per-variant Python path.
+            self._native_realign = None
+            if (
+                native_cigar is not None
+                and self._native_positions is not None
+                and not self._realign_cfg.use_affine
+                and kmerald is None
+                and restricted_genotypes is None
+            ):
+                import ctypes as _ct
+
+                alt_off = [0]
+                alt_seqs: List[str] = []
+                skip = []
+                for v in variants:
+                    alts = v.get_alt_allele_list()
+                    symbolic = any(a.startswith("<") for a in alts)
+                    skip.append(1 if symbolic else 0)
+                    if symbolic:
+                        alt_off.append(alt_off[-1])
+                    else:
+                        alt_seqs.extend(alts)
+                        alt_off.append(alt_off[-1] + len(alts))
+                alt_seq_off = [0]
+                for a in alt_seqs:
+                    alt_seq_off.append(alt_seq_off[-1] + len(a))
+                self._native_realign = dict(
+                    ref_lens=native_cigar._i32(
+                        [len(v.reference_allele) for v in variants]
+                    ),
+                    alt_off=native_cigar._i32(alt_off),
+                    alt_seq_off=native_cigar._i32(alt_seq_off),
+                    alt_seq="".join(alt_seqs).encode(),
+                    skip=(_ct.c_uint8 * max(len(skip), 1))(*skip),
+                    reference=reference.encode(),
+                )
         else:
+            self._native_realign = None
             normalized = [v.normalized() for v in variants]
             usable_ids = self.detect_non_overlapping_variants(normalized)
             scan_positions = [normalized[j].position for j in usable_ids]
@@ -709,6 +748,37 @@ class ReadSetReader:
         if not cigartuples:
             return
         native_cigar = getattr(self, "_native_cigar", None)
+        nr = getattr(self, "_native_realign", None)
+        if (
+            nr is not None
+            and native_cigar is not None
+            and seg.query_sequence is not None
+        ):
+            results = native_cigar.realign_read(
+                self._native_positions,
+                len(variants),
+                first_index,
+                nr["ref_lens"],
+                nr["alt_off"],
+                nr["alt_seq_off"],
+                nr["alt_seq"],
+                nr["skip"],
+                nr["reference"],
+                seg.reference_start,
+                native_cigar._i32([op for op, _ in cigartuples]),
+                native_cigar._i32([ln for _, ln in cigartuples]),
+                seg.query_sequence,
+                int(self._realign_cfg.overhang),
+            )
+            if all(allele != -2 for _, allele, _ in results):
+                for index, allele, quality in results:
+                    if allele < 0:  # tie: variant skipped
+                        continue
+                    if allele <= len(variants[index].get_alt_allele_list()):
+                        yield (index, allele, quality)
+                return
+            # rare exact-fallback (symbolic ALT / reference-bound corner):
+            # use the per-variant Python path for the whole read
         if native_cigar is not None and getattr(self, "_native_positions", None) is not None:
             hits = native_cigar.iterate_cigar(
                 self._native_positions,
