@@ -19,23 +19,38 @@ from .priorityqueue import PriorityQueue
 logger = logging.getLogger(__name__)
 
 
+class _CachedRead:
+    """Lightweight per-read view (positions/qualities/source) so the hot
+    selection loops avoid Read.__getitem__ object churn; selection logic
+    and tie outcomes are unchanged."""
+
+    __slots__ = ("positions", "qualities", "source_id")
+
+    def __init__(self, positions, qualities, source_id):
+        self.positions = positions
+        self.qualities = qualities
+        self.source_id = source_id
+
+
 def _construct_indexes(readset, preferred_source_ids=None):
-    """Return (positions, vcf index map, variant->reads map, preferred reads)."""
+    """Return (positions, vcf index map, variant->reads map, preferred
+    reads, per-read cache)."""
     positions = readset.get_positions()
     vcf_indices = {position: index for index, position in enumerate(positions)}
     variant_to_reads_map = defaultdict(list)
     preferred_reads = set()
+    reads = []
     for index, read in enumerate(readset):
+        reads.append(_CachedRead(read._positions, read._qualities, read.source_id))
         if preferred_source_ids is not None:
             if read.source_id in preferred_source_ids:
                 preferred_reads.add(index)
-        for variant in read:
-            variant_index = vcf_indices[variant.position]
-            variant_to_reads_map[variant_index].append(index)
-    return positions, vcf_indices, variant_to_reads_map, preferred_reads
+        for position in read._positions:
+            variant_to_reads_map[vcf_indices[position]].append(index)
+    return positions, vcf_indices, variant_to_reads_map, preferred_reads, reads
 
 
-def _update_score_for_reads(former_score, readset, index, newly_covered_positions):
+def _update_score_for_reads(former_score, reads, index, newly_covered_positions):
     """Score update after a read has been selected (readselect.pyx:37-53).
 
     NOTE: the reference decrements the first score component for every
@@ -43,23 +58,21 @@ def _update_score_for_reads(former_score, readset, index, newly_covered_position
     replicated as-is since it shapes the selection outcome.
     """
     first_score, second_score, quality = former_score
-    read = readset[index]
-    for i in range(len(read)):
-        if read._positions[i] not in newly_covered_positions:
+    for pos in reads[index].positions:
+        if pos not in newly_covered_positions:
             first_score -= 1
     return (first_score, second_score, quality)
 
 
-def _compute_score_for_read(readset, index, vcf_indices):
+def _compute_score_for_read(reads, index, vcf_indices):
     """Initial score (new - gaps, total - gaps, min quality)
     (readselect.pyx:55-91)."""
-    read = readset[index]
+    read = reads[index]
     min_quality = -1
     good_score = 0
     covered_variants = []
-    for i in range(len(read)):
-        quality = read._qualities[i]
-        pos = read._positions[i]
+    for i, pos in enumerate(read.positions):
+        quality = read.qualities[i]
         if i == 0:
             min_quality = quality
         else:
@@ -75,15 +88,15 @@ def _compute_score_for_read(readset, index, vcf_indices):
     return (good_score - bad_score, good_score - bad_score, min_quality)
 
 
-def _construct_priorityqueue(readset, read_indices, vcf_indices):
+def _construct_priorityqueue(reads, read_indices, vcf_indices):
     pq = PriorityQueue()
     for index in read_indices:
-        computed_score = _compute_score_for_read(readset, index, vcf_indices)
+        computed_score = _compute_score_for_read(reads, index, vcf_indices)
         pq.c_push(computed_score, index)
     return pq
 
 
-def _slice_read_selection(pq, coverages, max_cov, readset, vcf_indices, variant_to_reads_map):
+def _slice_read_selection(pq, coverages, max_cov, reads, vcf_indices, variant_to_reads_map):
     """Extract one slice: greedily pop reads, respecting the coverage cap
     (readselect.pyx:107-167)."""
     already_covered_variants = set()
@@ -92,16 +105,15 @@ def _slice_read_selection(pq, coverages, max_cov, readset, vcf_indices, variant_
     while not pq.c_is_empty():
         variants_covered_by_this_read = set()
         max_score, max_item = pq.c_pop()
-        extracted_read = readset[max_item]
+        rpos = reads[max_item].positions
         covers_new_variant = False
-        for i in range(len(extracted_read)):
-            pos = extracted_read._positions[i]
+        for pos in rpos:
             if pos in already_covered_variants:
                 continue
             covers_new_variant = True
             variants_covered_by_this_read.add(pos)
-        begin = vcf_indices.get(extracted_read._positions[0])
-        end = vcf_indices.get(extracted_read._positions[-1]) + 1
+        begin = vcf_indices.get(rpos[0])
+        end = vcf_indices.get(rpos[-1]) + 1
         if coverages.max_coverage_in_range(begin, end) >= max_cov:
             reads_violating_coverage.add(max_item)
         elif covers_new_variant:
@@ -119,25 +131,25 @@ def _slice_read_selection(pq, coverages, max_cov, readset, vcf_indices, variant_
                 oldscore = pq.c_get_score_by_item(element)
                 if oldscore is not None:
                     newscore = _update_score_for_reads(
-                        oldscore, readset, element, variants_covered_by_this_read
+                        oldscore, reads, element, variants_covered_by_this_read
                     )
                     pq.c_change_score(element, newscore)
     return reads_in_slice, reads_violating_coverage
 
 
-def _format_read_source_stats(readset, indices):
+def _format_read_source_stats(reads, indices):
     if len(indices) == 0:
         return "n/a"
     source_id_counts = defaultdict(int)
     for i in indices:
-        source_id_counts[readset[i].source_id] += 1
+        source_id_counts[reads[i].source_id] += 1
     return ", ".join(f"{sid}:{count}" for sid, count in source_id_counts.items())
 
 
 def _readselection_helper(
     coverages,
     max_cov,
-    readset,
+    reads,
     vcf_indices,
     variant_to_reads_map,
     selected_reads,
@@ -147,9 +159,9 @@ def _readselection_helper(
 ):
     loop = 0
     while len(undecided_reads) > 0:
-        pq = _construct_priorityqueue(readset, undecided_reads, vcf_indices)
+        pq = _construct_priorityqueue(reads, undecided_reads, vcf_indices)
         reads_in_slice, reads_violating_coverage = _slice_read_selection(
-            pq, coverages, max_cov, readset, vcf_indices, variant_to_reads_map
+            pq, coverages, max_cov, reads, vcf_indices, variant_to_reads_map
         )
         selected_reads.update(reads_in_slice)
         undecided_reads -= reads_in_slice
@@ -158,22 +170,22 @@ def _readselection_helper(
         # Component finder over the reads just selected
         component_finder = ComponentFinder(positions)
         for read_index in reads_in_slice:
-            read = readset[read_index]
-            for i in range(1, len(read)):
-                component_finder.merge(read._positions[0], read._positions[i])
+            rpos = reads[read_index].positions
+            for i in range(1, len(rpos)):
+                component_finder.merge(rpos[0], rpos[i])
 
         bridging_reads = set()
         if bridging:
-            pq = _construct_priorityqueue(readset, undecided_reads, vcf_indices)
+            pq = _construct_priorityqueue(reads, undecided_reads, vcf_indices)
             while not pq.is_empty():
                 score, read_index = pq.pop()
-                read = readset[read_index]
+                rpos = reads[read_index].positions
                 covered_blocks = set()
-                for i in range(len(read)):
-                    covered_blocks.add(component_finder.find(read._positions[i]))
+                for pos in rpos:
+                    covered_blocks.add(component_finder.find(pos))
 
-                begin = vcf_indices.get(read._positions[0])
-                end = vcf_indices.get(read._positions[-1]) + 1
+                begin = vcf_indices.get(rpos[0])
+                end = vcf_indices.get(rpos[-1]) + 1
                 if coverages.max_coverage_in_range(begin, end) >= max_cov:
                     undecided_reads.remove(read_index)
                     continue
@@ -183,17 +195,17 @@ def _readselection_helper(
                 selected_reads.add(read_index)
                 coverages.add_read(begin, end)
                 undecided_reads.remove(read_index)
-                for i in range(1, len(read)):
-                    component_finder.merge(read._positions[0], read._positions[i])
+                for i in range(1, len(rpos)):
+                    component_finder.merge(rpos[0], rpos[i])
         loop += 1
         logger.debug(
             "... iteration %d: selected %d reads (source: %s) to cover positions and "
             "%d reads (source: %s) for bridging; %d reads left undecided",
             loop,
             len(reads_in_slice),
-            _format_read_source_stats(readset, reads_in_slice),
+            _format_read_source_stats(reads, reads_in_slice),
             len(bridging_reads),
-            _format_read_source_stats(readset, bridging_reads),
+            _format_read_source_stats(reads, bridging_reads),
             len(undecided_reads),
         )
     return selected_reads
@@ -202,7 +214,7 @@ def _readselection_helper(
 def readselection(readset, max_cov, preferred_source_ids=None, bridging=True):
     """Select read indices not violating the maximum coverage; preferred
     source ids (phased-VCF pseudo-reads) are selected first."""
-    positions, vcf_indices, variant_to_reads_map, preferred_reads = _construct_indexes(
+    positions, vcf_indices, variant_to_reads_map, preferred_reads, reads = _construct_indexes(
         readset, preferred_source_ids
     )
 
@@ -227,7 +239,7 @@ def readselection(readset, max_cov, preferred_source_ids=None, bridging=True):
         selected_preferred_reads = _readselection_helper(
             coverages,
             max_cov,
-            readset,
+            reads,
             vcf_indices,
             variant_to_reads_map,
             selected_reads,
@@ -241,7 +253,7 @@ def readselection(readset, max_cov, preferred_source_ids=None, bridging=True):
     selected_reads = _readselection_helper(
         coverages,
         max_cov,
-        readset,
+        reads,
         vcf_indices,
         variant_to_reads_map,
         selected_reads,
