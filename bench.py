@@ -639,11 +639,32 @@ def _progress(msg):
     print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
+class _ConfigTimeout(Exception):
+    pass
+
+
+def _with_timeout(fn, seconds):
+    """Run fn() under a SIGALRM deadline so one hung remote compile cannot
+    stall the whole bench (the stdout JSON line must always appear)."""
+    import signal
+
+    def _raise(signum, frame):
+        raise _ConfigTimeout(f"config exceeded {seconds}s")
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(seconds)
+    try:
+        return fn()
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def main():
     configs = {}
 
     _progress("headline: batched wMEC vs oracle baseline ...")
-    throughput, baseline = bench_headline()
+    throughput, baseline = _with_timeout(bench_headline, 1800)
     _progress(f"headline done: {throughput:.0f} var/s (baseline {baseline:.0f})")
 
     try:
@@ -668,7 +689,7 @@ def main():
     ]:
         try:
             _progress(f"{name} ...")
-            configs[name] = fn()
+            configs[name] = _with_timeout(fn, 1200)
         except Exception as e:  # pragma: no cover
             configs[name] = {"error": str(e)[:200]}
         _progress(f"{name}: {configs[name]}")

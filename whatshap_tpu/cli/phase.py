@@ -115,12 +115,17 @@ def find_largest_component(components: Mapping[int, int]) -> Sequence[int]:
 def best_case_blocks(reads: ReadSet) -> Tuple[int, int]:
     """(number of components, number of non-singleton components) reachable
     if every covered variant could be phased."""
-    positions = {v.position for read in reads for v in read}
+    positions: Set[int] = set()
+    for read in reads:
+        positions.update(read._positions)
     finder = ComponentFinder(positions)
     for read in reads:
-        covered = [v.position for v in read]
+        covered = read._positions
+        if not covered:
+            continue
+        first = covered[0]
         for later in covered[1:]:
-            finder.merge(covered[0], later)
+            finder.merge(first, later)
     sizes: Dict[int, int] = defaultdict(int)
     for position in positions:
         sizes[finder.find(position)] += 1
