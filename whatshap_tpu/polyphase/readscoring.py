@@ -97,15 +97,22 @@ def _evaluate_genotype_likelihoods(gl: List[Dict[Genotype, float]]) -> float:
 
 
 def _estimate_allele_error_rate(am: AlleleMatrix, ploidy: int) -> float:
-    # readscoring.cpp:85-105 (grid search over err in [0.01, 0.19])
+    # readscoring.cpp:85-105 (grid search over err in [0.01, 0.19]);
+    # positions sharing an allele-depth vector share one GL computation per
+    # grid point (pure function of the depths)
+    depths_list = [tuple(am.getAlleleDepths(i)) for i in range(am.getNumPositions())]
     best_err = 0.0
     best_sum = float("-inf")
     err = 0.01
     while err < 0.2:
-        gl = [
-            computeGenotypeLikelihoods(am.getAlleleDepths(i), ploidy, err)
-            for i in range(am.getNumPositions())
-        ]
+        cache: Dict[Tuple[int, ...], Dict[Genotype, float]] = {}
+        gl = []
+        for depths in depths_list:
+            col = cache.get(depths)
+            if col is None:
+                col = computeGenotypeLikelihoods(list(depths), ploidy, err)
+                cache[depths] = col
+            gl.append(col)
         s = _evaluate_genotype_likelihoods(gl)
         if s > best_sum:
             best_sum = s
