@@ -323,6 +323,7 @@ struct Solver {
     bool bundleEdges;
     float totalCost = 0.0f;
     bool infeasible = false;
+    std::vector<int> nb_scratch;  // snapshot buffer (Python: list(unpruned[x]))
 
     Solver(Graph&& graph, bool bundle) : g(std::move(graph)), heap(g), bundleEdges(bundle) {
         heap.init();
@@ -403,13 +404,14 @@ struct Solver {
     void setForbidden(int u, int v) {
         int rid = g.findIndex(u, v);
         float uv = g.weight[rid];
-        std::vector<int> nb = g.unpruned[u];
+        std::vector<int>& nb = nb_scratch;
+        nb.assign(g.unpruned[u].begin(), g.unpruned[u].end());
         for (int w : nb) {
             if (w == v) continue;
             int r = g.findIndex(v, w);
             if (r > 0) updateTripleForbiddenUW(uv, g.findIndex(u, w), g.weight[r]);
         }
-        nb = g.unpruned[v];
+        nb.assign(g.unpruned[v].begin(), g.unpruned[v].end());
         for (int w : nb) {
             if (w == u) continue;
             int r = g.findIndex(u, w);
@@ -422,13 +424,14 @@ struct Solver {
     void setPermanent(int u, int v) {
         int rid = g.findIndex(u, v);
         float uv = g.weight[rid];
-        std::vector<int> nb = g.unpruned[u];
+        std::vector<int>& nb = nb_scratch;
+        nb.assign(g.unpruned[u].begin(), g.unpruned[u].end());
         for (int w : nb) {
             if (w == v) continue;
             int r = g.findIndex(v, w);
             if (r > 0) updateTriplePermanentUW(uv, g.findIndex(u, w), g.weight[r]);
         }
-        nb = g.unpruned[v];
+        nb.assign(g.unpruned[v].begin(), g.unpruned[v].end());
         for (int w : nb) {
             if (w == u) continue;
             int r = g.findIndex(u, w);
