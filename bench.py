@@ -664,8 +664,14 @@ def main():
     configs = {}
 
     _progress("headline: batched wMEC vs oracle baseline ...")
-    throughput, baseline = _with_timeout(bench_headline, 1800)
-    _progress(f"headline done: {throughput:.0f} var/s (baseline {baseline:.0f})")
+    headline_error = None
+    try:
+        throughput, baseline = _with_timeout(bench_headline, 1800)
+        _progress(f"headline done: {throughput:.0f} var/s (baseline {baseline:.0f})")
+    except Exception as e:  # a dead accelerator must still yield the JSON line
+        throughput, baseline = 0.0, BASELINE_FALLBACK
+        headline_error = str(e)[:200]
+        _progress(f"headline FAILED: {headline_error}")
 
     try:
         _progress("batch_scaling ...")
@@ -701,6 +707,8 @@ def main():
         "vs_baseline": round(throughput / baseline, 2),
         "configs": configs,
     }
+    if headline_error:
+        result["error"] = headline_error
     print(json.dumps(result))
 
 

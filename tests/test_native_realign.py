@@ -73,3 +73,47 @@ def test_realign_parity_indels(tmp_path, monkeypatch):
         out.append("\t".join(f))
     vcf.write_text("\n".join(out) + "\n")
     _parity(info["bam"], str(vcf), info["fasta"], monkeypatch)
+
+
+def test_end_to_end_phasing_accuracy(tmp_path):
+    """The full pipeline on a simulated chromosome must reconstruct the
+    true haplotypes: switch-error rate within phase blocks stays near the
+    simulated read error floor."""
+    from make_synth_chrom import generate
+
+    info = generate(tmp_path / "chrom", n_vars=400, coverage=10, seed=21)
+    out = io.StringIO()
+    run_whatshap(
+        phase_input_files=[info["bam"]],
+        variant_file=info["vcf"],
+        reference=info["fasta"],
+        output=out,
+        write_command_line_header=False,
+    )
+    hap0 = info["hap0"]
+    blocks = {}
+    n_phased = 0
+    for line in out.getvalue().splitlines():
+        if not line or line.startswith("#"):
+            continue
+        f = line.split("\t")
+        call = dict(zip(f[8].split(":"), f[9].split(":")))
+        gt = call.get("GT", "")
+        if "|" not in gt:
+            continue
+        n_phased += 1
+        vi = int(f[1]) // 150 - 1
+        blocks.setdefault(call.get("PS"), []).append((vi, int(gt.split("|")[0])))
+    assert n_phased > 300, f"only {n_phased} of 400 variants phased"
+    n_pairs = n_switch = 0
+    for members in blocks.values():
+        members.sort()
+        rel_prev = None
+        for vi, a in members:
+            rel = a ^ hap0[vi]
+            if rel_prev is not None:
+                n_pairs += 1
+                n_switch += rel != rel_prev
+            rel_prev = rel
+    assert n_pairs > 0
+    assert n_switch / n_pairs < 0.02, f"switch rate {n_switch / n_pairs:.3f}"
