@@ -825,7 +825,10 @@ def run_dp_batched(packed: PackedProblem) -> Optional[DPResult]:
     buckets: dict = {}  # (c_pad, k_b) -> list of (range_index, PaddedArrays)
     for ri, (a, b) in enumerate(ranges):
         n = b - a
-        c_pad = _next_pow2(n)
+        # lo=64: every distinct (C, K) bucket is a separate kernel compile
+        # (minutes each on a cold Mosaic cache), and padding short ranges
+        # is linear work — fewer column tiers beats exact fits
+        c_pad = _next_pow2(n, lo=64)
         act = np.nonzero(packed.active[a:b].any(axis=0))[0]
         k_used = int(act[-1]) + 1 if act.size else 1
         k_b = _k_tier(k_used, T, P, on_accel)
@@ -951,7 +954,7 @@ def bucket_packed_list(
         if p.T != T or p.P != P:
             raise ValueError("solve_packed_list: all blocks must share (T, P)")
         k_b = _k_tier(p.K, T, P, on_accel)
-        cp = c_pad if c_pad is not None else _next_pow2(max(p.n_cols, 1))
+        cp = c_pad if c_pad is not None else _next_pow2(max(p.n_cols, 1), lo=64)
         cp = max(cp, p.n_cols)
         buckets.setdefault((k_b, cp), []).append(i)
 
