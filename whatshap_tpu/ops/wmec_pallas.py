@@ -90,6 +90,7 @@ def _make_kernel(
     - carry_in=True: initialize the column-0 state from carry inputs instead
       of zeros (segment continuation)."""
     assert (emit_jmin or T == 1) or not emit_tables
+    emit_jmin = emit_jmin and T > 1  # T == 1 has no transmission argmin
     S = 1 << K
     R = S >> LANE_BITS
     nA = 1 << P
@@ -138,6 +139,11 @@ def _make_kernel(
     fold_idx = emit_tables
     fold_jmin = emit_tables and emit_jmin
 
+    # For a single individual the transmission argmin is identically zero:
+    # carry no jmin state, scratch, or outputs at all (saves ~3 VMEM planes
+    # at high K; callers synthesize zeros where the API exposes them).
+    has_jmin = T > 1
+
     def kernel(
         wdiff_ref,  # (1, 1, K, TP2) f32 VMEM
         wbase_ref,  # (1, 1, 1, TP2) i32 SMEM   (T,P,2 flattened)
@@ -146,15 +152,22 @@ def _make_kernel(
         die_ref,  # (1, 1, 1, K) i32 SMEM
         rc_ref,  # (1, 1, 1, 1) i32 SMEM
         *refs,
-        # [carry inputs if carry_in: cost0/jmin0 (1,T,R,LANES), key0 (1,R,LANES)]
+        # [carry inputs if carry_in: cost0/[jmin0 if T>1] (1,T,R,LANES),
+        #  key0 (1,R,LANES)]
         # outputs: [pidx (1,1,T,R,LANES), [pjmin if emit_jmin]] if emit_tables,
-        #          dp (1,T,R,LANES), jminl (1,T,R,LANES), keyl (1,R,LANES)
-        # scratch: cost_s (T,R,LANES), jmin_s (T,R,LANES), key_s (R,LANES)
+        #          dp (1,T,R,LANES), [jminl if T>1], keyl (1,R,LANES)
+        # scratch: cost_s (T,R,LANES), [jmin_s if T>1], key_s (R,LANES)
     ):
         i = 0
+        jmin0_ref = None
         if carry_in:
-            cost0_ref, jmin0_ref, key0_ref = refs[0:3]
-            i = 3
+            cost0_ref = refs[i]
+            i += 1
+            if has_jmin:
+                jmin0_ref = refs[i]
+                i += 1
+            key0_ref = refs[i]
+            i += 1
         pidx_ref = pjmin_ref = None
         if emit_tables:
             pidx_ref = refs[i]
@@ -162,7 +175,11 @@ def _make_kernel(
             if emit_jmin:
                 pjmin_ref = refs[i]
                 i += 1
-        dp_ref, jminl_ref, keyl_ref, cost_s, jmin_s, key_s = refs[i:]
+        if has_jmin:
+            dp_ref, jminl_ref, keyl_ref, cost_s, jmin_s, key_s = refs[i:]
+        else:
+            dp_ref, keyl_ref, cost_s, key_s = refs[i:]
+            jminl_ref = jmin_s = None
         c = pl.program_id(1)
 
         @pl.when(c == 0)
@@ -170,10 +187,12 @@ def _make_kernel(
             for t in range(T):
                 if carry_in:
                     cost_s[t] = cost0_ref[0, t]
-                    jmin_s[t] = jmin0_ref[0, t]
+                    if has_jmin:
+                        jmin_s[t] = jmin0_ref[0, t]
                 else:
                     cost_s[t] = jnp.zeros((R, LANES), jnp.int32)
-                    jmin_s[t] = jnp.zeros((R, LANES), jnp.int32)
+                    if has_jmin:
+                        jmin_s[t] = jnp.zeros((R, LANES), jnp.int32)
             key_s[:] = key0_ref[0] if carry_in else jnp.zeros((R, LANES), jnp.int32)
 
         # flat bipartition index i = row * 128 + lane
@@ -190,7 +209,7 @@ def _make_kernel(
         costs = [cost_s[t] for t in range(T)]
         keys = [key_s[:] for _ in range(T)]
         idxs = [idx0 for _ in range(T)] if fold_idx else []
-        jmins = [jmin_s[t] for t in range(T)] if fold_jmin else []
+        jmins = [jmin_s[t] for t in range(T)] if (fold_jmin and has_jmin) else []
         for p in range(K):
             die_p = die_ref[0, 0, 0, p] != 0
             # a real branch (not a value-select): most columns fold no bits,
@@ -313,7 +332,8 @@ def _make_kernel(
         def _final():
             for t in range(T):
                 dp_ref[0, t] = cost_s[t]
-                jminl_ref[0, t] = jmin_s[t]
+                if has_jmin:
+                    jminl_ref[0, t] = jmin_s[t]
             keyl_ref[0] = key_s[:]
 
     return kernel
@@ -338,14 +358,17 @@ def forward_scan_pallas(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, inter
     TP2 = T * P * 2
     kernel = _make_kernel(K, T, P, C)
 
+    has_jmin = T > 1
     grid = (B, C)
     out_shape = [
         jax.ShapeDtypeStruct((B, C, T, R, LANES), jnp.int32),  # proj idx
-        jax.ShapeDtypeStruct((B, C, T, R, LANES), jnp.int32),  # proj jmin
-        jax.ShapeDtypeStruct((B, T, R, LANES), jnp.int32),  # dp last
-        jax.ShapeDtypeStruct((B, T, R, LANES), jnp.int32),  # jmin last
-        jax.ShapeDtypeStruct((B, R, LANES), jnp.int32),  # key last
     ]
+    if has_jmin:
+        out_shape.append(jax.ShapeDtypeStruct((B, C, T, R, LANES), jnp.int32))  # proj jmin
+    out_shape.append(jax.ShapeDtypeStruct((B, T, R, LANES), jnp.int32))  # dp last
+    if has_jmin:
+        out_shape.append(jax.ShapeDtypeStruct((B, T, R, LANES), jnp.int32))  # jmin last
+    out_shape.append(jax.ShapeDtypeStruct((B, R, LANES), jnp.int32))  # key last
     in_specs = [
         pl.BlockSpec((1, 1, K, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, 1, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
@@ -354,18 +377,25 @@ def forward_scan_pallas(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, inter
         pl.BlockSpec((1, 1, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, 1, 1), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
     ]
-    out_specs = [
-        pl.BlockSpec((1, 1, T, R, LANES), lambda b, c: (b, c, 0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, T, R, LANES), lambda b, c: (b, c, 0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, T, R, LANES), lambda b, c: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, T, R, LANES), lambda b, c: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, R, LANES), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM),
-    ]
-    scratch_shapes = [
-        pltpu.VMEM((T, R, LANES), jnp.int32),
-        pltpu.VMEM((T, R, LANES), jnp.int32),
-        pltpu.VMEM((R, LANES), jnp.int32),
-    ]
+    table_spec = pl.BlockSpec(
+        (1, 1, T, R, LANES), lambda b, c: (b, c, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    state_spec = pl.BlockSpec(
+        (1, T, R, LANES), lambda b, c: (b, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_specs = [table_spec]
+    if has_jmin:
+        out_specs.append(table_spec)
+    out_specs.append(state_spec)
+    if has_jmin:
+        out_specs.append(state_spec)
+    out_specs.append(
+        pl.BlockSpec((1, R, LANES), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM)
+    )
+    scratch_shapes = [pltpu.VMEM((T, R, LANES), jnp.int32)]
+    if has_jmin:
+        scratch_shapes.append(pltpu.VMEM((T, R, LANES), jnp.int32))
+    scratch_shapes.append(pltpu.VMEM((R, LANES), jnp.int32))
 
     wbase_flat = wbase.reshape(B, C, 1, TP2)
     acost_flat = acost.reshape(B, C, 1, T * nA)
@@ -373,7 +403,7 @@ def forward_scan_pallas(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, inter
     die_i32 = die_prev.astype(jnp.int32).reshape(B, C, 1, K)
     rc = rc.reshape(B, C, 1, 1)
 
-    pidx, pjmin, dp_last, jmin_last, key_last = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         out_shape=out_shape,
@@ -382,6 +412,12 @@ def forward_scan_pallas(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, inter
         scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(wdiff, wbase_flat, rankw, acost_flat, die_i32, rc)
+    if has_jmin:
+        pidx, pjmin, dp_last, jmin_last, key_last = outs
+    else:
+        pidx, dp_last, key_last = outs
+        pjmin = jnp.zeros_like(pidx)
+        jmin_last = jnp.zeros_like(dp_last)
 
     # reshape to the (S, T) convention of the XLA path
     dp_last = dp_last.reshape(B, T, S).transpose(0, 2, 1)
@@ -570,11 +606,15 @@ def solve_batched_pallas(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, inte
         (1, 1, T, R, LANES), lambda b, c: (b, c, 0, 0, 0), memory_space=pltpu.VMEM
     )
     table_shape = jax.ShapeDtypeStruct((B, C, T, R, LANES), jnp.int32)
-    out_shape = [table_shape] + ([table_shape] if emit_jmin else []) + [
-        jax.ShapeDtypeStruct((B, T, R, LANES), jnp.int32),
-        jax.ShapeDtypeStruct((B, T, R, LANES), jnp.int32),
-        jax.ShapeDtypeStruct((B, R, LANES), jnp.int32),
-    ]
+    has_jmin = T > 1
+    state_shape = jax.ShapeDtypeStruct((B, T, R, LANES), jnp.int32)
+    state_spec = pl.BlockSpec(
+        (1, T, R, LANES), lambda b, c: (b, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = [table_shape] + ([table_shape] if emit_jmin else []) + [state_shape]
+    if has_jmin:
+        out_shape.append(state_shape)
+    out_shape.append(jax.ShapeDtypeStruct((B, R, LANES), jnp.int32))
     in_specs = [
         pl.BlockSpec((1, 1, K, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, 1, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
@@ -583,16 +623,16 @@ def solve_batched_pallas(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, inte
         pl.BlockSpec((1, 1, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, 1, 1), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
     ]
-    out_specs = [table_spec] + ([table_spec] if emit_jmin else []) + [
-        pl.BlockSpec((1, T, R, LANES), lambda b, c: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, T, R, LANES), lambda b, c: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, R, LANES), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM),
-    ]
-    scratch_shapes = [
-        pltpu.VMEM((T, R, LANES), jnp.int32),
-        pltpu.VMEM((T, R, LANES), jnp.int32),
-        pltpu.VMEM((R, LANES), jnp.int32),
-    ]
+    out_specs = [table_spec] + ([table_spec] if emit_jmin else []) + [state_spec]
+    if has_jmin:
+        out_specs.append(state_spec)
+    out_specs.append(
+        pl.BlockSpec((1, R, LANES), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM)
+    )
+    scratch_shapes = [pltpu.VMEM((T, R, LANES), jnp.int32)]
+    if has_jmin:
+        scratch_shapes.append(pltpu.VMEM((T, R, LANES), jnp.int32))
+    scratch_shapes.append(pltpu.VMEM((R, LANES), jnp.int32))
     outs = pl.pallas_call(
         kernel,
         grid=(B, C),
@@ -609,11 +649,12 @@ def solve_batched_pallas(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, inte
         die_prev.astype(jnp.int32).reshape(B, C, 1, K),
         rc.reshape(B, C, 1, 1),
     )
-    if emit_jmin:
-        pidx, pjmin, dp_last, jmin_last, key_last = outs
-    else:
-        pidx, dp_last, jmin_last, key_last = outs
-        pjmin = None
+    outs = list(outs)
+    pidx = outs.pop(0)
+    pjmin = outs.pop(0) if emit_jmin else None
+    dp_last = outs.pop(0)
+    jmin_last = outs.pop(0) if has_jmin else jnp.zeros_like(dp_last)
+    key_last = outs.pop(0)
 
     # final-optimum selection (same tie-break as _backtrace_impl: min cost,
     # then min gray key, then min transmission, then min index)
@@ -673,34 +714,36 @@ def forward_carry_pallas(
     R = (1 << K) >> LANE_BITS
     nA = 1 << P
     TP2 = T * P * 2
+    has_jmin = T > 1
     kernel = _make_kernel(K, T, P, C, emit_tables=False, carry_in=True)
     state_spec = pl.BlockSpec((1, T, R, LANES), lambda b, c: (b, 0, 0, 0), memory_space=pltpu.VMEM)
     key_spec = pl.BlockSpec((1, R, LANES), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM)
+    state_shape = jax.ShapeDtypeStruct((B, T, R, LANES), jnp.int32)
+    in_specs = [
+        pl.BlockSpec((1, 1, K, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1, T * nA), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1, 1), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        state_spec,
+    ] + ([state_spec] if has_jmin else []) + [key_spec]
+    out_shape = [state_shape] + ([state_shape] if has_jmin else []) + [
+        jax.ShapeDtypeStruct((B, R, LANES), jnp.int32)
+    ]
+    out_specs = [state_spec] + ([state_spec] if has_jmin else []) + [key_spec]
+    scratch_shapes = [pltpu.VMEM((T, R, LANES), jnp.int32)]
+    if has_jmin:
+        scratch_shapes.append(pltpu.VMEM((T, R, LANES), jnp.int32))
+    scratch_shapes.append(pltpu.VMEM((R, LANES), jnp.int32))
+    carry_args = [cost0] + ([jmin0] if has_jmin else []) + [key0]
     outs = pl.pallas_call(
         kernel,
         grid=(B, C),
-        out_shape=[
-            jax.ShapeDtypeStruct((B, T, R, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((B, T, R, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((B, R, LANES), jnp.int32),
-        ],
-        in_specs=[
-            pl.BlockSpec((1, 1, K, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, T * nA), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, 1), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
-            state_spec,
-            state_spec,
-            key_spec,
-        ],
-        out_specs=[state_spec, state_spec, key_spec],
-        scratch_shapes=[
-            pltpu.VMEM((T, R, LANES), jnp.int32),
-            pltpu.VMEM((T, R, LANES), jnp.int32),
-            pltpu.VMEM((R, LANES), jnp.int32),
-        ],
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(
         wdiff,
@@ -709,11 +752,11 @@ def forward_carry_pallas(
         acost.reshape(B, C, 1, T * nA),
         die_prev.astype(jnp.int32).reshape(B, C, 1, K),
         rc.reshape(B, C, 1, 1),
-        cost0,
-        jmin0,
-        key0,
+        *carry_args,
     )
-    return outs
+    if has_jmin:
+        return outs
+    return outs[0], jnp.zeros_like(outs[0]), outs[1]
 
 
 @partial(jax.jit, static_argnames=("K", "T", "P", "interpret"))
@@ -727,6 +770,7 @@ def forward_tables_pallas(
     nA = 1 << P
     TP2 = T * P * 2
     emit_jmin = T > 1
+    has_jmin = T > 1
     kernel = _make_kernel(K, T, P, C, emit_jmin=emit_jmin, emit_tables=True, carry_in=True)
     state_spec = pl.BlockSpec((1, T, R, LANES), lambda b, c: (b, 0, 0, 0), memory_space=pltpu.VMEM)
     key_spec = pl.BlockSpec((1, R, LANES), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM)
@@ -734,37 +778,36 @@ def forward_tables_pallas(
         (1, 1, T, R, LANES), lambda b, c: (b, c, 0, 0, 0), memory_space=pltpu.VMEM
     )
     table_shape = jax.ShapeDtypeStruct((B, C, T, R, LANES), jnp.int32)
-    out_shape = [table_shape] + ([table_shape] if emit_jmin else []) + [
-        jax.ShapeDtypeStruct((B, T, R, LANES), jnp.int32),
-        jax.ShapeDtypeStruct((B, T, R, LANES), jnp.int32),
-        jax.ShapeDtypeStruct((B, R, LANES), jnp.int32),
-    ]
-    out_specs = [table_spec] + ([table_spec] if emit_jmin else []) + [
+    state_shape = jax.ShapeDtypeStruct((B, T, R, LANES), jnp.int32)
+    out_shape = [table_shape] + ([table_shape] if emit_jmin else []) + [state_shape]
+    if has_jmin:
+        out_shape.append(state_shape)
+    out_shape.append(jax.ShapeDtypeStruct((B, R, LANES), jnp.int32))
+    out_specs = [table_spec] + ([table_spec] if emit_jmin else []) + [state_spec]
+    if has_jmin:
+        out_specs.append(state_spec)
+    out_specs.append(key_spec)
+    in_specs = [
+        pl.BlockSpec((1, 1, K, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1, T * nA), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1, 1), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
         state_spec,
-        state_spec,
-        key_spec,
-    ]
+    ] + ([state_spec] if has_jmin else []) + [key_spec]
+    scratch_shapes = [pltpu.VMEM((T, R, LANES), jnp.int32)]
+    if has_jmin:
+        scratch_shapes.append(pltpu.VMEM((T, R, LANES), jnp.int32))
+    scratch_shapes.append(pltpu.VMEM((R, LANES), jnp.int32))
+    carry_args = [cost0] + ([jmin0] if has_jmin else []) + [key0]
     outs = pl.pallas_call(
         kernel,
         grid=(B, C),
         out_shape=out_shape,
-        in_specs=[
-            pl.BlockSpec((1, 1, K, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, T * nA), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, 1), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
-            state_spec,
-            state_spec,
-            key_spec,
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((T, R, LANES), jnp.int32),
-            pltpu.VMEM((T, R, LANES), jnp.int32),
-            pltpu.VMEM((R, LANES), jnp.int32),
-        ],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(
         wdiff,
@@ -773,9 +816,7 @@ def forward_tables_pallas(
         acost.reshape(B, C, 1, T * nA),
         die_prev.astype(jnp.int32).reshape(B, C, 1, K),
         rc.reshape(B, C, 1, 1),
-        cost0,
-        jmin0,
-        key0,
+        *carry_args,
     )
     if emit_jmin:
         return outs[0], outs[1]
