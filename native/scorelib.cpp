@@ -26,7 +26,8 @@ int64_t wh_score_pairs(
     const uint32_t* first_pos,      // per read
     const uint32_t* last_pos,       // per read
     const int32_t* sorted_reads,    // n_reads, by first position
-    const float* luts,              // n_pos * A * A, float32 entries
+    const int32_t* lut_of_pos,      // n_pos: position -> unique LUT index
+    const float* luts,              // n_unique * A * A, float32 entries
     int32_t min_overlap, float offset,
     int32_t* out_i, int32_t* out_j, float* out_score,
     int64_t cap, int64_t* out_nans) {
@@ -55,7 +56,7 @@ int64_t wh_score_pairs(
             while (k < ni && l < nj) {
                 int32_t p1 = pi[k], p2 = pj[l];
                 if (p1 == p2) {
-                    log_score += luts[((size_t)p1 * A + ai[k]) * A + aj[l]];
+                    log_score += luts[((size_t)lut_of_pos[p1] * A + ai[k]) * A + aj[l]];
                     ++ov;
                     ++k;
                     ++l;

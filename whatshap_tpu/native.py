@@ -758,14 +758,15 @@ class _ScoreLib:
         c.wh_score_pairs.restype = ctypes.c_int64
         c.wh_score_pairs.argtypes = [
             ctypes.c_int32, ctypes.c_int32,
-            i32p, i32p, i32p, u32p, u32p, i32p, f32p,
+            i32p, i32p, i32p, u32p, u32p, i32p, i32p, f32p,
             ctypes.c_int32, ctypes.c_float,
             i32p, i32p, f32p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
         ]
 
     def score_pairs(
         self, n_reads, num_alleles, read_off, read_pos, read_allele,
-        first_pos, last_pos, sorted_reads, luts_flat, min_overlap, offset, cap,
+        first_pos, last_pos, sorted_reads, lut_of_pos, luts_flat,
+        min_overlap, offset, cap,
     ):
         """Returns ([(i, j, stored_score)], nan_count) or None."""
         def i32(xs):
@@ -781,8 +782,8 @@ class _ScoreLib:
         nans = ctypes.c_int64()
         n = self._lib.wh_score_pairs(
             n_reads, num_alleles, i32(read_off), i32(read_pos), i32(read_allele),
-            u32(first_pos), u32(last_pos), i32(sorted_reads), luts,
-            min_overlap, offset, oi, oj, osc, cap, ctypes.byref(nans),
+            u32(first_pos), u32(last_pos), i32(sorted_reads), i32(lut_of_pos),
+            luts, min_overlap, offset, oi, oj, osc, cap, ctypes.byref(nans),
         )
         if n < 0:
             return None

@@ -320,14 +320,25 @@ class ReadScoring:
             read_off.append(len(read_pos))
         first = [am.getFirstPos(r) & _U32_MASK for r in range(n_reads)]
         last = [am.getLastPos(r) & _U32_MASK for r in range(n_reads)]
-        luts_flat = [
-            v for table in luts for row in table for v in row
-        ]
+        # positions sharing a LUT (same gl dict) marshal one table
+        lut_of_pos = []
+        uniq_index: Dict[int, int] = {}
+        luts_flat: List[float] = []
+        for table in luts:
+            key = id(table)
+            idx = uniq_index.get(key)
+            if idx is None:
+                idx = len(uniq_index)
+                uniq_index[key] = idx
+                for row in table:
+                    luts_flat.extend(row)
+            lut_of_pos.append(idx)
         cap = max(64 * n_reads, 1 << 16)
         while True:
             out = scorelib.score_pairs(
                 n_reads, numAlleles, read_off, read_pos, read_allele,
-                first, last, sortedReads, luts_flat, minOverlap, offset, cap,
+                first, last, sortedReads, lut_of_pos, luts_flat,
+                minOverlap, offset, cap,
             )
             if out is None:
                 return None
