@@ -137,6 +137,75 @@ def bench_phase_cli():
     return {"value": round(n_variants / dt, 1), "unit": "variants/s", "seconds": round(dt, 3)}
 
 
+def bench_phase_trio_chromosome():
+    """End-to-end pedigree phasing: `phase --ped` on a synthetic trio
+    chromosome (three read groups in one BAM, PED file, 2k variants).
+    The PedMEC DP runs over all three samples' reads jointly (T=4
+    transmissions); the child's within-block switch-error rate against
+    the simulated truth is the correctness gate."""
+    import sys as _sys
+    import tempfile
+
+    _sys.path.insert(0, str(Path(__file__).parent / "tools"))
+    from make_synth_chrom import generate_trio
+
+    from whatshap_tpu.cli.phase import run_whatshap
+
+    out_dir = Path(tempfile.gettempdir()) / "whatshap_tpu_bench_trio_v1"
+    info = generate_trio(out_dir, n_vars=2000, coverage=4, seed=7)
+
+    def run_once():
+        out = io.StringIO()
+        t0 = time.perf_counter()
+        run_whatshap(
+            phase_input_files=[info["bam"]],
+            variant_file=info["vcf"],
+            reference=info["fasta"],
+            ped=info["ped"],
+            output=out,
+            write_command_line_header=False,
+        )
+        return time.perf_counter() - t0, out.getvalue()
+
+    run_once()  # compile warmup
+    dt, text = run_once()
+
+    header = [ln for ln in text.splitlines() if ln.startswith("#CHROM")][0].split("\t")
+    ci = header[9:].index("child")
+    truth = info["samples"]["child"][0]
+    blocks = {}
+    for line in text.splitlines():
+        if not line or line.startswith("#"):
+            continue
+        f = line.split("\t")
+        call = dict(zip(f[8].split(":"), f[9 + ci].split(":")))
+        gt = call.get("GT", "")
+        if "|" not in gt:
+            continue
+        a, b = gt.split("|")
+        if a == b:
+            continue
+        vi = int(f[1]) // 150 - 1
+        blocks.setdefault(call.get("PS"), []).append((vi, int(a)))
+    n_pairs = n_switch = 0
+    for members in blocks.values():
+        members.sort()
+        prev = None
+        for vi, a in members:
+            rel = a ^ truth[vi]
+            if prev is not None:
+                n_pairs += 1
+                n_switch += rel != prev
+            prev = rel
+    return {
+        "value": round(info["n_vars"] / dt, 1),
+        "unit": "variants/s",
+        "seconds": round(dt, 2),
+        "reads": info["n_reads"],
+        "child_switch_error_rate": round(n_switch / n_pairs, 4) if n_pairs else None,
+    }
+
+
 def bench_genotype():
     """Forward-backward genotyping (host longdouble/native path) vs the
     reference C++ oracle binary on the same instance."""
@@ -686,6 +755,7 @@ def main():
     for name, fn in [
         ("phase_cli_fixture", bench_phase_cli),
         ("phase_chromosome_cli", bench_phase_chromosome_cli),
+        ("phase_trio_chromosome_cli", bench_phase_trio_chromosome),
         ("genotype_fb", bench_genotype),
         ("genotype_fb_device", bench_genotype_device),
         ("trio_pedmec", bench_trio),

@@ -117,3 +117,50 @@ def test_end_to_end_phasing_accuracy(tmp_path):
             rel_prev = rel
     assert n_pairs > 0
     assert n_switch / n_pairs < 0.02, f"switch rate {n_switch / n_pairs:.3f}"
+
+
+def test_end_to_end_trio_phasing(tmp_path):
+    """phase --ped on a simulated trio chromosome: the PedMEC DP over all
+    three samples' reads must phase the child with few switch errors."""
+    from make_synth_chrom import generate_trio
+
+    info = generate_trio(tmp_path / "trio", n_vars=160, coverage=6, seed=5)
+    out = io.StringIO()
+    run_whatshap(
+        phase_input_files=[info["bam"]],
+        variant_file=info["vcf"],
+        reference=info["fasta"],
+        ped=info["ped"],
+        output=out,
+        write_command_line_header=False,
+    )
+    text = out.getvalue()
+    header = [ln for ln in text.splitlines() if ln.startswith("#CHROM")][0].split("\t")
+    ci = header[9:].index("child")
+    truth = info["samples"]["child"][0]
+    blocks = {}
+    for line in text.splitlines():
+        if not line or line.startswith("#"):
+            continue
+        f = line.split("\t")
+        call = dict(zip(f[8].split(":"), f[9 + ci].split(":")))
+        gt = call.get("GT", "")
+        if "|" not in gt:
+            continue
+        a, b = gt.split("|")
+        if a == b:
+            continue
+        vi = int(f[1]) // 150 - 1
+        blocks.setdefault(call.get("PS"), []).append((vi, int(a)))
+    n_pairs = n_switch = 0
+    for members in blocks.values():
+        members.sort()
+        prev = None
+        for vi, a in members:
+            rel = a ^ truth[vi]
+            if prev is not None:
+                n_pairs += 1
+                n_switch += rel != prev
+            prev = rel
+    assert n_pairs > 60
+    assert n_switch / n_pairs < 0.03, f"child switch rate {n_switch}/{n_pairs}"
