@@ -9,16 +9,23 @@ is the single-core reference C++ PedigreeDPTable measured on the same
 instances via the out-of-tree oracle (tools/oracle.py).
 
 The same JSON line carries a "configs" breakdown:
-  phase_cli_fixture      - the real `phase` pipeline end-to-end on the
-                           PacBio fixture (BAM+VCF -> phased VCF)
-  genotype_fb            - genotyping forward-backward, ours vs the
-                           reference C++ oracle binary
-  trio_pedmec            - batched trio (T=4) PedMEC solve vs oracle
-  whole_chromosome       - segmented checkpoint/recompute solve, 16k
-                           columns in one block
-  polyphase_tetraploid   - cluster editing + threading + reordering on a
-                           synthetic tetraploid instance
-  batch_scaling          - per-chip batching efficiency (t(B)/t(8B) * 8)
+  phase_cli_fixture        - the real `phase` pipeline end-to-end on the
+                             PacBio fixture (BAM+VCF -> phased VCF)
+  phase_chromosome_cli     - `phase` end-to-end on a generated 4k-variant
+                             chromosome, switch errors vs simulated truth
+  phase_trio_chromosome_cli- `phase --ped` on a generated trio chromosome
+                             (PedMEC T=4 over three samples' reads)
+  genotype_fb              - host genotyping forward-backward vs the
+                             reference C++ oracle binary
+  genotype_fb_device       - batched Pallas f32 forward-backward vs oracle
+  trio_pedmec              - batched trio (T=4) PedMEC solve vs oracle
+  whole_chromosome         - segmented checkpoint/recompute solve, 16k
+                             columns in one block
+  polyphase_tetraploid     - cluster editing + threading + reordering on a
+                             synthetic tetraploid instance
+  batch_scaling            - per-chip batching efficiency (t(B)/t(8B) * 8)
+  mesh_virtual8            - sharded-solve mechanism check on a virtual
+                             8-device CPU mesh (subprocess)
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "configs"}.
 """
