@@ -11,7 +11,6 @@ import sys
 from argparse import SUPPRESS
 from collections import defaultdict
 from contextlib import ExitStack
-from copy import deepcopy
 from dataclasses import dataclass
 from pathlib import Path
 from typing import (
@@ -341,8 +340,7 @@ def find_phaseable_variants(
     homozygous_positions = [
         variant_table.variants[i].position for i in retained & homozygous
     ]
-    phasable = deepcopy(variant_table)
-    phasable.remove_rows_by_index(all_rows - retained)
+    phasable = variant_table.copy_with_rows(sorted(retained))
 
     if len(family) == 1:
         logger.info(

@@ -418,6 +418,23 @@ class VariantTable:
             col.likelihoods = [col.likelihoods[i] for i in keep]
             col.depths = [col.depths[i] for i in keep]
 
+    def copy_with_rows(self, keep: Sequence[int]) -> "VariantTable":
+        """A new table containing the given rows (in the given order).
+
+        Row objects (variants, genotypes, phases, likelihoods) are shared
+        with this table — they are treated as immutable throughout the
+        pipeline (columns are only ever replaced wholesale) — so this is a
+        cheap alternative to deepcopy + remove_rows_by_index."""
+        sub = VariantTable(self.chromosome, self.samples)
+        sub.variants = [self.variants[i] for i in keep]
+        for s in self.samples:
+            src, dst = self._columns[s], sub._columns[s]
+            dst.genotypes = [src.genotypes[i] for i in keep]
+            dst.phases = [src.phases[i] for i in keep]
+            dst.likelihoods = [src.likelihoods[i] for i in keep]
+            dst.depths = [src.depths[i] for i in keep]
+        return sub
+
     def subset_rows_by_position(self, positions: Iterable[int]) -> None:
         """Keep only rows whose variant position is in ``positions``."""
         wanted = frozenset(positions)
