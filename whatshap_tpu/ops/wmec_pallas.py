@@ -78,6 +78,7 @@ def _make_kernel(
     emit_jmin: bool = True,
     emit_tables: bool = True,
     carry_in: bool = False,
+    CC: int = 1,
 ):
     """Kernel variants:
     - emit_jmin=False (T == 1 solve path only): skip the per-column
@@ -180,9 +181,9 @@ def _make_kernel(
         else:
             dp_ref, keyl_ref, cost_s, key_s = refs[i:]
             jminl_ref = jmin_s = None
-        c = pl.program_id(1)
+        j_chunk = pl.program_id(1)
 
-        @pl.when(c == 0)
+        @pl.when(j_chunk == 0)
         def _init():
             for t in range(T):
                 if carry_in:
@@ -201,134 +202,133 @@ def _make_kernel(
             + jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
         )
 
-        # ---- fold dying slot bits (predicated: most columns fold none) ----
-        # per-t state: the fold's tie decisions depend on the per-t costs, so
-        # key/idx become per-t during folding (they start broadcast — the
-        # column key depends only on the bipartition).  idx/jmin only feed
-        # the backtrace tables, so the forward-only pass skips folding them.
-        costs = [cost_s[t] for t in range(T)]
-        keys = [key_s[:] for _ in range(T)]
-        idxs = [idx0 for _ in range(T)] if fold_idx else []
-        jmins = [jmin_s[t] for t in range(T)] if (fold_jmin and has_jmin) else []
-        for p in range(K):
-            die_p = die_ref[0, 0, 0, p] != 0
-            # a real branch (not a value-select): most columns fold no bits,
-            # so the ~25*T VPU ops of a butterfly are skipped entirely unless
-            # slot p actually dies in this column
+        # process the CC columns of this grid step sequentially (unrolled):
+        # batching columns per step amortizes the per-step dispatch overhead,
+        # which otherwise costs about as much as the column's VPU work
+        for col in range(CC):
+            # ---- fold dying slot bits (predicated: most columns fold none)
+            # per-t state: the fold's tie decisions depend on the per-t
+            # costs, so key/idx become per-t during folding.  idx/jmin only
+            # feed the backtrace tables, so the forward-only pass skips them.
+            costs = [cost_s[t] for t in range(T)]
+            keys = [key_s[:] for _ in range(T)]
+            idxs = [idx0 for _ in range(T)] if fold_idx else []
+            jmins = [jmin_s[t] for t in range(T)] if (fold_jmin and has_jmin) else []
+            for p in range(K):
+                die_p = die_ref[0, col, 0, p] != 0
+                # a real branch (not a value-select): most columns fold no
+                # bits, so the butterfly is skipped unless slot p dies here
 
-            def _folded(args, p=p):
-                cs, ks, is_, js = args
-                nc, nk, ni, nj = [], [], [], []
+                def _folded(args, p=p):
+                    cs, ks, is_, js = args
+                    nc, nk, ni, nj = [], [], [], []
+                    for t in range(T):
+                        extras = []
+                        if fold_idx:
+                            extras.append(is_[t])
+                        if fold_jmin:
+                            extras.append(js[t])
+                        c1, k1, ex = tie_fold(p, cs[t], ks[t], extras)
+                        nc.append(c1)
+                        nk.append(k1)
+                        if fold_idx:
+                            ni.append(ex[0])
+                        if fold_jmin:
+                            nj.append(ex[-1])
+                    return tuple(nc), tuple(nk), tuple(ni), tuple(nj)
+
+                out = jax.lax.cond(
+                    die_p,
+                    _folded,
+                    lambda args: args,
+                    (tuple(costs), tuple(keys), tuple(idxs), tuple(jmins)),
+                )
+                costs, keys, idxs, jmins = (list(x) for x in out)
+
+            proj_cost = costs
+            proj_jmin = jmins
+
+            # ---- emit backtrace tables ----
+            if emit_tables:
                 for t in range(T):
-                    extras = []
-                    if fold_idx:
-                        extras.append(is_[t])
-                    if fold_jmin:
-                        extras.append(js[t])
-                    c1, k1, ex = tie_fold(p, cs[t], ks[t], extras)
-                    nc.append(c1)
-                    nk.append(k1)
-                    if fold_idx:
-                        ni.append(ex[0])
-                    if fold_jmin:
-                        nj.append(ex[-1])
-                return tuple(nc), tuple(nk), tuple(ni), tuple(nj)
+                    pidx_ref[0, col, t] = idxs[t]
+                    if emit_jmin:
+                        pjmin_ref[0, col, t] = proj_jmin[t]
 
-            out = jax.lax.cond(
-                die_p,
-                _folded,
-                lambda args: args,
-                (tuple(costs), tuple(keys), tuple(idxs), tuple(jmins)),
-            )
-            costs, keys, idxs, jmins = (list(x) for x in out)
+            # ---- transmission min-plus ----
+            rc = rc_ref[0, col, 0, 0]
+            rc_safe = jnp.minimum(rc, INF // max_pc)
+            if T == 1:
+                trans_min = [proj_cost[0]]
+                jmin_new = [jnp.zeros((R, LANES), jnp.int32)]
+            else:
+                trans_min = []
+                jmin_new = []
+                for ti in range(T):
+                    best = None
+                    barg = None
+                    for tj in range(T):
+                        recomb = jnp.minimum(pcmat[ti, tj] * rc_safe, INF)
+                        v = jnp.minimum(proj_cost[tj] + recomb, INF)
+                        if best is None:
+                            best, barg = v, jnp.zeros((R, LANES), jnp.int32)
+                        else:
+                            take = v < best
+                            best = jnp.where(take, v, best)
+                            barg = jnp.where(take, tj, barg)
+                    trans_min.append(best)
+                    jmin_new.append(barg)
 
-        proj_cost = costs
-        proj_jmin = jmins
-
-        # ---- emit backtrace tables ----
-        if emit_tables:
+            # ---- current column cost ----
+            # f[j] = sum_k bit_k(i) * wdiff[k, j]; weights are < 2^24 so f32
+            # accumulation is exact.  One on-demand bit mask per slot, each
+            # consumed immediately (materializing all K at once was the VMEM
+            # blowup that capped the kernel at K=16); ascending-k addition
+            # order per accumulator keeps values bit-equal to the XLA path.
+            facc = [jnp.zeros((R, LANES), jnp.float32) for _ in range(TP2)]
+            racc = jnp.zeros((R, LANES), jnp.float32)
+            for k in range(K):
+                mask = ((idx0 >> k) & 1).astype(jnp.float32)
+                for jj in range(TP2):
+                    facc[jj] = facc[jj] + mask * wdiff_ref[0, col, k, jj]
+                racc = racc + mask * rankw_ref[0, col, 0, k]
+            f = [acc.astype(jnp.int32) for acc in facc]
+            # cp[t][p][a] = f[(t*P + p)*2 + a] + wbase[t,p,a]
             for t in range(T):
-                pidx_ref[0, 0, t] = idxs[t]
-                if emit_jmin:
-                    pjmin_ref[0, 0, t] = proj_jmin[t]
-
-        # ---- transmission min-plus ----
-        rc = rc_ref[0, 0, 0, 0]
-        rc_safe = jnp.minimum(rc, INF // max_pc)
-        if T == 1:
-            trans_min = [proj_cost[0]]
-            jmin_new = [jnp.zeros((R, LANES), jnp.int32)]
-        else:
-            trans_min = []
-            jmin_new = []
-            for ti in range(T):
-                best = None
-                barg = None
-                for tj in range(T):
-                    recomb = jnp.minimum(pcmat[ti, tj] * rc_safe, INF)
-                    v = jnp.minimum(proj_cost[tj] + recomb, INF)
-                    if best is None:
-                        best, barg = v, jnp.zeros((R, LANES), jnp.int32)
-                    else:
-                        take = v < best
-                        best = jnp.where(take, v, best)
-                        barg = jnp.where(take, tj, barg)
-                trans_min.append(best)
-                jmin_new.append(barg)
-
-        # ---- current column cost ----
-        # f[j] = sum_k bit_k(i) * wdiff[k, j]; weights are < 2^24 so f32
-        # accumulation is exact (no MXU, no bf16 rounding).  The slot loop
-        # is outermost and each bit mask is consumed immediately (the rank
-        # key accumulates in the same pass): materializing all K masks at
-        # once puts K*(R,LANES) f32 live in VMEM, which is what used to
-        # break the Mosaic compile above K=16.  Addition order per
-        # accumulator (ascending k) is unchanged, so values are bit-equal.
-        facc = [jnp.zeros((R, LANES), jnp.float32) for _ in range(TP2)]
-        racc = jnp.zeros((R, LANES), jnp.float32)
-        for k in range(K):
-            mask = ((idx0 >> k) & 1).astype(jnp.float32)
-            for j in range(TP2):
-                facc[j] = facc[j] + mask * wdiff_ref[0, 0, k, j]
-            racc = racc + mask * rankw_ref[0, 0, 0, k]
-        f = [acc.astype(jnp.int32) for acc in facc]
-        # cp[t][p][a] = f[(t*P + p)*2 + a] + wbase[t,p,a]
-        for t in range(T):
-            s0 = jnp.zeros((R, LANES), jnp.int32)
-            d = []
-            for p in range(P):
-                base0 = wbase_ref[0, 0, 0, (t * P + p) * 2 + 0]
-                base1 = wbase_ref[0, 0, 0, (t * P + p) * 2 + 1]
-                cp0 = f[(t * P + p) * 2 + 0] + base0
-                cp1 = f[(t * P + p) * 2 + 1] + base1
-                s0 = s0 + cp0
-                d.append(cp1 - cp0)
-            cc = None
-            for a in range(nA):
-                pa = jnp.zeros((R, LANES), jnp.int32)
+                s0 = jnp.zeros((R, LANES), jnp.int32)
+                d = []
                 for p in range(P):
-                    if abits[a, p] == 1:
-                        pa = pa + d[p]
-                total = jnp.minimum(s0 + pa + acost_ref[0, 0, 0, t * nA + a], INF)
-                cc = total if cc is None else jnp.minimum(cc, total)
-            dp_t = jnp.minimum(cc + trans_min[t], INF)
-            cost_s[t] = dp_t
-            if T > 1:
-                # the transmission argmin is carried state for pedigrees
-                # (folded into the next column's pjmin table); for T == 1
-                # it is identically zero and jmin_s keeps its init value
-                jmin_s[t] = jmin_new[t]
+                    base0 = wbase_ref[0, col, 0, (t * P + p) * 2 + 0]
+                    base1 = wbase_ref[0, col, 0, (t * P + p) * 2 + 1]
+                    cp0 = f[(t * P + p) * 2 + 0] + base0
+                    cp1 = f[(t * P + p) * 2 + 1] + base1
+                    s0 = s0 + cp0
+                    d.append(cp1 - cp0)
+                best_a = None
+                for a in range(nA):
+                    pa = jnp.zeros((R, LANES), jnp.int32)
+                    for p in range(P):
+                        if abits[a, p] == 1:
+                            pa = pa + d[p]
+                    total = jnp.minimum(s0 + pa + acost_ref[0, col, 0, t * nA + a], INF)
+                    best_a = total if best_a is None else jnp.minimum(best_a, total)
+                dp_t = jnp.minimum(best_a + trans_min[t], INF)
+                cost_s[t] = dp_t
+                if T > 1:
+                    # the transmission argmin is carried state for pedigrees
+                    # (folded into the next column's pjmin table)
+                    jmin_s[t] = jmin_new[t]
 
-        # ---- tie-break key for this column ----
-        n = racc.astype(jnp.int32)
-        shift = 1
-        while shift < max(K, 1):
-            n = n ^ (n >> shift)
-            shift <<= 1
-        key_s[:] = n
+            # ---- tie-break key for this column ----
+            n = racc.astype(jnp.int32)
+            shift = 1
+            while shift < max(K, 1):
+                n = n ^ (n >> shift)
+                shift <<= 1
+            key_s[:] = n
 
         # ---- final outputs (last column) ----
-        @pl.when(c == C - 1)
+        @pl.when(j_chunk == (C // CC) - 1)
         def _final():
             for t in range(T):
                 dp_ref[0, t] = cost_s[t]
@@ -337,6 +337,19 @@ def _make_kernel(
             keyl_ref[0] = key_s[:]
 
     return kernel
+
+
+def _fwd_chunk(C: int, K: int, T: int) -> int:
+    """Columns per forward grid step: per-step dispatch costs about one
+    column's worth of VPU work at K=14, so batch a few columns — but keep
+    the unrolled kernel body small enough that high-K shapes still fit the
+    Mosaic compile (the K=17 ceiling is measured with CC == 1)."""
+    if K >= 16:
+        return 1
+    cc = 1
+    while cc < 4 and C % (cc * 2) == 0:
+        cc *= 2
+    return cc
 
 
 @partial(jax.jit, static_argnames=("K", "T", "P", "interpret"))
@@ -356,10 +369,11 @@ def forward_scan_pallas(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, inter
     R = S >> LANE_BITS
     nA = 1 << P
     TP2 = T * P * 2
-    kernel = _make_kernel(K, T, P, C)
+    CC = _fwd_chunk(C, K, T)
+    kernel = _make_kernel(K, T, P, C, CC=CC)
 
     has_jmin = T > 1
-    grid = (B, C)
+    grid = (B, C // CC)
     out_shape = [
         jax.ShapeDtypeStruct((B, C, T, R, LANES), jnp.int32),  # proj idx
     ]
@@ -370,15 +384,15 @@ def forward_scan_pallas(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, inter
         out_shape.append(jax.ShapeDtypeStruct((B, T, R, LANES), jnp.int32))  # jmin last
     out_shape.append(jax.ShapeDtypeStruct((B, R, LANES), jnp.int32))  # key last
     in_specs = [
-        pl.BlockSpec((1, 1, K, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, 1, T * nA), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, 1, 1), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, CC, K, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, CC, 1, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, CC, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, CC, 1, T * nA), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, CC, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, CC, 1, 1), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
     ]
     table_spec = pl.BlockSpec(
-        (1, 1, T, R, LANES), lambda b, c: (b, c, 0, 0, 0), memory_space=pltpu.VMEM
+        (1, CC, T, R, LANES), lambda b, c: (b, c, 0, 0, 0), memory_space=pltpu.VMEM
     )
     state_spec = pl.BlockSpec(
         (1, T, R, LANES), lambda b, c: (b, 0, 0, 0), memory_space=pltpu.VMEM
@@ -428,11 +442,25 @@ def forward_scan_pallas(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, inter
     return dp_last, jmin_last, key_last, proj_idx, proj_jmin
 
 
-def _make_backtrace_kernel(K: int, C: int):
+def _bt_chunk(C: int, table_bytes_per_col: int, vmem_budget: int = 2 << 20) -> int:
+    """Columns per backtrace grid step: the walk itself is a handful of VPU
+    ops, so per-step dispatch dominates — batch as many columns as divide C
+    and fit the VMEM block budget."""
+    cc = 1
+    while (
+        cc < 16
+        and C % (cc * 2) == 0
+        and (cc * 2) * table_bytes_per_col <= vmem_budget
+    ):
+        cc *= 2
+    return cc
+
+
+def _make_backtrace_kernel(K: int, C: int, CC: int):
     """T == 1 backtrace: the transmission is constant, so the walk is just
     v <- proj_idx[column, v], emitted back to front.  Grid step j handles
-    column C-1-j: write the current index, then advance using that column's
-    projection table (a one-hot VPU reduction instead of a scalar gather)."""
+    the CC columns [C-(j+1)*CC, C-j*CC) in reverse; each advance is a
+    one-hot VPU reduction instead of a scalar gather."""
     S = 1 << K
     R = S >> LANE_BITS
 
@@ -443,16 +471,18 @@ def _make_backtrace_kernel(K: int, C: int):
         def _init():
             v_s[0] = opt_ref[0, 0, 0, 0]
 
-        v = v_s[0]
-        path_ref[0, 0, 0, 0] = v
         idx0 = (
             jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0) * LANES
             + jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
         )
-        sel = idx0 == v
-        v_s[0] = jnp.sum(jnp.where(sel, pidx_ref[0, 0], 0))
+        v = v_s[0]
+        for t in reversed(range(CC)):
+            path_ref[0, t, 0, 0] = v
+            sel = idx0 == v
+            v = jnp.sum(jnp.where(sel, pidx_ref[0, t], 0))
+        v_s[0] = v
 
-        @pl.when(j == C - 1)
+        @pl.when(j == (C // CC) - 1)
         def _fin():
             # state entering the preceding segment (segmented solve chaining)
             final_ref[0, 0, 0, 0] = v_s[0]
@@ -460,7 +490,7 @@ def _make_backtrace_kernel(K: int, C: int):
     return kernel
 
 
-def _make_backtrace_kernel_t(K: int, T: int, C: int):
+def _make_backtrace_kernel_t(K: int, T: int, C: int, CC: int):
     """General-T backtrace: walk (index, transmission) back to front.
     Mirrors the host loop in wmec.run_dp / _backtrace_impl: at column c the
     current (v, vt) pair is emitted, then v <- proj_idx[c, v, prev_t],
@@ -479,33 +509,35 @@ def _make_backtrace_kernel_t(K: int, T: int, C: int):
             st_s[1] = init_ref[0, 0, 0, 1]  # vt (transmission)
             st_s[2] = init_ref[0, 0, 0, 2]  # prev_t
 
-        v = st_s[0]
-        vt = st_s[1]
-        pt = st_s[2]
-        path_ref[0, 0, 0, 0] = v
-        tpath_ref[0, 0, 0, 0] = vt
         idx0 = (
             jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0) * LANES
             + jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
         )
-        sel = idx0 == v
-        nv = jnp.int32(0)
-        for t in range(T):
-            nv = nv + jnp.where(
-                pt == t, jnp.sum(jnp.where(sel, pidx_ref[0, 0, t], 0)), 0
-            )
-        nvt = pt
-        sel2 = idx0 == nv
-        npt = jnp.int32(0)
-        for t in range(T):
-            npt = npt + jnp.where(
-                nvt == t, jnp.sum(jnp.where(sel2, pjmin_ref[0, 0, t], 0)), 0
-            )
-        st_s[0] = nv
-        st_s[1] = nvt
-        st_s[2] = npt
+        v = st_s[0]
+        vt = st_s[1]
+        pt = st_s[2]
+        for c in reversed(range(CC)):
+            path_ref[0, c, 0, 0] = v
+            tpath_ref[0, c, 0, 0] = vt
+            sel = idx0 == v
+            nv = jnp.int32(0)
+            for t in range(T):
+                nv = nv + jnp.where(
+                    pt == t, jnp.sum(jnp.where(sel, pidx_ref[0, c, t], 0)), 0
+                )
+            nvt = pt
+            sel2 = idx0 == nv
+            npt = jnp.int32(0)
+            for t in range(T):
+                npt = npt + jnp.where(
+                    nvt == t, jnp.sum(jnp.where(sel2, pjmin_ref[0, c, t], 0)), 0
+                )
+            v, vt, pt = nv, nvt, npt
+        st_s[0] = v
+        st_s[1] = vt
+        st_s[2] = pt
 
-        @pl.when(j == C - 1)
+        @pl.when(j == (C // CC) - 1)
         def _fin():
             final_ref[0, 0, 0, 0] = st_s[0]
             final_ref[0, 0, 0, 1] = st_s[1]
@@ -522,10 +554,12 @@ def backtrace_pallas_t(K, T, init, pidx, pjmin, interpret=False):
     B, C = pidx.shape[0], pidx.shape[1]
     S = 1 << K
     R = S >> LANE_BITS
-    kernel = _make_backtrace_kernel_t(K, T, C)
+    CC = _bt_chunk(C, T * R * LANES * 4)
+    nchunks = C // CC
+    kernel = _make_backtrace_kernel_t(K, T, C, CC)
     path, tpath, final = pl.pallas_call(
         kernel,
-        grid=(B, C),
+        grid=(B, nchunks),
         out_shape=[
             jax.ShapeDtypeStruct((B, C, 1, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, C, 1, 1), jnp.int32),
@@ -534,19 +568,23 @@ def backtrace_pallas_t(K, T, init, pidx, pjmin, interpret=False):
         in_specs=[
             pl.BlockSpec((1, 1, 1, 3), lambda b, j: (b, 0, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, 1, T, R, LANES),
-                lambda b, j: (b, C - 1 - j, 0, 0, 0),
+                (1, CC, T, R, LANES),
+                lambda b, j: (b, nchunks - 1 - j, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, T, R, LANES),
-                lambda b, j: (b, C - 1 - j, 0, 0, 0),
+                (1, CC, T, R, LANES),
+                lambda b, j: (b, nchunks - 1 - j, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, 1, 1), lambda b, j: (b, C - 1 - j, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, 1), lambda b, j: (b, C - 1 - j, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, CC, 1, 1), lambda b, j: (b, nchunks - 1 - j, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, CC, 1, 1), lambda b, j: (b, nchunks - 1 - j, 0, 0), memory_space=pltpu.SMEM
+            ),
             pl.BlockSpec((1, 1, 1, 3), lambda b, j: (b, 0, 0, 0), memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[pltpu.SMEM((3,), jnp.int32)],
@@ -563,10 +601,12 @@ def backtrace_pallas(K, opt_idx, pidx, interpret=False):
     B, C = pidx.shape[0], pidx.shape[1]
     S = 1 << K
     R = S >> LANE_BITS
-    kernel = _make_backtrace_kernel(K, C)
+    CC = _bt_chunk(C, R * LANES * 4)
+    nchunks = C // CC
+    kernel = _make_backtrace_kernel(K, C, CC)
     path, final = pl.pallas_call(
         kernel,
-        grid=(B, C),
+        grid=(B, nchunks),
         out_shape=[
             jax.ShapeDtypeStruct((B, C, 1, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, 1, 1), jnp.int32),
@@ -574,13 +614,15 @@ def backtrace_pallas(K, opt_idx, pidx, interpret=False):
         in_specs=[
             pl.BlockSpec((1, 1, 1, 1), lambda b, j: (b, 0, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, 1, R, LANES),
-                lambda b, j: (b, C - 1 - j, 0, 0),
+                (1, CC, R, LANES),
+                lambda b, j: (b, nchunks - 1 - j, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, 1, 1), lambda b, j: (b, C - 1 - j, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, CC, 1, 1), lambda b, j: (b, nchunks - 1 - j, 0, 0), memory_space=pltpu.SMEM
+            ),
             pl.BlockSpec((1, 1, 1, 1), lambda b, j: (b, 0, 0, 0), memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
@@ -601,9 +643,10 @@ def solve_batched_pallas(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, inte
     TP2 = T * P * 2
     emit_jmin = T > 1  # for T == 1 the transmission-argmin table is all
     # zeros and never read: skipping it halves backtrace-table HBM traffic
-    kernel = _make_kernel(K, T, P, C, emit_jmin=emit_jmin)
+    CC = _fwd_chunk(C, K, T)
+    kernel = _make_kernel(K, T, P, C, emit_jmin=emit_jmin, CC=CC)
     table_spec = pl.BlockSpec(
-        (1, 1, T, R, LANES), lambda b, c: (b, c, 0, 0, 0), memory_space=pltpu.VMEM
+        (1, CC, T, R, LANES), lambda b, c: (b, c, 0, 0, 0), memory_space=pltpu.VMEM
     )
     table_shape = jax.ShapeDtypeStruct((B, C, T, R, LANES), jnp.int32)
     has_jmin = T > 1
@@ -616,12 +659,12 @@ def solve_batched_pallas(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, inte
         out_shape.append(state_shape)
     out_shape.append(jax.ShapeDtypeStruct((B, R, LANES), jnp.int32))
     in_specs = [
-        pl.BlockSpec((1, 1, K, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, 1, T * nA), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, 1, 1), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, CC, K, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, CC, 1, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, CC, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, CC, 1, T * nA), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, CC, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, CC, 1, 1), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
     ]
     out_specs = [table_spec] + ([table_spec] if emit_jmin else []) + [state_spec]
     if has_jmin:
@@ -635,7 +678,7 @@ def solve_batched_pallas(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, inte
     scratch_shapes.append(pltpu.VMEM((R, LANES), jnp.int32))
     outs = pl.pallas_call(
         kernel,
-        grid=(B, C),
+        grid=(B, C // CC),
         out_shape=out_shape,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -715,17 +758,18 @@ def forward_carry_pallas(
     nA = 1 << P
     TP2 = T * P * 2
     has_jmin = T > 1
-    kernel = _make_kernel(K, T, P, C, emit_tables=False, carry_in=True)
+    CC = _fwd_chunk(C, K, T)
+    kernel = _make_kernel(K, T, P, C, emit_tables=False, carry_in=True, CC=CC)
     state_spec = pl.BlockSpec((1, T, R, LANES), lambda b, c: (b, 0, 0, 0), memory_space=pltpu.VMEM)
     key_spec = pl.BlockSpec((1, R, LANES), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM)
     state_shape = jax.ShapeDtypeStruct((B, T, R, LANES), jnp.int32)
     in_specs = [
-        pl.BlockSpec((1, 1, K, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, 1, T * nA), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, 1, 1), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, CC, K, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, CC, 1, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, CC, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, CC, 1, T * nA), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, CC, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, CC, 1, 1), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
         state_spec,
     ] + ([state_spec] if has_jmin else []) + [key_spec]
     out_shape = [state_shape] + ([state_shape] if has_jmin else []) + [
@@ -739,7 +783,7 @@ def forward_carry_pallas(
     carry_args = [cost0] + ([jmin0] if has_jmin else []) + [key0]
     outs = pl.pallas_call(
         kernel,
-        grid=(B, C),
+        grid=(B, C // CC),
         out_shape=out_shape,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -771,11 +815,14 @@ def forward_tables_pallas(
     TP2 = T * P * 2
     emit_jmin = T > 1
     has_jmin = T > 1
-    kernel = _make_kernel(K, T, P, C, emit_jmin=emit_jmin, emit_tables=True, carry_in=True)
+    CC = _fwd_chunk(C, K, T)
+    kernel = _make_kernel(
+        K, T, P, C, emit_jmin=emit_jmin, emit_tables=True, carry_in=True, CC=CC
+    )
     state_spec = pl.BlockSpec((1, T, R, LANES), lambda b, c: (b, 0, 0, 0), memory_space=pltpu.VMEM)
     key_spec = pl.BlockSpec((1, R, LANES), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec(
-        (1, 1, T, R, LANES), lambda b, c: (b, c, 0, 0, 0), memory_space=pltpu.VMEM
+        (1, CC, T, R, LANES), lambda b, c: (b, c, 0, 0, 0), memory_space=pltpu.VMEM
     )
     table_shape = jax.ShapeDtypeStruct((B, C, T, R, LANES), jnp.int32)
     state_shape = jax.ShapeDtypeStruct((B, T, R, LANES), jnp.int32)
@@ -788,12 +835,12 @@ def forward_tables_pallas(
         out_specs.append(state_spec)
     out_specs.append(key_spec)
     in_specs = [
-        pl.BlockSpec((1, 1, K, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, 1, T * nA), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, 1, 1), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, CC, K, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, CC, 1, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, CC, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, CC, 1, T * nA), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, CC, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, CC, 1, 1), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
         state_spec,
     ] + ([state_spec] if has_jmin else []) + [key_spec]
     scratch_shapes = [pltpu.VMEM((T, R, LANES), jnp.int32)]
@@ -803,7 +850,7 @@ def forward_tables_pallas(
     carry_args = [cost0] + ([jmin0] if has_jmin else []) + [key0]
     outs = pl.pallas_call(
         kernel,
-        grid=(B, C),
+        grid=(B, C // CC),
         out_shape=out_shape,
         in_specs=in_specs,
         out_specs=out_specs,
