@@ -78,7 +78,7 @@ def _make_emission(K, T, P, R):
     TP2 = T * P * 2
     abits = ((np.arange(nA)[:, None] >> np.arange(P)[None, :]) & 1).astype(np.int32)
 
-    def emission(diff_ref, base_ref):
+    def emission(diff_ref, base_ref, col=0):
         # logcp[j] over the state plane, built by on-demand bit masks
         acc = [jnp.zeros((R, LANES), jnp.float32) for _ in range(TP2)]
         for k in range(K):
@@ -91,134 +91,160 @@ def _make_emission(K, T, P, R):
                     (jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0) >> (k - LANE_BITS)) & 1
                 ).astype(jnp.float32)
             for j in range(TP2):
-                acc[j] = acc[j] + mask * diff_ref[0, 0, k, j]
+                acc[j] = acc[j] + mask * diff_ref[0, col, k, j]
         em = []
         for t in range(T):
             for a in range(nA):
                 lem = jnp.zeros((R, LANES), jnp.float32)
                 for p in range(P):
                     j = (t * P + p) * 2 + int(abits[a, p])
-                    lem = lem + (acc[j] + base_ref[0, 0, 0, j])
+                    lem = lem + (acc[j] + base_ref[0, col, 0, j])
                 em.append(jnp.exp(lem))
         return em  # list of T*nA (R, LANES) planes, index t * nA + a
 
     return emission
 
 
-def _make_bwd_kernel(K, T, P, C):
+def _geno_chunk(C: int, K: int, T: int, P: int) -> int:
+    """Columns per grid step.  Measured on v5e: unlike the wMEC kernels
+    (where 4 columns/step gave +15%), chunking REGRESSED this kernel 3x
+    (226k -> 74k variants/s at K=13) — the f32 emission/rescale chain
+    schedules worse when unrolled — so it stays at one column per step;
+    the machinery is kept for future Mosaic versions."""
+    return 1
+
+
+def _make_bwd_kernel(K, T, P, C, CC):
     R = (1 << K) >> LANE_BITS
     nA = 1 << P
     emission = _make_emission(K, T, P, R)
 
     def kernel(
-        diff_ref,  # (1, 1, K, TP2) f32 VMEM
-        base_ref,  # (1, 1, 1, TP2) f32 SMEM
-        passign_ref,  # (1, 1, 1, T*nA) f32 SMEM
-        trans_ref,  # (1, 1, 1, T*T) f32 SMEM
-        birth_ref,  # (1, 1, 1, K) i32 SMEM
-        dup_ref,  # (1, 1, 1, 1) f32 SMEM
-        beta_out_ref,  # (1, 1, T, R, LANES) f32 VMEM: scaled incoming beta
-        scaling_ref,  # (1, 1, 1, 1) f32 SMEM
+        diff_ref,  # (1, CC, K, TP2) f32 VMEM
+        base_ref,  # (1, CC, 1, TP2) f32 SMEM
+        passign_ref,  # (1, CC, 1, T*nA) f32 SMEM
+        trans_ref,  # (1, CC, 1, T*T) f32 SMEM
+        birth_ref,  # (1, CC, 1, K) i32 SMEM
+        dup_ref,  # (1, CC, 1, 1) f32 SMEM
+        beta_out_ref,  # (1, CC, T, R, LANES) f32 VMEM: scaled incoming beta
+        scaling_ref,  # (1, CC, 1, 1) f32 SMEM
         beta_s,  # scratch (T, R, LANES) f32
     ):
-        c = pl.program_id(1)
+        j = pl.program_id(1)
 
-        @pl.when(c == 0)
+        @pl.when(j == 0)
         def _init():
             for t in range(T):
                 beta_s[t] = jnp.ones((R, LANES), jnp.float32)
 
-        em = emission(diff_ref, base_ref)
+        # grid step j covers columns [C-(j+1)*CC, C-j*CC), processed in
+        # descending column order (the backward direction)
+        for col in reversed(range(CC)):
+            em = emission(diff_ref, base_ref, col)
 
-        total = jnp.zeros((), jnp.float32)
-        for t in range(T):
-            total = total + jnp.sum(beta_s[t])
-        scaling_sum = (total / dup_ref[0, 0, 0, 0]) * np.float32(nA)
-        scaling_ref[0, 0, 0, 0] = scaling_sum
-        inv = 1.0 / scaling_sum
+            total = jnp.zeros((), jnp.float32)
+            for t in range(T):
+                total = total + jnp.sum(beta_s[t])
+            scaling_sum = (total / dup_ref[0, col, 0, 0]) * np.float32(nA)
+            scaling_ref[0, col, 0, 0] = scaling_sum
+            inv = 1.0 / scaling_sum
 
-        # weighted[t_i] = sum_a beta * em * passign
-        weighted = []
-        for t in range(T):
-            acc = jnp.zeros((R, LANES), jnp.float32)
-            for a in range(nA):
-                acc = acc + em[t * nA + a] * passign_ref[0, 0, 0, t * nA + a]
-            weighted.append(beta_s[t] * acc)
+            # weighted[t_i] = sum_a beta * em * passign
+            weighted = []
+            for t in range(T):
+                acc = jnp.zeros((R, LANES), jnp.float32)
+                for a in range(nA):
+                    acc = acc + em[t * nA + a] * passign_ref[0, col, 0, t * nA + a]
+                weighted.append(beta_s[t] * acc)
 
-        # beta_store[c] = incoming beta / scaling_sum (pairs c <-> c+1; the
-        # last column's slot is written but never read by the forward pass)
-        for t in range(T):
-            beta_out_ref[0, 0, t] = beta_s[t] * inv
+            # beta_store[c] = incoming beta / scaling_sum (pairs c <-> c+1;
+            # the last column's slot is written but never read forward)
+            for t in range(T):
+                beta_out_ref[0, col, t] = beta_s[t] * inv
 
-        # contrib[t_j] = sum_i weighted[t_i] * trans[t_j, t_i], then fold
-        # bits born entering this column and rescale -> new beta
-        for tj in range(T):
-            if T == 1:
-                contrib = weighted[0] * trans_ref[0, 0, 0, 0]
-            else:
-                contrib = jnp.zeros((R, LANES), jnp.float32)
-                for ti in range(T):
-                    contrib = contrib + weighted[ti] * trans_ref[0, 0, 0, tj * T + ti]
-            for p in range(K):
-                born = birth_ref[0, 0, 0, p] != 0
-                contrib = jax.lax.cond(born, partial(_sum_fold, p), lambda x: x, contrib)
-            beta_s[tj] = contrib * inv
+            # contrib[t_j] = sum_i weighted[t_i] * trans[t_j, t_i], then
+            # fold bits born entering this column and rescale -> new beta
+            for tj in range(T):
+                if T == 1:
+                    contrib = weighted[0] * trans_ref[0, col, 0, 0]
+                else:
+                    contrib = jnp.zeros((R, LANES), jnp.float32)
+                    for ti in range(T):
+                        contrib = contrib + weighted[ti] * trans_ref[0, col, 0, tj * T + ti]
+                for p in range(K):
+                    born = birth_ref[0, col, 0, p] != 0
+                    contrib = jax.lax.cond(born, partial(_sum_fold, p), lambda x: x, contrib)
+                beta_s[tj] = contrib * inv
 
     return kernel
 
 
-def _make_fwd_kernel(K, T, P, C):
+def _make_fwd_kernel(K, T, P, C, CC):
     R = (1 << K) >> LANE_BITS
     nA = 1 << P
     emission = _make_emission(K, T, P, R)
 
     def kernel(
-        diff_ref,  # (1, 1, K, TP2) f32 VMEM
-        base_ref,  # (1, 1, 1, TP2) f32 SMEM
-        passign_ref,  # (1, 1, 1, T*nA) f32 SMEM
-        trans_ref,  # (1, 1, 1, T*T) f32 SMEM
-        die_ref,  # (1, 1, 1, K) i32 SMEM   (die_next)
-        scaling_ref,  # (1, 1, 1, 1) f32 SMEM
-        beta_ref,  # (1, 1, T, R, LANES) f32 VMEM (scaled beta table)
-        red_ref,  # (1, 1, 1, T*nA) f32 SMEM out: state-summed fwd*beta
+        diff_ref,  # (1, CC, K, TP2) f32 VMEM
+        base_ref,  # (1, CC, 1, TP2) f32 SMEM
+        passign_ref,  # (1, CC, 1, T*nA) f32 SMEM
+        trans_ref,  # (1, CC, 1, T*T) f32 SMEM
+        die_ref,  # (1, CC, 1, K) i32 SMEM   (die_next)
+        scaling_ref,  # (1, CC, 1, 1) f32 SMEM
+        beta_ref,  # (1, CC, T, R, LANES) f32 VMEM (scaled beta table)
+        red_ref,  # (1, CC, 1, T*nA) f32 SMEM out: state-summed fwd*beta
         alpha_s,  # scratch (T, R, LANES) f32
     ):
-        c = pl.program_id(1)
+        j = pl.program_id(1)
 
-        em = emission(diff_ref, base_ref)
-        inv = 1.0 / scaling_ref[0, 0, 0, 0]
+        for col in range(CC):
+            em = emission(diff_ref, base_ref, col)
+            inv = 1.0 / scaling_ref[0, col, 0, 0]
 
-        # sum_prev[t_i] = ones at c == 0 else sum_j alpha[t_j] * trans[t_j, t_i]
-        sum_prev = []
-        for ti in range(T):
+            # sum_prev[t_i] = ones at the first column, else
+            # sum_j alpha[t_j] * trans[t_j, t_i]
+            sum_prev = []
+            for ti in range(T):
 
-            def _first(ti=ti):
-                return jnp.ones((R, LANES), jnp.float32)
+                def _first(ti=ti):
+                    return jnp.ones((R, LANES), jnp.float32)
 
-            def _chain(ti=ti):
-                if T == 1:
-                    return alpha_s[0] * trans_ref[0, 0, 0, 0]
-                acc = jnp.zeros((R, LANES), jnp.float32)
-                for tj in range(T):
-                    acc = acc + alpha_s[tj] * trans_ref[0, 0, 0, tj * T + ti]
-                return acc
+                def _chain(ti=ti, col=col):
+                    if T == 1:
+                        return alpha_s[0] * trans_ref[0, col, 0, 0]
+                    acc = jnp.zeros((R, LANES), jnp.float32)
+                    for tj in range(T):
+                        acc = acc + alpha_s[tj] * trans_ref[0, col, 0, tj * T + ti]
+                    return acc
 
-            sum_prev.append(jax.lax.cond(c == 0, _first, _chain))
+                if col == 0:
+                    sum_prev.append(jax.lax.cond(j == 0, _first, _chain))
+                else:
+                    sum_prev.append(_chain())
 
-        is_last = c == C - 1
-        for t in range(T):
-            alpha_acc = jnp.zeros((R, LANES), jnp.float32)
-            beta_t = beta_ref[0, 0, t]
-            # the last column has no successor: beta factor is the identity
-            beta_f = jnp.where(is_last, jnp.ones((R, LANES), jnp.float32), beta_t)
-            for a in range(nA):
-                fwd = sum_prev[t] * em[t * nA + a] * (passign_ref[0, 0, 0, t * nA + a] * inv)
-                alpha_acc = alpha_acc + fwd
-                red_ref[0, 0, 0, t * nA + a] = jnp.sum(fwd * beta_f)
-            for p in range(K):
-                dies = die_ref[0, 0, 0, p] != 0
-                alpha_acc = jax.lax.cond(dies, partial(_sum_fold, p), lambda x: x, alpha_acc)
-            alpha_s[t] = alpha_acc
+            for t in range(T):
+                alpha_acc = jnp.zeros((R, LANES), jnp.float32)
+                beta_t = beta_ref[0, col, t]
+                # the last column has no successor: identity beta factor
+                if col == CC - 1:
+                    is_last = j == (C // CC) - 1
+                    beta_f = jnp.where(
+                        is_last, jnp.ones((R, LANES), jnp.float32), beta_t
+                    )
+                else:
+                    beta_f = beta_t
+                for a in range(nA):
+                    fwd = sum_prev[t] * em[t * nA + a] * (
+                        passign_ref[0, col, 0, t * nA + a] * inv
+                    )
+                    alpha_acc = alpha_acc + fwd
+                    red_ref[0, col, 0, t * nA + a] = jnp.sum(fwd * beta_f)
+                for p in range(K):
+                    dies = die_ref[0, col, 0, p] != 0
+                    alpha_acc = jax.lax.cond(
+                        dies, partial(_sum_fold, p), lambda x: x, alpha_acc
+                    )
+                alpha_s[t] = alpha_acc
 
     return kernel
 
@@ -251,29 +277,30 @@ def forward_backward_pallas(
     die_i = die_next.astype(jnp.int32).reshape(B, C, 1, K)
     dup_f = dup.reshape(B, C, 1, 1).astype(jnp.float32)
 
-    # ---- backward pass: grid column index j solves column C-1-j ----
-    rev = lambda b, c: (b, C - 1 - c, 0, 0)  # noqa: E731
-    rev5 = lambda b, c: (b, C - 1 - c, 0, 0, 0)  # noqa: E731
+    CC = _geno_chunk(C, K, T, P)
+    nchunks = C // CC
+
+    # ---- backward pass: grid step j covers columns [C-(j+1)*CC, C-j*CC) ----
+    rev = lambda b, c: (b, nchunks - 1 - c, 0, 0)  # noqa: E731
+    rev5 = lambda b, c: (b, nchunks - 1 - c, 0, 0, 0)  # noqa: E731
     beta_store, scaling = pl.pallas_call(
-        _make_bwd_kernel(K, T, P, C),
-        grid=(B, C),
+        _make_bwd_kernel(K, T, P, C, CC),
+        grid=(B, nchunks),
         out_shape=[
             jax.ShapeDtypeStruct((B, C, T, R, LANES), jnp.float32),
             jax.ShapeDtypeStruct((B, C, 1, 1), jnp.float32),
         ],
         in_specs=[
-            pl.BlockSpec((1, 1, K, TP2), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, TP2), rev, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, T * nA), rev, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, T * T), rev, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, K), rev, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, 1), rev, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, CC, K, TP2), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CC, 1, TP2), rev, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, CC, 1, T * nA), rev, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, CC, 1, T * T), rev, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, CC, 1, K), rev, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, CC, 1, 1), rev, memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, T, R, LANES), rev5, memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, 1, 1, 1), lambda b, c: (b, C - 1 - c, 0, 0), memory_space=pltpu.SMEM
-            ),
+            pl.BlockSpec((1, CC, T, R, LANES), rev5, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CC, 1, 1), rev, memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[pltpu.VMEM((T, R, LANES), jnp.float32)],
         interpret=interpret,
@@ -283,23 +310,19 @@ def forward_backward_pallas(
     fwdm = lambda b, c: (b, c, 0, 0)  # noqa: E731
     fwd5 = lambda b, c: (b, c, 0, 0, 0)  # noqa: E731
     red = pl.pallas_call(
-        _make_fwd_kernel(K, T, P, C),
-        grid=(B, C),
+        _make_fwd_kernel(K, T, P, C, CC),
+        grid=(B, nchunks),
         out_shape=jax.ShapeDtypeStruct((B, C, 1, T * nA), jnp.float32),
         in_specs=[
-            pl.BlockSpec((1, 1, K, TP2), fwdm, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, TP2), fwdm, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, T * nA), fwdm, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, T * T), fwdm, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, K), fwdm, memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (1, 1, 1, 1),
-                lambda b, c: (b, c, 0, 0),
-                memory_space=pltpu.SMEM,
-            ),
-            pl.BlockSpec((1, 1, T, R, LANES), fwd5, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CC, K, TP2), fwdm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CC, 1, TP2), fwdm, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, CC, 1, T * nA), fwdm, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, CC, 1, T * T), fwdm, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, CC, 1, K), fwdm, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, CC, 1, 1), fwdm, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, CC, T, R, LANES), fwd5, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, T * nA), fwdm, memory_space=pltpu.SMEM),
+        out_specs=pl.BlockSpec((1, CC, 1, T * nA), fwdm, memory_space=pltpu.SMEM),
         scratch_shapes=[pltpu.VMEM((T, R, LANES), jnp.float32)],
         interpret=interpret,
     )(

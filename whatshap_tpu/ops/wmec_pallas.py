@@ -342,9 +342,11 @@ def _make_kernel(
 def _fwd_chunk(C: int, K: int, T: int) -> int:
     """Columns per forward grid step: per-step dispatch costs about one
     column's worth of VPU work at K=14, so batch a few columns — but keep
-    the unrolled kernel body small enough that high-K shapes still fit the
-    Mosaic compile (the K=17 ceiling is measured with CC == 1)."""
-    if K >= 16:
+    the unrolled kernel body small enough that the shape still fits the
+    Mosaic compile: K >= 16 (the measured K=17 ceiling) and pedigree
+    shapes beyond T * 2^K = 2^14 (a T=4, K=14 chunked body crashed the
+    compiler) stay at one column per step."""
+    if K >= 16 or (T > 1 and T * (1 << K) > (1 << 14)):
         return 1
     cc = 1
     while cc < 4 and C % (cc * 2) == 0:
