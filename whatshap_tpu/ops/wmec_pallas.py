@@ -371,7 +371,7 @@ def forward_scan_pallas(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, inter
     R = S >> LANE_BITS
     nA = 1 << P
     TP2 = T * P * 2
-    CC = _fwd_chunk(C, K, T)
+    CC = 1 if interpret else _fwd_chunk(C, K, T)  # unrolling only helps real hw
     kernel = _make_kernel(K, T, P, C, CC=CC)
 
     has_jmin = T > 1
@@ -556,7 +556,7 @@ def backtrace_pallas_t(K, T, init, pidx, pjmin, interpret=False):
     B, C = pidx.shape[0], pidx.shape[1]
     S = 1 << K
     R = S >> LANE_BITS
-    CC = _bt_chunk(C, T * R * LANES * 4)
+    CC = 1 if interpret else _bt_chunk(C, T * R * LANES * 4)
     nchunks = C // CC
     kernel = _make_backtrace_kernel_t(K, T, C, CC)
     path, tpath, final = pl.pallas_call(
@@ -603,7 +603,7 @@ def backtrace_pallas(K, opt_idx, pidx, interpret=False):
     B, C = pidx.shape[0], pidx.shape[1]
     S = 1 << K
     R = S >> LANE_BITS
-    CC = _bt_chunk(C, R * LANES * 4)
+    CC = 1 if interpret else _bt_chunk(C, R * LANES * 4)
     nchunks = C // CC
     kernel = _make_backtrace_kernel(K, C, CC)
     path, final = pl.pallas_call(
@@ -645,7 +645,7 @@ def solve_batched_pallas(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, inte
     TP2 = T * P * 2
     emit_jmin = T > 1  # for T == 1 the transmission-argmin table is all
     # zeros and never read: skipping it halves backtrace-table HBM traffic
-    CC = _fwd_chunk(C, K, T)
+    CC = 1 if interpret else _fwd_chunk(C, K, T)  # unrolling only helps real hw
     kernel = _make_kernel(K, T, P, C, emit_jmin=emit_jmin, CC=CC)
     table_spec = pl.BlockSpec(
         (1, CC, T, R, LANES), lambda b, c: (b, c, 0, 0, 0), memory_space=pltpu.VMEM
@@ -760,7 +760,7 @@ def forward_carry_pallas(
     nA = 1 << P
     TP2 = T * P * 2
     has_jmin = T > 1
-    CC = _fwd_chunk(C, K, T)
+    CC = 1 if interpret else _fwd_chunk(C, K, T)  # unrolling only helps real hw
     kernel = _make_kernel(K, T, P, C, emit_tables=False, carry_in=True, CC=CC)
     state_spec = pl.BlockSpec((1, T, R, LANES), lambda b, c: (b, 0, 0, 0), memory_space=pltpu.VMEM)
     key_spec = pl.BlockSpec((1, R, LANES), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM)
@@ -817,7 +817,7 @@ def forward_tables_pallas(
     TP2 = T * P * 2
     emit_jmin = T > 1
     has_jmin = T > 1
-    CC = _fwd_chunk(C, K, T)
+    CC = 1 if interpret else _fwd_chunk(C, K, T)  # unrolling only helps real hw
     kernel = _make_kernel(
         K, T, P, C, emit_jmin=emit_jmin, emit_tables=True, carry_in=True, CC=CC
     )
