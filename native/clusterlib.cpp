@@ -30,6 +30,29 @@ inline uint64_t ekey(int u, int v) {
     return (uint64_t)u << 32 | (uint32_t)v;
 }
 
+
+// sorted flat small-set: iterates ascending exactly like std::set<int>,
+// but inserts/lookups are binary searches over a contiguous vector (the
+// per-clique forbidden sets are small, so this beats the tree by a large
+// constant in setForbidden, the profile's hottest graph operation)
+struct FlatSet {
+    std::vector<int> v;
+    bool count(int x) const {
+        return std::binary_search(v.begin(), v.end(), x);
+    }
+    void insert(int x) {
+        auto it = std::lower_bound(v.begin(), v.end(), x);
+        if (it == v.end() || *it != x) v.insert(it, x);
+    }
+    void erase(int x) {
+        auto it = std::lower_bound(v.begin(), v.end(), x);
+        if (it != v.end() && *it == x) v.erase(it);
+    }
+    void clear() { v.clear(); }
+    std::vector<int>::const_iterator begin() const { return v.begin(); }
+    std::vector<int>::const_iterator end() const { return v.end(); }
+};
+
 struct Graph {
     int n = 0;
     std::unordered_map<uint64_t, int> rank;  // (u,v) -> rank id (1-based)
@@ -38,7 +61,7 @@ struct Graph {
     std::vector<std::pair<int, int>> edges;  // rank -> (u, v)
     std::vector<std::vector<int>> unpruned, nonzero, cliques;
     std::vector<int> cliqueOf;
-    std::vector<std::set<int>> forbidden;    // ordered for determinism
+    std::vector<FlatSet> forbidden;          // ordered for determinism
 
     // Dense (u, v) -> rank matrix: the edge set is static after
     // construction, and findIndex dominates the triangle enumeration in
