@@ -346,7 +346,7 @@ def _fwd_chunk(C: int, K: int, T: int) -> int:
     Mosaic compile: K >= 16 (the measured K=17 ceiling) and pedigree
     shapes beyond T * 2^K = 2^14 (a T=4, K=14 chunked body crashed the
     compiler) stay at one column per step."""
-    if K >= 16 or (T > 1 and T * (1 << K) > (1 << 14)):
+    if K >= 16 or T > 4 or (T > 1 and T * (1 << K) > (1 << 14)):
         return 1
     cc = 1
     while cc < 4 and C % (cc * 2) == 0:
@@ -444,10 +444,13 @@ def forward_scan_pallas(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, inter
     return dp_last, jmin_last, key_last, proj_idx, proj_jmin
 
 
-def _bt_chunk(C: int, table_bytes_per_col: int, vmem_budget: int = 2 << 20) -> int:
+def _bt_chunk(C: int, table_bytes_per_col: int, vmem_budget: int = 2 << 20, T: int = 1) -> int:
     """Columns per backtrace grid step: the walk itself is a handful of VPU
     ops, so per-step dispatch dominates — batch as many columns as divide C
-    and fit the VMEM block budget."""
+    and fit the VMEM block budget.  Quartet shapes (T = 16) are only
+    hardware-proven at one column per step."""
+    if T > 4:
+        return 1
     cc = 1
     while (
         cc < 16
@@ -556,7 +559,7 @@ def backtrace_pallas_t(K, T, init, pidx, pjmin, interpret=False):
     B, C = pidx.shape[0], pidx.shape[1]
     S = 1 << K
     R = S >> LANE_BITS
-    CC = 1 if interpret else _bt_chunk(C, T * R * LANES * 4)
+    CC = 1 if interpret else _bt_chunk(C, T * R * LANES * 4, T=T)
     nchunks = C // CC
     kernel = _make_backtrace_kernel_t(K, T, C, CC)
     path, tpath, final = pl.pallas_call(
