@@ -288,6 +288,48 @@ int32_t wh_detect_alleles(
 
 namespace {
 
+int edit_distance_affine(const char* sv, int m, const char* tv, int n,
+                         int mismatch_cost, int gap_start, int gap_extend) {
+    // identical to wh_edit_distance_affine_gap (native/alignlib.cpp) with a
+    // constant per-position mismatch cost (the realign path passes
+    // [default_mismatch] * len(query))
+    while (m > 0 && n > 0 && sv[0] == tv[0]) { ++sv; ++tv; --m; --n; }
+    while (m > 0 && n > 0 && sv[m - 1] == tv[n - 1]) { --m; --n; }
+    std::vector<float> a(m + 1), b(m + 1), c(m + 1);
+    a[0] = 0.0f;
+    b[0] = 0.0f;
+    c[0] = 0.0f;
+    for (int i = 1; i <= m; ++i) {
+        a[i] = (float)INT32_MAX;
+        b[i] = (float)(gap_start + (i - 1) * gap_extend);
+        c[i] = (float)INT32_MAX;
+    }
+    for (int j = 1; j <= n; ++j) {
+        float prev_a = a[0], prev_b = b[0], prev_c = c[0];
+        a[0] = (float)INT32_MAX;
+        b[0] = (float)INT32_MAX;
+        c[0] = (float)(gap_start + (j - 1) * gap_extend);
+        const char tj = tv[j - 1];
+        for (int i = 1; i <= m; ++i) {
+            float m_c = (float)mismatch_cost;
+            if (sv[i - 1] == tj) m_c = 0.0f;
+            const float c_a = std::min(prev_a, std::min(prev_b, prev_c)) + m_c;
+            const float c_b =
+                std::min(a[i - 1] + gap_start,
+                         std::min(b[i - 1] + gap_extend, c[i - 1] + gap_start));
+            const float c_c = std::min(
+                a[i] + gap_start, std::min(b[i] + gap_start, c[i] + gap_extend));
+            prev_a = a[i];
+            prev_b = b[i];
+            prev_c = c[i];
+            a[i] = c_a;
+            b[i] = c_b;
+            c[i] = c_c;
+        }
+    }
+    return (int)std::min(a[m], std::min(b[m], c[m]));
+}
+
 int edit_distance_unit(const char* s, int m, const char* t, int n) {
     // identical to wh_edit_distance (native/alignlib.cpp) with maxdiff=-1
     while (m > 0 && n > 0 && s[0] == t[0]) { ++s; ++t; --m; --n; }
@@ -352,6 +394,8 @@ extern "C" int32_t wh_realign_read(
     const int32_t* cigar_ops, const int32_t* cigar_lens, int32_t n_cigar,
     const char* query, int32_t query_len,
     int32_t overhang,
+    int32_t use_affine, int32_t default_mismatch, int32_t gap_start,
+    int32_t gap_extend,
     int32_t* out_index, int32_t* out_allele, int32_t* out_quality, int32_t cap) {
     (void)query_len;
     std::vector<int32_t> hi(cap), he(cap), hc(cap), hq(cap);
@@ -392,19 +436,23 @@ extern "C" int32_t wh_realign_read(
                 if (right_pad_len < 0) right_pad_len = 0;
                 const char* right_pad = reference + (pos + reflen);
                 // allele 0: the reference haplotype window
+                auto score = [&](const char* hp, int hlen) {
+                    if (use_affine)
+                        return edit_distance_affine(q, qlen, hp, hlen,
+                                                    default_mismatch, gap_start,
+                                                    gap_extend);
+                    return edit_distance_unit(q, qlen, hp, hlen);
+                };
                 int best_a = 0;
-                int best_d = edit_distance_unit(q, qlen, left_pad,
-                                                (int)(left_ref + right_ref));
+                int best_d = score(left_pad, (int)(left_ref + right_ref));
                 int second_d = INT32_MAX;
                 for (int32_t a = alt_off[idx]; a < alt_off[idx + 1]; ++a) {
-                    int32_t alt_len = alt_seq_off[a + 1] - alt_seq_off[a];
                     hap.clear();
                     hap.insert(hap.end(), left_pad, left_pad + left_ref);
                     hap.insert(hap.end(), alt_seq + alt_seq_off[a],
                                alt_seq + alt_seq_off[a + 1]);
                     hap.insert(hap.end(), right_pad, right_pad + right_pad_len);
-                    (void)alt_len;
-                    int d = edit_distance_unit(q, qlen, hap.data(), (int)hap.size());
+                    int d = score(hap.data(), (int)hap.size());
                     if (d < best_d) {
                         second_d = best_d;
                         best_d = d;
@@ -417,7 +465,13 @@ extern "C" int32_t wh_realign_read(
                     allele = -1;  // tie -> variant skipped (Python returns None)
                 } else {
                     allele = best_a;
-                    quality = 30;
+                    // affine mode reports scored[0] - scored[1] (best minus
+                    // second best -- NEGATIVE, a reference quirk replicated
+                    // by the Python path); unit mode a constant 30
+                    quality = use_affine
+                                  ? (second_d == INT32_MAX ? best_d
+                                                           : best_d - second_d)
+                                  : 30;
                 }
             }
         }

@@ -164,3 +164,33 @@ def test_end_to_end_trio_phasing(tmp_path):
             prev = rel
     assert n_pairs > 60
     assert n_switch / n_pairs < 0.03, f"child switch rate {n_switch}/{n_pairs}"
+
+
+def test_realign_parity_affine(tmp_path, monkeypatch):
+    """Affine-gap realignment through the genotype pipeline must match the
+    Python per-variant path byte-for-byte (alleles AND qualities: affine
+    quality is the best-vs-second-best separation)."""
+    from make_synth_chrom import generate
+
+    from whatshap_tpu.cli.genotype import run_genotype
+
+    info = generate(tmp_path / "chrom", n_vars=200, coverage=8, seed=17)
+
+    def _run():
+        out = io.StringIO()
+        run_genotype(
+            phase_input_files=[info["bam"]],
+            variant_file=info["vcf"],
+            reference=info["fasta"],
+            output=out,
+            affine_gap=True,
+            write_command_line_header=False,
+        )
+        return [
+            line for line in out.getvalue().splitlines() if not line.startswith("##")
+        ]
+
+    native = _run()
+    monkeypatch.setattr(whatshap_tpu.native, "cigarlib", None)
+    python = _run()
+    assert native == python

@@ -576,6 +576,7 @@ class _CigarLib:
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
             i32p, i32p, ctypes.c_int32,
             ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             i32p, i32p, i32p, ctypes.c_int32,
         ]
 
@@ -632,7 +633,8 @@ class _CigarLib:
     def realign_read(
         self, var_positions, n_vars, j0, ref_lens, alt_off, alt_seq_off,
         alt_seq, skip, reference, ref_start, cigar_ops, cigar_lens,
-        query_seq, overhang,
+        query_seq, overhang, use_affine=False, default_mismatch=15,
+        gap_start=10, gap_extend=7,
     ):
         cap = max(n_vars - j0, 1)
         oi = (ctypes.c_int32 * cap)()
@@ -643,7 +645,9 @@ class _CigarLib:
             alt_seq, skip, reference, len(reference), ref_start,
             cigar_ops, cigar_lens, len(cigar_ops),
             query_seq.encode() if isinstance(query_seq, str) else query_seq,
-            len(query_seq), overhang, oi, oa, oq, cap,
+            len(query_seq), overhang,
+            int(use_affine), default_mismatch, gap_start, gap_extend,
+            oi, oa, oq, cap,
         )
         return [(oi[k], oa[k], oq[k]) for k in range(n)]
 

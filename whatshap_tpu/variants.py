@@ -477,7 +477,6 @@ class ReadSetReader:
             if (
                 native_cigar is not None
                 and self._native_positions is not None
-                and not self._realign_cfg.use_affine
                 and kmerald is None
                 and restricted_genotypes is None
             ):
@@ -769,6 +768,10 @@ class ReadSetReader:
                 native_cigar._i32([ln for _, ln in cigartuples]),
                 seg.query_sequence,
                 int(self._realign_cfg.overhang),
+                use_affine=self._realign_cfg.use_affine,
+                default_mismatch=int(self._realign_cfg.default_mismatch),
+                gap_start=int(self._realign_cfg.gap_start),
+                gap_extend=int(self._realign_cfg.gap_extend),
             )
             if all(allele != -2 for _, allele, _ in results):
                 for index, allele, quality in results:
