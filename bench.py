@@ -99,7 +99,7 @@ def measure_device(K, T, P, arrays, n_iters=3):
     return min(times)
 
 
-def measure_wmec_baseline(readsets, n_blocks=10):
+def measure_wmec_baseline(readsets, n_blocks=16):
     """Single-core C++ reference on a subsample of the same blocks."""
     oracle = _oracle()
     if oracle is None:
