@@ -35,6 +35,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..utils.jaxcache import enable_persistent_cache
+
 from ..core.pedigree_model import Pedigree
 from . import wmec
 from .genotyping import _transition_tables  # noqa: F401  (longdouble reference)
@@ -266,6 +268,7 @@ def run_genotyping_jax(
     """
     if packed.n_cols == 0:
         return None
+    enable_persistent_cache()
     inputs = _prepare_inputs(packed, pedigree)
     n_ind = max(len(pedigree), 1)
     with jax.enable_x64(dtype == "f64"):
@@ -307,6 +310,7 @@ def prepare_genotyping_batch(packed_list, pedigree):
 
 def launch_genotyping_batch(static, stacked, dtype: str = "f64") -> np.ndarray:
     """Run the batched forward-backward; returns (B, C, n_ind, 3) float64."""
+    enable_persistent_cache()
     K, T, P, n_ind = static
     with jax.enable_x64(dtype == "f64"):
         out = _forward_backward_batched(

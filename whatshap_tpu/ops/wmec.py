@@ -44,6 +44,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..utils.jaxcache import enable_persistent_cache
 from ..core.genotype import Genotype
 from ..core.pedigree_model import Pedigree, PedigreePartitions
 from ..core.readset import ReadSet
@@ -733,6 +734,7 @@ def solve_batched_auto(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc):
     launch would want 16 GiB and OOM a 16 GiB part)."""
     from . import wmec_pallas
 
+    enable_persistent_cache()
     use_pallas = wmec_pallas.kernel_supported(K, T, P) and jax.default_backend() != "cpu"
     kernel = wmec_pallas.solve_batched_pallas if use_pallas else solve_batched
     arrays = (wdiff, wbase, rankw, acost, die_prev, rc)
@@ -1087,6 +1089,7 @@ def run_dp(packed: PackedProblem, backend: str = "auto") -> Optional[DPResult]:
         from . import wmec_pallas
         from ..parallel.blocks import pad_block
 
+        enable_persistent_cache()
         c_pad = _next_pow2(C)
         use_pallas = (
             jax.default_backend() != "cpu" and wmec_pallas.kernel_supported(max(K, 7), T, P)

@@ -1,0 +1,54 @@
+"""
+Persistent XLA compilation cache setup.
+
+A whole-genome run launches a handful of distinct kernel shapes — each
+(C, K, T) launch bucket is a separate XLA (and, on TPU, Mosaic) compile that
+can take minutes cold.  The persistent compilation cache makes every process
+after the first start warm: compiled executables (including the embedded
+Mosaic kernels) are serialized to disk keyed by HLO + compile options +
+compiler version.
+
+Enabled by default the first time the compute layer is imported; opt out
+with WHATSHAP_TPU_NO_COMPILE_CACHE=1, relocate with
+WHATSHAP_TPU_COMPILE_CACHE_DIR=<dir> (default ~/.cache/whatshap_tpu/xla).
+"""
+
+import logging
+import os
+
+logger = logging.getLogger(__name__)
+
+_done = False
+
+
+def enable_persistent_cache() -> None:
+    """Idempotently point JAX's persistent compilation cache at a local
+    directory, on accelerator backends only.
+
+    Call from dispatch sites that already consulted
+    ``jax.default_backend()`` (so this never forces backend init itself) and
+    before the first kernel compile of the process.  Accelerator-only
+    because XLA:CPU AOT replay warns about machine-feature mismatches
+    (potential SIGILL on feature drift) — and the cold-start pain this
+    solves is the minutes-long Mosaic TPU compiles, not CPU jits."""
+    global _done
+    if _done:
+        return
+    _done = True
+    if os.environ.get("WHATSHAP_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        if jax.default_backend() == "cpu":
+            return
+        cache_dir = os.environ.get("WHATSHAP_TPU_COMPILE_CACHE_DIR") or os.path.join(
+            os.path.expanduser("~"), ".cache", "whatshap_tpu", "xla"
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        logger.debug("persistent compilation cache at %s", cache_dir)
+    except Exception as exc:  # pragma: no cover - cache is best-effort
+        logger.debug("persistent compilation cache unavailable: %s", exc)
