@@ -1,0 +1,131 @@
+"""
+The batched pedigree route (run_dp_batched_pedigree: block split -> unit
+seeds -> host min-plus chain -> seeded solves -> stitch) must reproduce the
+monolithic solve bit-for-bit: cost, transmission path (recombination
+events), per-read partitioning and superreads.  Unlike T == 1 blocks,
+pedigree blocks are coupled through the transmission chain — these tests
+pin the seam handling (boundary folds, recombination at block boundaries,
+tie-breaks) to the monolithic reference semantics.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+import whatshap_tpu.core as core
+from whatshap_tpu.core import NumericSampleIds, Pedigree
+from whatshap_tpu.core.genotype import Genotype
+from whatshap_tpu.ops import wmec
+
+
+def _gt(i):
+    return Genotype.from_index(i, 2)
+
+
+def _trio_multi_block_readset(
+    seed, n_blocks=4, cols_per_block=6, reads_per_block=9, n_ind=3
+):
+    rng = random.Random(seed)
+    rs = core.ReadSet()
+    positions = []
+    base = 100
+    rid = 0
+    for b in range(n_blocks):
+        block_positions = [base + 10 * i for i in range(cols_per_block)]
+        positions.extend(block_positions)
+        for _ in range(reads_per_block):
+            start = rng.randrange(0, cols_per_block - 1)
+            length = rng.randint(2, cols_per_block - start)
+            read = core.Read(f"r{rid}", 50, 0, rid % n_ind)
+            rid += 1
+            for c in range(start, start + length):
+                read.add_variant(
+                    block_positions[c], rng.randint(0, 1), rng.choice([5, 12, 28])
+                )
+            rs.add(read)
+        base += 10 * cols_per_block + 5000  # gap: no read spans blocks
+    rs.sort()
+    return rs, positions
+
+
+def _pack_trio(rs, positions, seed, n_ind=3, trios=((0, 1, 2),)):
+    rng = random.Random(seed + 1)
+    nsi = NumericSampleIds()
+    ped = Pedigree(nsi)
+    for ind in range(n_ind):
+        ped.add_individual(f"ind{ind}", [_gt(1)] * len(positions), None)
+    for f, m, c in trios:
+        ped.add_relationship(f"ind{f}", f"ind{m}", f"ind{c}")
+    recomb = [rng.randint(1, 10) for _ in positions]
+    return wmec.pack_problem(rs, recomb, ped, False, positions), ped
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_pedigree_batched_equals_monolithic(seed):
+    rs, _ = _trio_multi_block_readset(seed)
+    positions = sorted(rs.get_positions())
+    packed, ped = _pack_trio(rs, positions, seed)
+    assert packed.T == 4
+
+    ranges = wmec.connected_column_ranges(packed)
+    assert len(ranges) > 1, "fixture must decompose into multiple blocks"
+
+    mono = wmec.run_dp(packed, backend="numpy")
+    batched = wmec.run_dp_batched_pedigree(packed)
+    assert batched is not None
+
+    assert batched.optimal_cost == mono.optimal_cost
+    np.testing.assert_array_equal(batched.trans_path, mono.trans_path)
+    assert wmec.extract_partitioning(packed, batched) == wmec.extract_partitioning(
+        packed, mono
+    )
+    a0m, a1m, qm = wmec.extract_alleles(packed, mono, ped)
+    a0b, a1b, qb = wmec.extract_alleles(packed, batched, ped)
+    np.testing.assert_array_equal(a0m, a0b)
+    np.testing.assert_array_equal(a1m, a1b)
+    np.testing.assert_array_equal(qm, qb)
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_quartet_batched_equals_monolithic(seed):
+    """Two trios (T=16) exercise multi-trio transmission seams."""
+    rs, _ = _trio_multi_block_readset(
+        seed, n_blocks=3, cols_per_block=5, reads_per_block=8, n_ind=4
+    )
+    positions = sorted(rs.get_positions())
+    packed, ped = _pack_trio(
+        rs, positions, seed, n_ind=4, trios=((0, 1, 2), (0, 1, 3))
+    )
+    assert packed.T == 16
+
+    mono = wmec.run_dp(packed, backend="numpy")
+    batched = wmec.run_dp_batched_pedigree(packed)
+    assert batched is not None
+    assert batched.optimal_cost == mono.optimal_cost
+    np.testing.assert_array_equal(batched.trans_path, mono.trans_path)
+    assert wmec.extract_partitioning(packed, batched) == wmec.extract_partitioning(
+        packed, mono
+    )
+
+
+def test_pedigree_backend_env_override(monkeypatch):
+    rs, _ = _trio_multi_block_readset(42)
+    positions = sorted(rs.get_positions())
+    packed, _ped = _pack_trio(rs, positions, 42)
+    mono = wmec.run_dp(packed, backend="numpy")
+
+    monkeypatch.setenv("WHATSHAP_TPU_BACKEND", "batched")
+    forced = wmec.run_dp(packed, backend="auto")
+    assert forced.optimal_cost == mono.optimal_cost
+    np.testing.assert_array_equal(forced.trans_path, mono.trans_path)
+    assert wmec.extract_partitioning(packed, forced) == wmec.extract_partitioning(
+        packed, mono
+    )
+
+
+def test_pedigree_batched_single_block_returns_none():
+    rs, _ = _trio_multi_block_readset(7, n_blocks=1)
+    positions = sorted(rs.get_positions())
+    packed, _ped = _pack_trio(rs, positions, 7)
+    assert wmec.run_dp_batched_pedigree(packed) is None

@@ -405,6 +405,51 @@ def _inverse_gray(n: jnp.ndarray, K: int) -> jnp.ndarray:
     return n
 
 
+def _fold_dying(K: int, T: int, die_c, cost, key_vec, jmin):
+    """Fold dying bits of a (S, T) dp state (forward projection,
+    pedigreedptable.cpp:316-326) with Gray-order tie-breaking.
+
+    ``key_vec`` is the (S,) tie-break key of the folded column.  Returns
+    (cost, key, idx, jmin), each (S, T): per surviving row, the winning
+    value / key / source bipartition index / source transmission argmin.
+    Used both inside the forward scan step and for the host-visible seam
+    fold of the pedigree block chain (run_dp_batched_pedigree).
+    """
+    S = 1 << K
+    idx_base = jnp.arange(S, dtype=jnp.int32)
+    key = jnp.broadcast_to(key_vec[:, None], (S, T))
+    idx = jnp.broadcast_to(idx_base[:, None], (S, T))
+    for p in range(K):
+        # view (hi_dims, 2, lo_dims) over bit p
+        def fold(arr):
+            return arr.reshape((1 << (K - 1 - p)), 2, (1 << p), T)
+
+        c_v = fold(cost)
+        k_v = fold(key)
+        i_v = fold(idx)
+        j_v = fold(jmin)
+        a_c, b_c = c_v[:, 0], c_v[:, 1]
+        a_k, b_k = k_v[:, 0], k_v[:, 1]
+        take_b = (b_c < a_c) | ((b_c == a_c) & (b_k < a_k))
+        w_c = jnp.where(take_b, b_c, a_c)
+        w_k = jnp.where(take_b, b_k, a_k)
+        w_i = jnp.where(take_b, i_v[:, 1], i_v[:, 0])
+        w_j = jnp.where(take_b, j_v[:, 1], j_v[:, 0])
+
+        def both(w, orig):
+            return jnp.where(
+                die_c[p],
+                jnp.broadcast_to(w[:, None], orig.shape).reshape(S, T),
+                orig.reshape(S, T),
+            ).reshape(S, T)
+
+        cost = both(w_c, c_v)
+        key = both(w_k, k_v)
+        idx = both(w_i, i_v)
+        jmin = both(w_j, j_v)
+    return cost, key, idx, jmin
+
+
 def _forward_scan_impl(
     K: int,
     T: int,
@@ -466,42 +511,9 @@ def _forward_scan_impl(
 
         # ---- fold dying bits of the previous column (forward projection,
         # pedigreedptable.cpp:316-326) with Gray-order tie-breaking ----
-        cost = dp_prev
-        key = jnp.broadcast_to(key_prev[:, None], (S, T))
-        idx = jnp.broadcast_to(idx_base[:, None], (S, T))
-        jmin = jmin_prev
-        for p in range(K):
-            hi = 1 << (K - 1 - p)
-            lo = 1 << p if p > 0 else 1
-            # view (hi_dims, 2, lo_dims) over bit p
-            def fold(arr):
-                return arr.reshape((1 << (K - 1 - p)), 2, (1 << p), T)
-
-            c_v = fold(cost)
-            k_v = fold(key)
-            i_v = fold(idx)
-            j_v = fold(jmin)
-            a_c, b_c = c_v[:, 0], c_v[:, 1]
-            a_k, b_k = k_v[:, 0], k_v[:, 1]
-            take_b = (b_c < a_c) | ((b_c == a_c) & (b_k < a_k))
-            w_c = jnp.where(take_b, b_c, a_c)
-            w_k = jnp.where(take_b, b_k, a_k)
-            w_i = jnp.where(take_b, i_v[:, 1], i_v[:, 0])
-            w_j = jnp.where(take_b, j_v[:, 1], j_v[:, 0])
-
-            def both(w, orig):
-                return jnp.where(
-                    die_c[p],
-                    jnp.broadcast_to(w[:, None], orig.shape).reshape(S, T),
-                    orig.reshape(S, T),
-                ).reshape(S, T)
-
-            cost = both(w_c, c_v)
-            key = both(w_k, k_v)
-            idx = both(w_i, i_v)
-            jmin = both(w_j, j_v)
-
-        proj_cost, proj_idx, proj_jmin = cost, idx, jmin
+        proj_cost, _key, proj_idx, proj_jmin = _fold_dying(
+            K, T, die_c, dp_prev, key_prev, jmin_prev
+        )
 
         # ---- transmission min-plus (pedigreedptable.cpp:262-300) ----
         # clamp rc so pcmat * rc cannot overflow int32 (pcmat max is static)
@@ -560,6 +572,18 @@ def _backtrace_impl(K, T, dp_last, jmin_last, key_last, proj_idx, proj_jmin):
     opt_trans = best // S
     opt_idx = best % S
     prev_trans = jmin_last[opt_idx, opt_trans]
+    index_path, trans_path, seam = _backtrace_from(
+        opt_idx, opt_trans, prev_trans, proj_idx, proj_jmin
+    )
+    return m, index_path, trans_path, seam
+
+
+def _backtrace_from(start_idx, start_trans, prev_trans, proj_idx, proj_jmin):
+    """Walk the projection tables backwards from a given last-column state
+    (start_idx, start_trans) whose preceding transmission is prev_trans.
+    Returns (index_path (C,), trans_path (C,), seam_prev) where seam_prev is
+    the transmission value of the column BEFORE the first one (meaningful
+    only for seeded block solves — the block-chain seam)."""
 
     def step(carry, xs):
         v_idx, v_trans, prev_t = carry
@@ -569,15 +593,15 @@ def _backtrace_impl(K, T, dp_last, jmin_last, key_last, proj_idx, proj_jmin):
         nprev = pj[nv_idx, nv_trans]
         return (nv_idx, nv_trans, nprev), (nv_idx, nv_trans)
 
-    _, (idxs, transs) = jax.lax.scan(
+    (_, _, seam_prev), (idxs, transs) = jax.lax.scan(
         step,
-        (opt_idx, opt_trans, prev_trans),
+        (start_idx, start_trans, prev_trans),
         (proj_idx[1:], proj_jmin[1:]),
         reverse=True,
     )
-    index_path = jnp.concatenate([idxs, opt_idx[None]])
-    trans_path = jnp.concatenate([transs, opt_trans[None]])
-    return m, index_path, trans_path
+    index_path = jnp.concatenate([idxs, start_idx[None]])
+    trans_path = jnp.concatenate([transs, start_trans[None]])
+    return index_path, trans_path, seam_prev
 
 
 @partial(jax.jit, static_argnames=("K", "T", "P"))
@@ -587,7 +611,7 @@ def _solve_scan(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc):
     dp_last, jmin_last, key_last, proj_idx, proj_jmin = _forward_scan_impl(
         K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, emit_bt=True
     )
-    return _backtrace_impl(K, T, dp_last, jmin_last, key_last, proj_idx, proj_jmin)
+    return _backtrace_impl(K, T, dp_last, jmin_last, key_last, proj_idx, proj_jmin)[:3]
 
 
 @partial(jax.jit, static_argnames=("K", "T", "P"))
@@ -687,9 +711,84 @@ def solve_batched(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc):
         dp_last, jmin_last, key_last, pi, pj = _forward_scan_impl(
             K, T, P, wd, wb, rw, ac, dp_, rc_, emit_bt=True
         )
-        return _backtrace_impl(K, T, dp_last, jmin_last, key_last, pi, pj)
+        return _backtrace_impl(K, T, dp_last, jmin_last, key_last, pi, pj)[:3]
 
     return jax.vmap(one)(wdiff, wbase, rankw, acost, die_prev, rc)
+
+
+def _seeded_carry(K: int, T: int, dp0):
+    """Initial scan carry for a block whose incoming folded dp vector is
+    dp0 (T,) int32 — the seam state of the pedigree block chain.  The key
+    and jmin seeds are irrelevant: the first column's projection tables are
+    never consumed by the backtrace (the seam transition is reconstructed
+    on the host from the previous block's seam fold)."""
+    S = 1 << K
+    return (
+        jnp.broadcast_to(dp0[None, :].astype(jnp.int32), (S, T)),
+        jnp.zeros((S, T), dtype=jnp.int32),
+        jnp.zeros((S,), dtype=jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnames=("K", "T", "P"))
+def forward_m_batched(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, dp0):
+    """Batched seeded forward pass, folded final cost vector only.
+
+    Per batch element: scan the block's columns starting from the seam
+    carry dp0 (T,), return m (T,) = min over bipartitions of the final dp.
+    With unit seeds (0 at one transmission value, INF elsewhere) this yields
+    one row of the block's T x T seam cost matrix G — the DP is min-plus
+    linear in its seed, so a whole pedigree chromosome chains through these
+    tiny matrices (run_dp_batched_pedigree)."""
+
+    def one(wd, wb, rw, ac, dpv, rc_, d0):
+        dp_last, _, _ = _forward_scan_impl(
+            K, T, P, wd, wb, rw, ac, dpv, rc_, carry0=_seeded_carry(K, T, d0), emit_bt=False
+        )
+        return jnp.min(dp_last, axis=0)
+
+    return jax.vmap(one)(wdiff, wbase, rankw, acost, die_prev, rc, dp0)
+
+
+@partial(jax.jit, static_argnames=("K", "T", "P"))
+def solve_seeded_batched(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, dp0, die_next):
+    """Batched seeded solve for the pedigree block chain (T > 1).
+
+    Per batch element (one read-connected block, seeded with its incoming
+    seam vector dp0 (T,)):
+      - cost_head, head paths: the global-optimum backtrace (used for the
+        chromosome's LAST block, whose seeded dp equals the monolithic dp)
+      - per-transmission-value backtraces: for every t, the path started
+        from the seam fold winner (s*(t), t) with the folded jmin as the
+        preceding transmission — used for all earlier blocks, where the
+        actually-taken t arrives from the next block's seam during host
+        stitching.  die_next (K,) bool holds the monolithic die flags of
+        the NEXT block's first column, defining the seam fold.
+    Returns (cost_head, m (B,T), ip_head (B,C), tp_head (B,C),
+    seam_head (B,), ips (B,T,C), tps (B,T,C), seams (B,T)).
+    """
+    S = 1 << K
+
+    def one(wd, wb, rw, ac, dpv, rc_, d0, dn):
+        dp_last, jmin_last, key_last, pi, pj = _forward_scan_impl(
+            K, T, P, wd, wb, rw, ac, dpv, rc_, carry0=_seeded_carry(K, T, d0), emit_bt=True
+        )
+        cost_head, ip_head, tp_head, seam_head = _backtrace_impl(
+            K, T, dp_last, jmin_last, key_last, pi, pj
+        )
+        # seam fold with the NEXT block's first-column die flags: all slots
+        # active at this block's last column die there, so row 0 of the fold
+        # is the monolithic winner (don't-care bits zeroed)
+        fc, _fk, fi, fj = _fold_dying(K, T, dn, dp_last, key_last, jmin_last)
+        m = fc[0]
+        s_star = fi[0]
+        jmin_star = fj[0]
+        ips, tps, seams = jax.vmap(
+            lambda t: _backtrace_from(s_star[t], t, jmin_star[t], pi, pj)
+        )(jnp.arange(T, dtype=jnp.int32))
+        return cost_head, m, ip_head, tp_head, seam_head, ips, tps, seams
+
+    return jax.vmap(one)(wdiff, wbase, rankw, acost, die_prev, rc, dp0, die_next)
 
 
 @partial(jax.jit, static_argnames=("K", "T", "P"))
@@ -723,33 +822,112 @@ def forward_cost_batched(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc):
 HBM_TABLE_BUDGET = int(os.environ.get("WHATSHAP_TPU_HBM_TABLE_BUDGET", 8 << 30))
 
 
+#: Per-launch shape records for the most recent batched solves:
+#: (K, T, B_real, B_padded, n_devices).  Consumed by bench / mesh_bench for
+#: load-balance reporting; bounded ring so long runs don't grow it.
+LAUNCH_STATS: List[Tuple[int, int, int, int, int]] = []
+_LAUNCH_STATS_CAP = 4096
+
+
+def _mesh_devices() -> int:
+    """Number of devices the batched launches may shard over (1 disables
+    sharding; WHATSHAP_TPU_NO_MESH=1 forces single-device launches)."""
+    if os.environ.get("WHATSHAP_TPU_NO_MESH"):
+        return 1
+    return jax.device_count()
+
+
+def _launch_sharded(kernel, K, T, P, *arrays, n_dev):
+    """One batched kernel launch with the block axis sharded over all local
+    devices via shard_map (no collectives: blocks are independent; only the
+    per-block costs/paths come back).
+
+    The batch is padded to a device multiple by repeating the first block —
+    a replica solves identically and its results are dropped, which keeps
+    padding outside the parity surface.
+    """
+    from ..parallel.mesh import make_block_mesh
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    try:  # jax >= 0.6 top-level API, older experimental fallback
+        from jax import shard_map as _shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map as _shard_map
+
+    B = arrays[0].shape[0]
+    pad = (-B) % n_dev
+    if pad:
+        arrays = tuple(
+            jnp.concatenate([a, jnp.repeat(a[:1], pad, axis=0)], axis=0)
+            if isinstance(a, jax.Array)
+            else np.concatenate([a, np.repeat(a[:1], pad, axis=0)], axis=0)
+            for a in arrays
+        )
+    mesh = make_block_mesh()
+    spec = PartitionSpec("blocks")
+    sharding = NamedSharding(mesh, spec)
+    arrays = tuple(jax.device_put(a, sharding) for a in arrays)
+    body = lambda *arrs: kernel(K, T, P, *arrs)  # noqa: E731
+    try:
+        # check_vma=False: scan carries are seeded from unvarying zeros and
+        # become blocks-varying after one step; there are no collectives, so
+        # the varying-manual-axes type check adds nothing here.
+        fn = _shard_map(body, mesh=mesh, in_specs=spec, out_specs=spec, check_vma=False)
+    except TypeError:  # pragma: no cover - older jax spells it check_rep
+        fn = _shard_map(body, mesh=mesh, in_specs=spec, out_specs=spec, check_rep=False)
+    out = fn(*arrays)
+    if len(LAUNCH_STATS) < _LAUNCH_STATS_CAP:
+        LAUNCH_STATS.append((K, T, B, B + pad, n_dev))
+    if pad:
+        out = tuple(x[:B] for x in out)
+    return out
+
+
+def _launch_batched(kernel, K, T, P, arrays, per_block_bytes=0):
+    """One batched kernel launch: sharded over the local mesh when more
+    than one device is attached (shard_map; parallel/mesh.py), and chunked
+    so per-device HBM-resident tables stay under HBM_TABLE_BUDGET when
+    `per_block_bytes` is given (e.g. K=15, T=4, C=256 backtrace tables need
+    256 MiB/block — a B=64 launch would want 16 GiB and OOM a 16 GiB
+    part)."""
+    enable_persistent_cache()
+    B = arrays[0].shape[0]
+    n_dev = _mesh_devices()
+    if n_dev > 1 and B > 1:
+        launch = partial(_launch_sharded, kernel, n_dev=n_dev)
+    else:
+        n_dev = 1
+        launch = lambda K_, T_, P_, *arrs: kernel(K_, T_, P_, *arrs)  # noqa: E731
+
+    if jax.default_backend() != "cpu" and per_block_bytes > 0:
+        max_b = max(n_dev, (HBM_TABLE_BUDGET // per_block_bytes) * n_dev)
+        if B > max_b:
+            parts = [
+                launch(K, T, P, *(a[i : i + max_b] for a in arrays))
+                for i in range(0, B, max_b)
+            ]
+            return tuple(jnp.concatenate(xs, axis=0) for xs in zip(*parts))
+    return launch(K, T, P, *arrays)
+
+
 def solve_batched_auto(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc):
     """Batched solve, dispatching to the Pallas TPU kernels when the problem
     shape supports them (T*2^K states fit VMEM: single samples up to K=16,
     single trios up to K=15) and a real accelerator is attached; otherwise
     the XLA scan path.  Both are bit-identical.
 
-    On accelerators the batch is chunked so the backtrace tables stay under
-    HBM_TABLE_BUDGET (e.g. K=15, T=4, C=256 needs 256 MiB/block — a B=64
-    launch would want 16 GiB and OOM a 16 GiB part)."""
+    With more than one attached device the block axis is sharded across the
+    local mesh — this is the production multi-chip route: every batched CLI
+    launch uses every chip."""
     from . import wmec_pallas
 
-    enable_persistent_cache()
     use_pallas = wmec_pallas.kernel_supported(K, T, P) and jax.default_backend() != "cpu"
     kernel = wmec_pallas.solve_batched_pallas if use_pallas else solve_batched
-    arrays = (wdiff, wbase, rankw, acost, die_prev, rc)
-
-    if jax.default_backend() != "cpu":
-        B, C = wdiff.shape[0], wdiff.shape[1]
-        per_block = C * T * (1 << K) * 4 * 2  # index + trans backtrace, s32
-        max_b = max(1, HBM_TABLE_BUDGET // per_block)
-        if B > max_b:
-            parts = [
-                kernel(K, T, P, *(a[i : i + max_b] for a in arrays))
-                for i in range(0, B, max_b)
-            ]
-            return tuple(jnp.concatenate(xs, axis=0) for xs in zip(*parts))
-    return kernel(K, T, P, *arrays)
+    C = wdiff.shape[1]
+    per_block = C * T * (1 << K) * 4 * 2  # index + trans backtrace, s32
+    return _launch_batched(
+        kernel, K, T, P, (wdiff, wbase, rankw, acost, die_prev, rc), per_block
+    )
 
 
 @dataclass
@@ -784,48 +962,31 @@ def connected_column_ranges(packed: PackedProblem) -> List[Tuple[int, int]]:
     return list(zip(starts, starts[1:] + [C]))
 
 
-def run_dp_batched(packed: PackedProblem) -> Optional[DPResult]:
-    """Solve a single-sample (T == 1) instance by splitting it into
-    read-connected blocks, bucketing the blocks by padded column count and
-    solving each bucket as one batched device launch.
+def _slice_ranges(packed: PackedProblem, ranges, on_accel: bool):
+    """Slice each read-connected column range out of a packed problem as an
+    independent padded block with its own launch-bucket slot count.
 
-    This is the production CLI route onto the batched Pallas/XLA kernels
-    (`solve_batched_auto`): one chromosome usually decomposes into many
-    short blocks, which batch into a few fixed-shape launches instead of C
-    sequential scan steps per block.  Costs, partitionings and superreads
-    are bit-identical to the monolithic solve; index-path bits of inactive
-    slots (don't-cares for all outputs) may differ.
+    die_prev of a block's first column may keep stale True flags; folding a
+    fresh uniform state is a no-op, so they are harmless (and for the
+    pedigree chain they are exactly the monolithic boundary fold).
 
-    Returns None when the instance has transmission state (T > 1) or only
-    one block — callers fall back to the monolithic path.
+    Per-range slot count: the greedy lowest-free-slot assignment keeps a
+    read-connected range's occupied slots dense at the bottom, so slicing
+    to the highest active slot gives each range its own 2^k state space
+    (bucketing by K as well as by C — one high-coverage range must not
+    make every sparse range pay its exponent).
+
+    Yields (c_pad, k_b, PaddedArrays) in range order.
     """
-    from . import wmec_pallas
-    from ..parallel.blocks import PaddedArrays, pad_block, stack_blocks
+    from ..parallel.blocks import PaddedArrays
 
     C, K, T, P = packed.n_cols, packed.K, packed.T, packed.P
-    if C == 0 or T != 1:
-        return None
-    ranges = connected_column_ranges(packed)
-    if len(ranges) <= 1:
-        return None
-
-    on_accel = jax.default_backend() != "cpu"
-
-    # Slice out each block as an independent padded problem.  die_prev of a
-    # block's first column may keep stale True flags; folding a fresh
-    # uniform-zero state is a no-op, so they are harmless.
     rankw_full = np.where(
         packed.rank >= 0, (1 << np.maximum(packed.rank, 0).astype(np.int64)), 0
     ).astype(np.float32)
     wdiff_full = packed.wdiff.reshape(C, K, T * P * 2).astype(np.float32)
 
-    # Per-range slot count: the greedy lowest-free-slot assignment keeps a
-    # read-connected range's occupied slots dense at the bottom, so slicing
-    # to the highest active slot gives each range its own 2^k state space
-    # (bucketing by K as well as by C — one high-coverage range must not
-    # make every sparse range pay its exponent).
-    buckets: dict = {}  # (c_pad, k_b) -> list of (range_index, PaddedArrays)
-    for ri, (a, b) in enumerate(ranges):
+    for a, b in ranges:
         n = b - a
         # lo=64: every distinct (C, K) bucket is a separate kernel compile
         # (minutes each on a cold Mosaic cache), and padding short ranges
@@ -853,6 +1014,38 @@ def run_dp_batched(packed: PackedProblem) -> Optional[DPResult]:
         arrs.rc[:n] = packed.rc[a:b]
         if c_pad > n:
             arrs.rankw[n:, :kk] = rankw_full[b - 1, :kk]
+        yield c_pad, k_b, arrs
+
+
+def run_dp_batched(packed: PackedProblem) -> Optional[DPResult]:
+    """Solve a single-sample (T == 1) instance by splitting it into
+    read-connected blocks, bucketing the blocks by padded column count and
+    solving each bucket as one batched device launch.
+
+    This is the production CLI route onto the batched Pallas/XLA kernels
+    (`solve_batched_auto`): one chromosome usually decomposes into many
+    short blocks, which batch into a few fixed-shape launches instead of C
+    sequential scan steps per block.  Costs, partitionings and superreads
+    are bit-identical to the monolithic solve; index-path bits of inactive
+    slots (don't-cares for all outputs) may differ.
+
+    Returns None when the instance has transmission state (T > 1) or only
+    one block — callers fall back to the monolithic path.
+    """
+    from . import wmec_pallas
+    from ..parallel.blocks import PaddedArrays, pad_block, stack_blocks
+
+    C, K, T, P = packed.n_cols, packed.K, packed.T, packed.P
+    if C == 0 or T != 1:
+        return None
+    ranges = connected_column_ranges(packed)
+    if len(ranges) <= 1:
+        return None
+
+    on_accel = jax.default_backend() != "cpu"
+
+    buckets: dict = {}  # (c_pad, k_b) -> list of (range_index, PaddedArrays)
+    for ri, (c_pad, k_b, arrs) in enumerate(_slice_ranges(packed, ranges, on_accel)):
         buckets.setdefault((c_pad, k_b), []).append((ri, arrs))
 
     total_cost = 0
@@ -871,6 +1064,126 @@ def run_dp_batched(packed: PackedProblem) -> Optional[DPResult]:
             total_cost += int(costs[bi])
             index_path[a:b] = index_paths[bi, : b - a]
             trans_path[a:b] = trans_paths[bi, : b - a]
+    return DPResult(total_cost, index_path, trans_path)
+
+
+def run_dp_batched_pedigree(packed: PackedProblem) -> Optional[DPResult]:
+    """Solve a pedigree (T > 1) instance by splitting it into read-connected
+    blocks and solving all blocks as batched device launches, exactly —
+    matching the monolithic scan bit-for-bit.
+
+    Unlike T == 1, the blocks are coupled: the transmission chain crosses
+    read-connectivity boundaries (recombination cost between adjacent
+    columns, pedigreedptable.cpp:262-300).  But the DP is min-plus linear
+    in its incoming folded state, and at a boundary every active slot dies,
+    so the whole coupling is the T-vector m[t] = min_s dp_last[s, t].  The
+    chromosome therefore solves in two batched passes plus a tiny host
+    chain:
+
+      1. every block runs T unit-seeded forward scans (one batched launch
+         per (C, K) bucket) yielding its T x T seam matrix G;
+      2. the host chains m_j = minplus(m_{j-1}, G_j) over blocks in order
+         (integer min-plus — exact);
+      3. every block re-runs seeded with its incoming m vector, emitting
+         the head backtrace plus one backtrace per possible seam
+         transmission value; the host stitches right-to-left, picking each
+         block's path by the transmission value handed back from the next
+         block's seam.
+
+    Total device work is (2T + 1) forward column scans per block (T unit
+    seeds + T + 1 backtraces) over the block's OWN 2^k state space — for
+    uneven coverage and many blocks this beats one monolithic scan over
+    2^K_max, and every launch batches across blocks and shards over the
+    mesh.
+
+    Returns None for T == 1 (run_dp_batched handles it) or single-block
+    instances.
+    """
+    C, K, T, P = packed.n_cols, packed.K, packed.T, packed.P
+    if C == 0 or T == 1:
+        return None
+    ranges = connected_column_ranges(packed)
+    nb = len(ranges)
+    if nb <= 1:
+        return None
+
+    on_accel = jax.default_backend() != "cpu"
+    blocks = list(_slice_ranges(packed, ranges, on_accel))
+    die_next = []
+    for ri, (c_pad, k_b, arrs) in enumerate(blocks):
+        dn = np.zeros(k_b, dtype=bool)
+        if ri + 1 < nb:
+            nxt = packed.die_prev[ranges[ri + 1][0]]
+            kk = min(len(nxt), k_b)
+            dn[:kk] = nxt[:kk]
+        die_next.append(dn)
+
+    buckets: dict = {}  # (c_pad, k_b) -> list of range indices
+    for ri, (c_pad, k_b, _arrs) in enumerate(blocks):
+        buckets.setdefault((c_pad, k_b), []).append(ri)
+
+    from ..parallel.blocks import stack_blocks
+
+    unit_seeds = np.full((T, T), INF, dtype=np.int32)
+    np.fill_diagonal(unit_seeds, 0)
+
+    # ---- pass 1: unit-seeded forwards -> per-block seam matrices G ----
+    G = np.zeros((nb, T, T), dtype=np.int64)
+    stacked_by_bucket = {}
+    for (c_pad, k_b), idxs in buckets.items():
+        stacked = stack_blocks([blocks[ri][2] for ri in idxs])
+        stacked_by_bucket[(c_pad, k_b)] = stacked
+        B = len(idxs)
+        rep = tuple(np.repeat(x, T, axis=0) for x in stacked)
+        dp0 = np.tile(unit_seeds, (B, 1))
+        m_out = _launch_batched(forward_m_batched, k_b, T, P, rep + (dp0,))
+        m_out = np.asarray(jax.device_get(m_out), dtype=np.int64)  # (B*T, T)
+        for bi, ri in enumerate(idxs):
+            G[ri] = m_out[bi * T : (bi + 1) * T]
+
+    # ---- host chain: incoming seam vector per block (exact min-plus) ----
+    m_in = np.zeros((nb, T), dtype=np.int64)  # block 0: uniform zero start
+    m_cur = np.minimum(G[0].min(axis=0), INF)
+    for j in range(1, nb):
+        m_in[j] = m_cur
+        m_cur = np.minimum((m_cur[:, None] + G[j]).min(axis=0), INF)
+
+    # ---- pass 2: seeded solves with per-seam backtraces ----
+    per_block_out = [None] * nb
+    for (c_pad, k_b), idxs in buckets.items():
+        stacked = stacked_by_bucket[(c_pad, k_b)]
+        dp0 = np.stack([m_in[ri].astype(np.int32) for ri in idxs])
+        dnext = np.stack([die_next[ri] for ri in idxs])
+        S = 1 << k_b
+        # head + T seam backtraces retire the forward tables per block
+        per_block = c_pad * T * S * 4 * 2
+        out = _launch_batched(
+            solve_seeded_batched,
+            k_b,
+            T,
+            P,
+            stacked + (dp0, dnext),
+            per_block_bytes=per_block,
+        )
+        out = tuple(np.asarray(jax.device_get(x)) for x in out)
+        for bi, ri in enumerate(idxs):
+            per_block_out[ri] = tuple(x[bi] for x in out)
+
+    # ---- host stitch, right to left ----
+    index_path = np.zeros(C, dtype=np.int64)
+    trans_path = np.zeros(C, dtype=np.int64)
+    cost_head, _m, ip_head, tp_head, seam_head, _ips, _tps, _seams = per_block_out[-1]
+    total_cost = int(cost_head)
+    a, b = ranges[-1]
+    index_path[a:b] = ip_head[: b - a]
+    trans_path[a:b] = tp_head[: b - a]
+    prev_t = int(seam_head)
+    for j in range(nb - 2, -1, -1):
+        _c, _m, _iph, _tph, _sh, ips, tps, seams = per_block_out[j]
+        a, b = ranges[j]
+        index_path[a:b] = ips[prev_t][: b - a]
+        trans_path[a:b] = tps[prev_t][: b - a]
+        prev_t = int(seams[prev_t])
     return DPResult(total_cost, index_path, trans_path)
 
 
@@ -1048,8 +1361,10 @@ def run_dp(packed: PackedProblem, backend: str = "auto") -> Optional[DPResult]:
         if backend not in ("numpy", "jax", "batched"):
             if C * S * T <= (1 << 22):
                 backend = "numpy"
-            elif T == 1 and jax.default_backend() != "cpu":
+            elif jax.default_backend() != "cpu":
                 # production TPU route: block-split + batched kernel launches
+                # (single-sample and pedigree both; the pedigree route chains
+                # seam vectors across blocks, run_dp_batched_pedigree)
                 backend = "batched"
             else:
                 backend = "jax"
@@ -1079,7 +1394,7 @@ def run_dp(packed: PackedProblem, backend: str = "auto") -> Optional[DPResult]:
                             backend = "numpy"
 
     if backend == "batched":
-        result = run_dp_batched(packed)
+        result = run_dp_batched(packed) if T == 1 else run_dp_batched_pedigree(packed)
         if result is not None:
             return result
         backend = "jax"

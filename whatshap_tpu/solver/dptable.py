@@ -16,6 +16,13 @@ from ..core.pedigree_model import Pedigree
 from ..core.readset import Read, ReadSet
 from ..ops import wmec
 
+#: When set, every DP instance is passed to this callable as
+#: (readset, recombcost, pedigree, distrust_genotypes, positions) before
+#: solving.  bench.py installs it to replay the CLI's exact DP instances
+#: through the compiled reference C++ engine (tools/oracle.py), giving an
+#: apples-to-apples end-to-end baseline bound on identical inputs.
+CAPTURE_HOOK = None
+
 
 class PedigreeDPTable:
     def __init__(
@@ -26,6 +33,8 @@ class PedigreeDPTable:
         distrust_genotypes: bool = False,
         positions: Optional[Sequence[int]] = None,
     ):
+        if CAPTURE_HOOK is not None:
+            CAPTURE_HOOK(readset, recombcost, pedigree, distrust_genotypes, positions)
         self._readset = readset
         self._pedigree = pedigree
         self._packed = wmec.pack_problem(

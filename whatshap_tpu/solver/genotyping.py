@@ -14,6 +14,12 @@ from ..core.readset import ReadSet
 from ..ops import genotyping as gt_ops
 from ..ops import wmec
 
+#: When set, every genotyping instance is passed to this callable as
+#: (readset, recombcost, pedigree, positions) before solving.  bench.py
+#: installs it to replay the CLI's exact instances through the compiled
+#: reference C++ genotyping engine (tools/oracle.py geno oracle).
+CAPTURE_HOOK = None
+
 
 class GenotypeDPTable:
     def __init__(
@@ -24,20 +30,28 @@ class GenotypeDPTable:
         pedigree: Pedigree,
         positions: Optional[Sequence[int]] = None,
     ):
+        if CAPTURE_HOOK is not None:
+            CAPTURE_HOOK(readset, recombcost, pedigree, positions)
         self._numeric_sample_ids = numeric_sample_ids
         self._pedigree = pedigree
         self._packed = wmec.pack_problem(
             readset, recombcost, pedigree, False, positions, check_conflicts=False
         )
-        # The host longdouble path is the byte-exact default;
-        # WHATSHAP_TPU_GENO_BACKEND=jax routes through the device
-        # forward-backward kernel (f64, parity within ~1e-12 relative);
-        # =jax32 is the single-precision TPU-speed variant (~1e-4, well
-        # inside GQ quantization); =pallas is the VMEM-resident Pallas
-        # kernel (f32, same tolerance class as jax32).
+        # Adaptive backend routing, mirroring run_dp's cost model
+        # (ops/wmec.py): the host longdouble path is byte-exact and faster
+        # than a device dispatch for small state spaces, so it stays the
+        # default below the C * 2^K * T work threshold; above it, on an
+        # accelerator, the device kernels take over (the genotyping HMM is
+        # the second core engine, src/genotypedptable.cpp:17-451 — it gets
+        # the same treatment as the wMEC DP).  WHATSHAP_TPU_GENO_BACKEND
+        # overrides: host (exact longdouble), jax (f64, ~1e-12 relative),
+        # jax32 (f32 TPU-speed, ~1e-4 — inside GT/GQ quantization), pallas
+        # (VMEM-resident f32 kernel, same tolerance class as jax32).
         import os
 
-        backend = os.environ.get("WHATSHAP_TPU_GENO_BACKEND")
+        backend = os.environ.get("WHATSHAP_TPU_GENO_BACKEND", "")
+        if backend not in ("host", "jax", "jax32", "pallas"):
+            backend = self._auto_backend()
         if backend == "pallas":
             from ..ops.genotyping_pallas import run_genotyping_pallas_batched
 
@@ -50,6 +64,25 @@ class GenotypeDPTable:
             self._likelihoods = run_genotyping_jax(self._packed, pedigree, dtype=dtype)
         else:
             self._likelihoods = gt_ops.run_genotyping(self._packed, pedigree)
+
+    def _auto_backend(self) -> str:
+        """Pick host vs device for this instance (see __init__).  The size
+        check runs before any jax import so small instances never pay (or
+        hang on) accelerator backend initialization."""
+        C, S, T = self._packed.n_cols, 1 << self._packed.K, self._packed.T
+        if C * S * T <= (1 << 22):
+            return "host"
+        import jax
+
+        if jax.default_backend() == "cpu":
+            return "host"
+        from ..ops import genotyping_pallas
+
+        if genotyping_pallas.kernel_supported(
+            self._packed.K, self._packed.T, self._packed.P
+        ):
+            return "pallas"
+        return "jax32"
 
     def get_genotype_likelihoods(self, sample_id, pos: int) -> PhredGenotypeLikelihoods:
         numeric_id = self._numeric_sample_ids[sample_id]
