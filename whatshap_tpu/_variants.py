@@ -82,6 +82,11 @@ def _iterate_cigar(variants, j, bam_read, cigartuples):
         kind, op_index, ref_start, ref_end, _length, query_start = table[cursor]
 
         if kind == _INS:
+            if position < ref_start:
+                # left of the alignment (all in-alignment variants before
+                # this anchor were consumed by the preceding segments)
+                j += 1
+                continue
             if position == ref_start:
                 yield (j, op_index, 0, query_start)
                 j += 1
