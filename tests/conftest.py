@@ -20,3 +20,20 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Optional order scrambling: cross-test state pollution (round-1's
+    failure class) only shows up under a different execution order, so CI
+    runs an extra leg with WHATSHAP_TPU_TEST_ORDER=reverse or
+    =shuffle[:seed] to keep that class of bug out."""
+    order = os.environ.get("WHATSHAP_TPU_TEST_ORDER", "")
+    if not order:
+        return
+    if order == "reverse":
+        items.reverse()
+    elif order.startswith("shuffle"):
+        import random
+
+        seed = int(order.split(":", 1)[1]) if ":" in order else 0
+        random.Random(seed).shuffle(items)

@@ -56,7 +56,7 @@ def test_phase_cli_mesh_byte_identical(synth_chrom, tmp_path, monkeypatch):
     _phase(synth_chrom, sharded)
 
     assert any(
-        n_dev > 1 for (_k, _t, _b, _bp, n_dev) in wmec.LAUNCH_STATS
+        n_dev > 1 for (_k, _t, _c, _b, _bp, n_dev) in wmec.LAUNCH_STATS
     ), "CLI run never launched a sharded batch"
     assert sharded.read_bytes() == single.read_bytes()
 
@@ -96,7 +96,7 @@ def test_phase_trio_cli_batched_mesh_byte_identical(synth_trio, tmp_path, monkey
     phase_trio(sharded)
 
     assert any(
-        t > 1 and n_dev > 1 for (_k, t, _b, _bp, n_dev) in wmec_mod.LAUNCH_STATS
+        t > 1 and n_dev > 1 for (_k, t, _c, _b, _bp, n_dev) in wmec_mod.LAUNCH_STATS
     ), "trio CLI run never launched a sharded pedigree batch"
     assert sharded.read_bytes() == host.read_bytes()
 

@@ -109,6 +109,33 @@ def test_run_dp_routes_high_coverage_to_segmented(monkeypatch):
     assert list(result.index_path) == list(serial.index_path)
 
 
+def test_coverage_18_segmented_vs_oracle():
+    """Trimmed in-suite K>17 leg: a short (12-column) coverage-18 instance
+    through the segmented XLA solve vs the compiled reference C++ engine.
+    Keeps the K 18..23 route exercised in every CI run (the full-size K=20
+    and K=23 checks stay behind WHATSHAP_TPU_SLOW_TESTS / the on-hardware
+    verify tools)."""
+    import oracle
+
+    if not oracle.oracle_available():
+        pytest.skip("reference oracle unavailable")
+    rs, positions, packed = _pack_synthetic(12, 18, seed=5)
+    assert packed.K == 18
+    args = _device_args(packed, 16)
+    seg = wmec.solve_scan_segmented(packed.K, packed.T, packed.P, *args, seg=8)
+    text = oracle.serialize_problem(
+        rs, positions, [[1] * len(positions)], [1] * len(positions)
+    )
+    ref = oracle.run_oracle(text)
+    assert seg.optimal_cost == ref["cost"]
+    batched = wmec.DPResult(
+        seg.optimal_cost,
+        np.asarray(seg.index_path[: packed.n_cols]),
+        np.asarray(seg.trans_path[: packed.n_cols]),
+    )
+    assert wmec.extract_partitioning(packed, batched) == ref["partition"]
+
+
 @pytest.mark.skipif(
     not os.environ.get("WHATSHAP_TPU_SLOW_TESTS"),
     reason="K=23 XLA-CPU scan takes ~30+ min; tools/verify_k23_tpu.py runs "

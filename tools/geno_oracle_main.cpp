@@ -1,6 +1,7 @@
 // Dev-only oracle for reference GenotypeDPTable.
 // stdin: n_reads n_pos n_ind n_trios ; positions ; reads; genotype indices
 // (per ind per pos) + GLs (3 doubles per ind per pos); trios; recombcost.
+#include <chrono>
 #include <cstdio>
 #include <string>
 #include <vector>
@@ -18,8 +19,8 @@ int main() {
     for (auto &p : positions) scanf("%u", &p);
     ReadSet* rs = new ReadSet();
     for (int i = 0; i < n_reads; ++i) {
-        int sid, nv; char name[128];
-        scanf("%127s %d %d", name, &sid, &nv);
+        int sid, nv; char name[512];
+        scanf("%511s %d %d", name, &sid, &nv);
         Read* r = new Read(std::string(name), 50, 0, sid);
         for (int v = 0; v < nv; ++v) { int pos, a, q; scanf("%d %d %d", &pos, &a, &q); r->addVariant(pos, a, q); }
         rs->add(r);
@@ -40,7 +41,10 @@ int main() {
     std::vector<unsigned int> recomb(n_pos);
     for (auto &r : recomb) scanf("%u", &r);
 
+    auto t0 = std::chrono::steady_clock::now();
     GenotypeDPTable dp(rs, recomb, ped, &positions);
+    auto t1 = std::chrono::steady_clock::now();
+    printf("time %.6f\n", std::chrono::duration<double>(t1 - t0).count());
     for (int i = 0; i < n_ind; ++i)
         for (int p = 0; p < n_pos; ++p) {
             auto gl = dp.get_genotype_likelihoods(i, p);

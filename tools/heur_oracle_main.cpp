@@ -19,8 +19,8 @@ int main() {
     for (auto &p : positions) scanf("%u", &p);
     ReadSet* rs = new ReadSet();
     for (int i = 0; i < n_reads; ++i) {
-        int sid, nv; char name[128];
-        scanf("%127s %d %d", name, &sid, &nv);
+        int sid, nv; char name[512];
+        scanf("%511s %d %d", name, &sid, &nv);
         Read* r = new Read(std::string(name), 50, 0, sid);
         for (int v = 0; v < nv; ++v) { int pos, a, q; scanf("%d %d %d", &pos, &a, &q); r->addVariant(pos, a, q); }
         rs->add(r);

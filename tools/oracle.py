@@ -48,7 +48,10 @@ def oracle_available() -> bool:
 
 def ensure_oracle() -> Optional[Path]:
     if ORACLE_BIN.exists():
-        return ORACLE_BIN
+        # rebuild when the driver source changed (cached across sessions)
+        if not _MAIN_CPP.exists() or _MAIN_CPP.stat().st_mtime <= ORACLE_BIN.stat().st_mtime:
+            return ORACLE_BIN
+        ORACLE_BIN.unlink()
     if not (REFERENCE_SRC.exists() and _MAIN_CPP.exists()):
         return None
     ORACLE_DIR.mkdir(parents=True, exist_ok=True)
@@ -174,6 +177,28 @@ _EXTRA_ORACLES = {
             "hapchat/balancedcombinations.cpp",
         ],
     ),
+    "polyphase": (
+        "polyphase_oracle_main.cpp",
+        [
+            "read.cpp",
+            "readset.cpp",
+            "entry.cpp",
+            "columniterator.cpp",
+            "indexset.cpp",
+            "genotype.cpp",
+            "binomial.cpp",
+            "multinomial.cpp",
+            "phredgenotypelikelihoods.cpp",
+            "polyphase/allelematrix.cpp",
+            "polyphase/readscoring.cpp",
+            "polyphase/trianglesparsematrix.cpp",
+            "polyphase/clustereditingsolver.cpp",
+            "polyphase/clustereditingsolution.cpp",
+            "polyphase/edgeheap.cpp",
+            "polyphase/inducedcostheuristic.cpp",
+            "polyphase/staticsparsegraph.cpp",
+        ],
+    ),
     "heur": (
         "heur_oracle_main.cpp",
         [
@@ -196,9 +221,12 @@ _EXTRA_ORACLES = {
 def ensure_extra_oracle(kind: str) -> Optional[Path]:
     main_name, sources = _EXTRA_ORACLES[kind]
     binpath = ORACLE_DIR / f"oracle_{kind}"
-    if binpath.exists():
-        return binpath
     main_cpp = Path(__file__).parent / main_name
+    if binpath.exists():
+        # rebuild when the driver source changed (cached across sessions)
+        if not main_cpp.exists() or main_cpp.stat().st_mtime <= binpath.stat().st_mtime:
+            return binpath
+        binpath.unlink()
     if not (REFERENCE_SRC.exists() and main_cpp.exists()):
         return None
     ORACLE_DIR.mkdir(parents=True, exist_ok=True)

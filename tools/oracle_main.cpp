@@ -26,8 +26,8 @@ int main() {
     ReadSet* rs = new ReadSet();
     for (int i = 0; i < n_reads; ++i) {
         int sample_id, n_vars;
-        char name[64];
-        scanf("%63s %d %d", name, &sample_id, &n_vars);
+        char name[512];  // real read names (PacBio movie ids) run long
+        scanf("%511s %d %d", name, &sample_id, &n_vars);
         Read* r = new Read(std::string(name), 50, 0, sample_id);
         for (int v = 0; v < n_vars; ++v) {
             int pos, allele, q;

@@ -822,11 +822,27 @@ def forward_cost_batched(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc):
 HBM_TABLE_BUDGET = int(os.environ.get("WHATSHAP_TPU_HBM_TABLE_BUDGET", 8 << 30))
 
 
+#: Routing thresholds (total DP work C * 2^K * T, in folded states).  The
+#: defaults were measured with tools/calibrate_router.py on the attached
+#: device (host numpy beats a device round-trip below ~4M states; the
+#: native adaptive-2^k_c engine stays competitive with the XLA-CPU scan up
+#: to ~256M); recalibrate per device generation with that tool and export
+#: the env overrides it prints.
+HOST_ROUTE_WORK = int(os.environ.get("WHATSHAP_TPU_HOST_ROUTE_WORK", 1 << 22))
+ADAPTIVE_ROUTE_WORK = int(os.environ.get("WHATSHAP_TPU_ADAPTIVE_ROUTE_WORK", 1 << 28))
+
+
 #: Per-launch shape records for the most recent batched solves:
-#: (K, T, B_real, B_padded, n_devices).  Consumed by bench / mesh_bench for
-#: load-balance reporting; bounded ring so long runs don't grow it.
-LAUNCH_STATS: List[Tuple[int, int, int, int, int]] = []
+#: (K, T, C, B_real, B_padded, n_devices).  Consumed by bench / mesh_bench
+#: for load-balance reporting and the N-chip efficiency model; bounded so
+#: long runs don't grow it.
+LAUNCH_STATS: List[Tuple[int, int, int, int, int, int]] = []
 _LAUNCH_STATS_CAP = 4096
+
+
+def _record_launch(K, T, C, B, B_padded, n_dev):
+    if len(LAUNCH_STATS) < _LAUNCH_STATS_CAP:
+        LAUNCH_STATS.append((K, T, C, B, B_padded, n_dev))
 
 
 def _mesh_devices() -> int:
@@ -876,8 +892,7 @@ def _launch_sharded(kernel, K, T, P, *arrays, n_dev):
     except TypeError:  # pragma: no cover - older jax spells it check_rep
         fn = _shard_map(body, mesh=mesh, in_specs=spec, out_specs=spec, check_rep=False)
     out = fn(*arrays)
-    if len(LAUNCH_STATS) < _LAUNCH_STATS_CAP:
-        LAUNCH_STATS.append((K, T, B, B + pad, n_dev))
+    _record_launch(K, T, arrays[0].shape[1], B, B + pad, n_dev)
     if pad:
         out = tuple(x[:B] for x in out)
     return out
@@ -897,7 +912,10 @@ def _launch_batched(kernel, K, T, P, arrays, per_block_bytes=0):
         launch = partial(_launch_sharded, kernel, n_dev=n_dev)
     else:
         n_dev = 1
-        launch = lambda K_, T_, P_, *arrs: kernel(K_, T_, P_, *arrs)  # noqa: E731
+
+        def launch(K_, T_, P_, *arrs):
+            _record_launch(K_, T_, arrs[0].shape[1], arrs[0].shape[0], arrs[0].shape[0], 1)
+            return kernel(K_, T_, P_, *arrs)
 
     if jax.default_backend() != "cpu" and per_block_bytes > 0:
         max_b = max(n_dev, (HBM_TABLE_BUDGET // per_block_bytes) * n_dev)
@@ -1359,7 +1377,7 @@ def run_dp(packed: PackedProblem, backend: str = "auto") -> Optional[DPResult]:
     if backend == "auto":
         backend = os.environ.get("WHATSHAP_TPU_BACKEND", "")
         if backend not in ("numpy", "jax", "batched"):
-            if C * S * T <= (1 << 22):
+            if C * S * T <= HOST_ROUTE_WORK:
                 backend = "numpy"
             elif jax.default_backend() != "cpu":
                 # production TPU route: block-split + batched kernel launches
@@ -1390,7 +1408,7 @@ def run_dp(packed: PackedProblem, backend: str = "auto") -> Optional[DPResult]:
                         adaptive = int(
                             np.sum(np.int64(1) << np.minimum(k_c, 40))
                         ) * T * T
-                        if adaptive <= (1 << 28):
+                        if adaptive <= ADAPTIVE_ROUTE_WORK:
                             backend = "numpy"
 
     if backend == "batched":
