@@ -1100,8 +1100,42 @@ def _with_timeout(fn, seconds):
         signal.signal(signal.SIGALRM, old)
 
 
+def _probe_device_attach(timeout_s=900):
+    """Initialize the accelerator backend in a SUBPROCESS first.
+
+    A wedged device tunnel blocks inside PJRT client init (C++ holding the
+    GIL), where neither SIGALRM (_with_timeout) nor faulthandler can fire —
+    the whole bench would hang without ever printing its JSON line.  A
+    subprocess attach can be killed from outside; it also warms the
+    server-side session so the in-process attach that follows is quick.
+    Returns None when the device is reachable, else an error string.
+    """
+    import subprocess
+
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+            text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return f"device attach still blocked after {timeout_s}s (wedged tunnel?)"
+    if p.returncode != 0:
+        return (p.stderr or p.stdout)[-200:]
+    return None
+
+
 def main():
     configs = {}
+
+    attach_err = _probe_device_attach()
+    if attach_err is not None:
+        _progress(f"device attach FAILED: {attach_err}; falling back to CPU")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        configs["device_attach_error"] = attach_err
 
     _progress("headline: batched wMEC vs oracle baseline ...")
     headline_error = None
