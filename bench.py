@@ -151,7 +151,7 @@ def _reference_geno_seconds(instances):
         for i in range(n_ind):
             for c in range(n_pos):
                 gl = ped.get_genotype_likelihoods(i, c)
-                g0, g1, g2 = (float(gl[j]) for j in range(3))
+                g0, g1, g2 = (0.0, 0.0, 0.0) if gl is None else gl.as_vector()[:3]
                 # genotype index is unused by the genotyping DP (it reads
                 # the likelihood priors); serialize 0 for no-call entries
                 g = ped.get_genotype(i, c)
