@@ -33,6 +33,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "configs"}.
 import contextlib
 import io
 import json
+import os
 
 import sys
 import time
@@ -1014,29 +1015,48 @@ def bench_scaling_model():
 
     from whatshap_tpu.cli.phase import run_whatshap
 
-    out_dir = Path(tempfile.gettempdir()) / "whatshap_tpu_bench_chrom_v1"
-    info = generate(out_dir, n_vars=4000, coverage=14, seed=7)
+    on_accel = jax.default_backend() != "cpu"
+    if on_accel:
+        out_dir = Path(tempfile.gettempdir()) / "whatshap_tpu_bench_chrom_v1"
+        info = generate(out_dir, n_vars=4000, coverage=14, seed=7)
+    else:
+        # CPU fallback: mechanism validation only — the XLA-CPU scan at the
+        # accelerator workload sizes would blow the config timeout
+        out_dir = Path(tempfile.gettempdir()) / "whatshap_tpu_bench_chrom_small"
+        info = generate(out_dir, n_vars=1200, coverage=10, seed=7)
     wmec.LAUNCH_STATS.clear()
     out = io.StringIO()
-    run_whatshap(
-        phase_input_files=[info["bam"]],
-        variant_file=info["vcf"],
-        reference=info["fasta"],
-        output=out,
-        write_command_line_header=False,
-    )
+    # force the batched route for the capture run so the launch shapes are
+    # the production accelerator shapes even when this pass runs on a CPU
+    # host (auto would route small instances to numpy there)
+    old_backend = os.environ.get("WHATSHAP_TPU_BACKEND")
+    os.environ["WHATSHAP_TPU_BACKEND"] = "batched"
+    try:
+        run_whatshap(
+            phase_input_files=[info["bam"]],
+            variant_file=info["vcf"],
+            reference=info["fasta"],
+            output=out,
+            write_command_line_header=False,
+        )
+    finally:
+        if old_backend is None:
+            os.environ.pop("WHATSHAP_TPU_BACKEND", None)
+        else:
+            os.environ["WHATSHAP_TPU_BACKEND"] = old_backend
     launches = [s for s in wmec.LAUNCH_STATS if s[3] > 0]
     if not launches:
-        return {"error": "CLI made no batched launches (cpu auto-routing?)"}
+        return {"error": "CLI made no batched launches"}
 
     # per-launch dispatch + fence overhead: a minimal warm launch
     K0, T0, P0, tiny, _, _ = build_workload(n_blocks=1, n_cols=64, coverage=5)
     overhead = measure_device(K0, T0, P0, tiny, n_iters=3)
 
     # warm per-state solve rate from a saturated launch
-    K, T, P, arrays, _, _ = build_workload(256, 512)
-    dt_big = measure_device(K, T, P, arrays)
-    rate = 256 * 512 * T * (1 << K) / dt_big  # states/sec
+    nb, nc, cov = (256, 512, 14) if on_accel else (16, 128, 10)
+    K, T, P, arrays, _, _ = build_workload(nb, nc, coverage=cov)
+    dt_big = measure_device(K, T, P, arrays, n_iters=3 if on_accel else 1)
+    rate = nb * nc * T * (1 << K) / dt_big  # states/sec
 
     def model_time(n):
         total = 0.0
