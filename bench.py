@@ -265,8 +265,15 @@ def measure_wmec_baseline(readsets, n_blocks=16):
 
 
 def bench_headline():
-    n_blocks, n_cols = 256, 512
-    K, T, P, arrays, packed_list, readsets = build_workload(n_blocks, n_cols)
+    import jax
+
+    if jax.default_backend() != "cpu":
+        n_blocks, n_cols, cov = 256, 512, 14
+    else:
+        # emergency CPU fallback (device unreachable): keep the config
+        # inside its timeout; the number is a mechanism check, not a claim
+        n_blocks, n_cols, cov = 8, 128, 10
+    K, T, P, arrays, packed_list, readsets = build_workload(n_blocks, n_cols, coverage=cov)
     dt = measure_device(K, T, P, arrays)
     throughput = n_blocks * n_cols / dt
     baseline = measure_wmec_baseline(readsets) or BASELINE_FALLBACK
@@ -592,7 +599,12 @@ def bench_genotype_device():
     from whatshap_tpu.ops import genotyping as gt_ops
     from whatshap_tpu.ops import genotyping_jax, wmec
 
-    B, n_pos, n_reads = 64, 1024, 320
+    import jax as _jax
+
+    if _jax.default_backend() != "cpu":
+        B, n_pos, n_reads = 64, 1024, 320
+    else:  # emergency CPU fallback — mechanism check only
+        B, n_pos, n_reads = 8, 256, 80
     rng = random.Random(5)
     positions = sorted(rng.sample(range(10, 10**6), n_pos))
     # identical read geometry across blocks -> identical (C, K) shapes, so
@@ -698,12 +710,17 @@ def bench_trio():
     from whatshap_tpu.ops import wmec
     from whatshap_tpu.parallel import workloads
 
-    n_blocks, n_pos = 256, 256
+    n_blocks, n_pos = (256, 256) if jax.default_backend() != "cpu" else (8, 128)
     # read_len caps coverage so K stays within the trio kernel limit
     # (T=4 needs K <= 15) and the backtrace tables within HBM; the oracle
     # instances below match this shape
     K, T, P, packed_list, _ = workloads.build_trio_batch(
-        n_blocks, n_pos=n_pos, n_reads=120, seed=17, c_pad=n_pos, read_len=12
+        n_blocks,
+        n_pos=n_pos,
+        n_reads=120 if n_blocks > 8 else 40,
+        seed=17,
+        c_pad=n_pos,
+        read_len=12,
     )
     assert K <= 15, f"trio workload K={K} exceeds the T=4 kernel limit"
     # bucket blocks by (K, C) so sparse blocks don't pay the densest
@@ -776,7 +793,10 @@ def bench_whole_chromosome():
     from whatshap_tpu.core import NumericSampleIds, Pedigree
     from whatshap_tpu.testhelpers import canonic_index_to_biallelic_gt
 
-    n_cols, coverage, seg = 16384, 14, 2048
+    if jax.default_backend() != "cpu":
+        n_cols, coverage, seg = 16384, 14, 2048
+    else:  # emergency CPU fallback — mechanism check only
+        n_cols, coverage, seg = 1024, 10, 256
     rs, positions, _ = blk.make_synthetic_readset(n_cols, coverage, read_len=12, seed=5)
     ped = Pedigree(NumericSampleIds())
     ped.add_individual(
@@ -1120,7 +1140,9 @@ def _with_timeout(fn, seconds):
         signal.signal(signal.SIGALRM, old)
 
 
-def _probe_device_attach(timeout_s=900):
+def _probe_device_attach(
+    timeout_s=int(os.environ.get("WHATSHAP_TPU_BENCH_ATTACH_TIMEOUT", 900)),
+):
     """Initialize the accelerator backend in a SUBPROCESS first.
 
     A wedged device tunnel blocks inside PJRT client init (C++ holding the
@@ -1171,10 +1193,16 @@ def main():
 
     try:
         _progress("batch_scaling ...")
-        K, T, P, arrays_small, _, _ = build_workload(32, 512)
-        _, _, _, arrays_big, _, _ = build_workload(256, 512)
+        import jax as _jax
+
+        if _jax.default_backend() != "cpu":
+            bs, bb, cols, cov = 32, 256, 512, 14
+        else:  # emergency CPU fallback — mechanism check only
+            bs, bb, cols, cov = 2, 16, 128, 10
+        K, T, P, arrays_small, _, _ = build_workload(bs, cols, coverage=cov)
+        _, _, _, arrays_big, _, _ = build_workload(bb, cols, coverage=cov)
         configs["batch_scaling"] = bench_batch_scaling(
-            K, T, P, arrays_small, arrays_big, 32 * 512, 256 * 512
+            K, T, P, arrays_small, arrays_big, bs * cols, bb * cols
         )
     except Exception as e:  # pragma: no cover - never fail the bench line
         configs["batch_scaling"] = {"error": str(e)[:200]}
