@@ -40,11 +40,14 @@ int main() {
     TriangleSparseMatrix sim;
     ReadScoring rs_scorer;
     rs_scorer.scoreReadset(&sim, &am, (uint32_t)min_overlap, (uint32_t)ploidy, err);
+    auto ts = std::chrono::steady_clock::now();
     ClusterEditingSolver solver(sim, false);
     ClusterEditingSolution sol = solver.run();
     auto t1 = std::chrono::steady_clock::now();
 
     printf("time %.6f\n", std::chrono::duration<double>(t1 - t0).count());
+    printf("stage_scoring %.6f\n", std::chrono::duration<double>(ts - t0).count());
+    printf("stage_clustering %.6f\n", std::chrono::duration<double>(t1 - ts).count());
     printf("clusters %u\n", sol.getNumClusters());
     return 0;
 }

@@ -772,28 +772,46 @@ class _ScoreLib:
         first_pos, last_pos, sorted_reads, lut_of_pos, luts_flat,
         min_overlap, offset, cap,
     ):
-        """Returns ([(i, j, stored_score)], nan_count) or None."""
-        def i32(xs):
-            return (ctypes.c_int32 * max(len(xs), 1))(*xs)
+        """Returns (i_array, j_array, score_array, nan_count) or None.
 
-        def u32(xs):
-            return (ctypes.c_uint32 * max(len(xs), 1))(*xs)
+        Inputs may be numpy arrays (zero-copy pointer pass) or plain
+        sequences; outputs are numpy views trimmed to the pair count."""
+        import numpy as np
 
-        luts = (ctypes.c_float * max(len(luts_flat), 1))(*luts_flat)
-        oi = (ctypes.c_int32 * max(cap, 1))()
-        oj = (ctypes.c_int32 * max(cap, 1))()
-        osc = (ctypes.c_float * max(cap, 1))()
+        def as_np(xs, dt):
+            a = np.ascontiguousarray(xs, dtype=dt)
+            return a if a.size else np.zeros(1, dt)
+
+        ro = as_np(read_off, np.int32)
+        rp = as_np(read_pos, np.int32)
+        ra = as_np(read_allele, np.int32)
+        fp = as_np(first_pos, np.uint32)
+        lp = as_np(last_pos, np.uint32)
+        sr = as_np(sorted_reads, np.int32)
+        lop = as_np(lut_of_pos, np.int32)
+        lf = as_np(luts_flat, np.float32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        oi = np.empty(max(cap, 1), np.int32)
+        oj = np.empty(max(cap, 1), np.int32)
+        osc = np.empty(max(cap, 1), np.float32)
         nans = ctypes.c_int64()
         n = self._lib.wh_score_pairs(
-            n_reads, num_alleles, i32(read_off), i32(read_pos), i32(read_allele),
-            u32(first_pos), u32(last_pos), i32(sorted_reads), i32(lut_of_pos),
-            luts, min_overlap, offset, oi, oj, osc, cap, ctypes.byref(nans),
+            n_reads, num_alleles,
+            ro.ctypes.data_as(i32p), rp.ctypes.data_as(i32p),
+            ra.ctypes.data_as(i32p), fp.ctypes.data_as(u32p),
+            lp.ctypes.data_as(u32p), sr.ctypes.data_as(i32p),
+            lop.ctypes.data_as(i32p), lf.ctypes.data_as(f32p),
+            min_overlap, offset,
+            oi.ctypes.data_as(i32p), oj.ctypes.data_as(i32p),
+            osc.ctypes.data_as(f32p), cap, ctypes.byref(nans),
         )
         if n < 0:
             return None
         if n > cap:
             return ("retry", n)
-        return [(oi[k], oj[k], osc[k]) for k in range(n)], nans.value
+        return oi[:n], oj[:n], osc[:n], nans.value
 
 
 def _build_scorelib() -> bool:

@@ -56,6 +56,8 @@ class AlleleMatrix:
     ) -> None:
         # allelematrix.cpp:10-53 (readList/posList/idList constructor); read
         # rows are keyed by LOCAL position index here.
+        self._rowCache = None
+        self._flatRows = None
         self.genPos = sorted(pos_list)
         self.posIdx = {p: i for i, p in enumerate(self.genPos)}
         n = len(read_list)
@@ -119,7 +121,41 @@ class AlleleMatrix:
         return self.getAllele(readId, idx)
 
     def getRead(self, readId: int) -> List[Tuple[int, int]]:
-        return sorted(self.m[readId].items())
+        # the matrix is immutable after construction; cache the sorted rows
+        # (callers iterate but never mutate the returned list)
+        cache = getattr(self, "_rowCache", None)
+        if cache is None:
+            cache = self._rowCache = {}
+        row = cache.get(readId)
+        if row is None:
+            row = cache[readId] = sorted(self.m[readId].items())
+        return row
+
+    def flatRows(self):
+        """(offsets[n+1] int64, positions int32, alleles int32) of the
+        sorted rows concatenated in read order; cached (matrix immutable)."""
+        import numpy as np
+        from itertools import chain
+
+        cached = getattr(self, "_flatRows", None)
+        if cached is not None:
+            return cached
+        n = len(self.m)
+        off = np.zeros(n + 1, np.int64)
+        off[1:] = np.cumsum([len(r) for r in self.m])
+        flat = np.fromiter(
+            chain.from_iterable(
+                chain.from_iterable(self.getRead(i) for i in range(n))
+            ),
+            dtype=np.int32,
+            count=int(off[-1]) * 2,
+        ).reshape(-1, 2)
+        self._flatRows = (
+            off,
+            np.ascontiguousarray(flat[:, 0]),
+            np.ascontiguousarray(flat[:, 1]),
+        )
+        return self._flatRows
 
     def getFirstPos(self, readId: int) -> int:
         return self.starts[readId]

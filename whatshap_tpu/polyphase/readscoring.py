@@ -311,47 +311,60 @@ class ReadScoring:
             return None
         if scorelib is None:
             return None
+        import numpy as np
+        from itertools import chain
+
         n_reads = am.size()
-        read_off, read_pos, read_allele = [0], [], []
-        for r in range(n_reads):
-            for pos, allele in reads_cache[r]:
-                read_pos.append(pos)
-                read_allele.append(allele)
-            read_off.append(len(read_pos))
-        first = [am.getFirstPos(r) & _U32_MASK for r in range(n_reads)]
-        last = [am.getLastPos(r) & _U32_MASK for r in range(n_reads)]
+        read_off = np.zeros(n_reads + 1, np.int32)
+        read_off[1:] = np.cumsum([len(r) for r in reads_cache])
+        flat = np.fromiter(
+            chain.from_iterable(chain.from_iterable(reads_cache)),
+            dtype=np.int32,
+            count=int(read_off[-1]) * 2,
+        ).reshape(-1, 2)
+        read_pos = np.ascontiguousarray(flat[:, 0])
+        read_allele = np.ascontiguousarray(flat[:, 1])
+        # starts/ends mirror getFirstPos/getLastPos; uint32 cast == & mask
+        first = np.asarray(am.starts, np.int64).astype(np.uint32)
+        last = np.asarray(am.ends, np.int64).astype(np.uint32)
         # positions sharing a LUT (same gl dict) marshal one table
-        lut_of_pos = []
+        lut_of_pos = np.empty(len(luts), np.int32)
         uniq_index: Dict[int, int] = {}
-        luts_flat: List[float] = []
-        for table in luts:
+        uniq_tables: List = []
+        for p, table in enumerate(luts):
             key = id(table)
             idx = uniq_index.get(key)
             if idx is None:
                 idx = len(uniq_index)
                 uniq_index[key] = idx
-                for row in table:
-                    luts_flat.extend(row)
-            lut_of_pos.append(idx)
+                uniq_tables.append(np.asarray(table, np.float32).ravel())
+            lut_of_pos[p] = idx
+        luts_flat = (
+            np.concatenate(uniq_tables) if uniq_tables else np.zeros(1, np.float32)
+        )
         cap = max(64 * n_reads, 1 << 16)
         while True:
             out = scorelib.score_pairs(
                 n_reads, numAlleles, read_off, read_pos, read_allele,
-                first, last, sortedReads, lut_of_pos, luts_flat,
-                minOverlap, offset, cap,
+                first, last, np.asarray(sortedReads, np.int32), lut_of_pos,
+                luts_flat, minOverlap, offset, cap,
             )
             if out is None:
                 return None
-            if isinstance(out, tuple) and out[0] == "retry":
+            if len(out) == 2 and isinstance(out[0], str) and out[0] == "retry":
                 cap = int(out[1]) + 1
                 continue
             break
-        triples, nans = out
-        for i, j, stored in triples:
-            index = result.entryToIndex(i, j)
-            if index != 0:
-                result.m[index] = stored
-                result.maxDim = max(result.maxDim, i + 1, j + 1)
+        oi, oj, osc, nans = out
+        if len(oi):
+            hi = np.maximum(oi, oj).astype(np.int64)
+            lo = np.minimum(oi, oj).astype(np.int64)
+            keep = hi != lo  # entryToIndex(i, i) == 0: never stored
+            index = hi * (hi - 1) // 2 + lo + 1
+            result.m.update(
+                zip(index[keep].tolist(), osc[keep].astype(np.float64).tolist())
+            )
+            result.maxDim = max(result.maxDim, int(hi.max()) + 1)
         return nans
 
 

@@ -217,6 +217,70 @@ def select_clusters(
     return cov_map
 
 
+def _accumulate_depths_np(
+    allele_matrix: AlleleMatrix,
+    clustering: List[Cluster],
+    depths: List[Dict[ClusterId, AlleleDepth]],
+) -> bool:
+    """Vectorized depth accumulation, equal to the scalar loop below
+    including dict insertion order: per position the cluster ids appear in
+    ascending order (the scalar loop's outer c_id loop), and per bucket the
+    alleles appear in first-traversal-occurrence order (cluster-list order,
+    then read order, then position order) — the downstream greedy consensus
+    tie-breaks on that order."""
+    import numpy as np
+
+    n_clusters = len(clustering)
+    n_alleles = allele_matrix.getMaxNumAllele()
+    if n_clusters == 0 or n_alleles == 0:
+        return True
+    off, row_pos, row_allele = allele_matrix.flatRows()
+    order = np.fromiter(
+        (read for cluster in clustering for read in cluster),
+        dtype=np.int64,
+        count=sum(len(c) for c in clustering),
+    )
+    if order.size == 0:
+        return True
+    lens = off[order + 1] - off[order]
+    total = int(lens.sum())
+    if total == 0:
+        return True
+    # grouped-arange gather of every (pos, allele) in traversal order
+    starts = off[order]
+    csum = np.cumsum(lens)
+    gather = np.arange(total, dtype=np.int64) - np.repeat(csum - lens, lens) + np.repeat(starts, lens)
+    pos_t = row_pos[gather].astype(np.int64)
+    allele_t = row_allele[gather].astype(np.int64)
+    cid_per_read = np.repeat(
+        np.arange(n_clusters, dtype=np.int64),
+        np.fromiter((len(c) for c in clustering), np.int64, count=n_clusters),
+    )
+    cid_t = np.repeat(cid_per_read, lens)
+    key = (pos_t * n_clusters + cid_t) * n_alleles + allele_t
+    uniq, first_idx, counts = np.unique(key, return_index=True, return_counts=True)
+    bucket_key = (uniq // n_alleles).tolist()
+    allele_u = (uniq % n_alleles).tolist()
+    first_idx = first_idx.tolist()
+    counts = counts.tolist()
+    prev_bk = -1
+    bucket = None
+    pending = []  # (first_idx, allele, count) of the current bucket
+    for k in range(len(uniq) + 1):
+        bk = bucket_key[k] if k < len(uniq) else -2
+        if bk != prev_bk:
+            if pending:
+                pending.sort()  # first-occurrence order within the bucket
+                bucket.update((a, c) for _, a, c in pending)
+                pending = []
+            if k < len(uniq):
+                bucket = depths[bk // n_clusters].setdefault(bk % n_clusters, {})
+                prev_bk = bk
+        if k < len(uniq):
+            pending.append((first_idx[k], allele_u[k], counts[k]))
+    return True
+
+
 def get_allele_depths(
     allele_matrix: AlleleMatrix, clustering: List[Cluster], ploidy: int
 ) -> Tuple[List[Dict[ClusterId, AlleleDepth]], List[Dict[ClusterId, List[Allele]]]]:
@@ -225,11 +289,13 @@ def get_allele_depths(
     k-allele multiset (greedy count/(1+uses) ranking)."""
     num_vars = allele_matrix.getNumPositions()
     depths: List[Dict[ClusterId, AlleleDepth]] = [{} for _ in range(num_vars)]
-    for c_id, cluster in enumerate(clustering):
-        for read in cluster:
-            for pos, allele in allele_matrix.getRead(read):
-                bucket = depths[pos].setdefault(c_id, {})
-                bucket[allele] = bucket.get(allele, 0) + 1
+    depths_filled = _accumulate_depths_np(allele_matrix, clustering, depths)
+    if not depths_filled:
+        for c_id, cluster in enumerate(clustering):
+            for read in cluster:
+                for pos, allele in allele_matrix.getRead(read):
+                    bucket = depths[pos].setdefault(c_id, {})
+                    bucket[allele] = bucket.get(allele, 0) + 1
 
     rankings: List[Dict[ClusterId, List[Allele]]] = [{} for _ in range(num_vars)]
     for pos in range(num_vars):
