@@ -22,14 +22,19 @@ logger = logging.getLogger(__name__)
 class _CachedRead:
     """Lightweight per-read view (positions/qualities/source) so the hot
     selection loops avoid Read.__getitem__ object churn; selection logic
-    and tie outcomes are unchanged."""
+    and tie outcomes are unchanged.  score/begin/end are the constant
+    per-read values the slice loop needs (each slice rebuilds its queue
+    from these same initial scores, so one computation is exact)."""
 
-    __slots__ = ("positions", "qualities", "source_id")
+    __slots__ = ("positions", "qualities", "source_id", "score", "begin", "end")
 
     def __init__(self, positions, qualities, source_id):
         self.positions = positions
         self.qualities = qualities
         self.source_id = source_id
+        self.score = None
+        self.begin = -1
+        self.end = -1
 
 
 def _construct_indexes(readset, preferred_source_ids=None):
@@ -41,12 +46,17 @@ def _construct_indexes(readset, preferred_source_ids=None):
     preferred_reads = set()
     reads = []
     for index, read in enumerate(readset):
-        reads.append(_CachedRead(read._positions, read._qualities, read.source_id))
+        cached = _CachedRead(read._positions, read._qualities, read.source_id)
+        reads.append(cached)
         if preferred_source_ids is not None:
             if read.source_id in preferred_source_ids:
                 preferred_reads.add(index)
         for position in read._positions:
             variant_to_reads_map[vcf_indices[position]].append(index)
+        if read._positions:
+            cached.score = _compute_score_for_read(reads, index, vcf_indices)
+            cached.begin = vcf_indices[read._positions[0]]
+            cached.end = vcf_indices[read._positions[-1]] + 1
     return positions, vcf_indices, variant_to_reads_map, preferred_reads, reads
 
 
@@ -91,8 +101,7 @@ def _compute_score_for_read(reads, index, vcf_indices):
 def _construct_priorityqueue(reads, read_indices, vcf_indices):
     pq = PriorityQueue()
     for index in read_indices:
-        computed_score = _compute_score_for_read(reads, index, vcf_indices)
-        pq.c_push(computed_score, index)
+        pq.c_push(reads[index].score, index)
     return pq
 
 
@@ -105,15 +114,15 @@ def _slice_read_selection(pq, coverages, max_cov, reads, vcf_indices, variant_to
     while not pq.c_is_empty():
         variants_covered_by_this_read = set()
         max_score, max_item = pq.c_pop()
-        rpos = reads[max_item].positions
+        read = reads[max_item]
         covers_new_variant = False
-        for pos in rpos:
+        for pos in read.positions:
             if pos in already_covered_variants:
                 continue
             covers_new_variant = True
             variants_covered_by_this_read.add(pos)
-        begin = vcf_indices.get(rpos[0])
-        end = vcf_indices.get(rpos[-1]) + 1
+        begin = read.begin
+        end = read.end
         if coverages.max_coverage_in_range(begin, end) >= max_cov:
             reads_violating_coverage.add(max_item)
         elif covers_new_variant:
@@ -184,8 +193,8 @@ def _readselection_helper(
                 for pos in rpos:
                     covered_blocks.add(component_finder.find(pos))
 
-                begin = vcf_indices.get(rpos[0])
-                end = vcf_indices.get(rpos[-1]) + 1
+                begin = reads[read_index].begin
+                end = reads[read_index].end
                 if coverages.max_coverage_in_range(begin, end) >= max_cov:
                     undecided_reads.remove(read_index)
                     continue
