@@ -893,14 +893,48 @@ def missing_headers(path: str) -> Tuple[List[str], List[str], List[str]]:
         seen_formats: Dict[str, None] = {}
         seen_infos: Dict[str, None] = {}
         try:
-            for record in vf:
-                for info in record.info:
-                    seen_infos[info] = None
-                if any(alt.startswith("<") for alt in record.alts or []):
-                    seen_infos["END"] = None
-                seen_contigs[record.contig] = None
-                for fmt in record.format:
-                    seen_formats[fmt] = None
+            if getattr(vf, "_is_bcf", True):
+                for record in vf:
+                    for info in record.info:
+                        seen_infos[info] = None
+                    if any(alt.startswith("<") for alt in record.alts or []):
+                        seen_infos["END"] = None
+                    seen_contigs[record.contig] = None
+                    for fmt in record.format:
+                        seen_formats[fmt] = None
+            else:
+                # text VCF: raw-column scan — only CHROM/ALT/INFO/FORMAT are
+                # needed, so skip full record (and per-sample) parsing
+                first = vf._first_body
+                body = vf._lines_iter if vf._lines_iter is not None else iter(())
+                if first is not None:
+                    body = itertools.chain([first], body)
+                for line in body:
+                    fields = line.split("\t", 9)
+                    if len(fields) < 8:
+                        raise VcfError(
+                            f"VCF record with fewer than 8 fields: {line!r}"
+                        )
+                    info_raw = fields[7]
+                    if info_raw not in (".", ""):
+                        for item in info_raw.split(";"):
+                            if item:
+                                seen_infos[item.split("=", 1)[0]] = None
+                    alt = fields[4]
+                    if alt not in (".", "") and any(
+                        a.startswith("<") for a in alt.split(",")
+                    ):
+                        seen_infos["END"] = None
+                    seen_contigs[fields[0]] = None
+                    if len(fields) > 8:
+                        fmt_col = fields[8].rstrip("\n")
+                        if " " in fmt_col or not fmt_col:
+                            raise VcfError(
+                                f"Malformed FORMAT column: {fmt_col!r}"
+                            )
+                        if fmt_col != ".":
+                            for fmt in fmt_col.split(":"):
+                                seen_formats[fmt] = None
         except ValueError as e:
             raise VcfError(e)
 
