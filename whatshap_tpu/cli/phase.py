@@ -81,7 +81,7 @@ def find_components(
     logger.debug("Finding connected components ...")
     assert phased_positions == sorted(phased_positions)
     position_set = set(phased_positions)
-    finder = ComponentFinder(phased_positions)
+    pos_index = {p: i for i, p in enumerate(phased_positions)}
 
     def usable(read):
         if heterozygous_positions is None:
@@ -89,14 +89,50 @@ def find_components(
         hets = heterozygous_positions[read.sample_id]
         return [v.position for v in read if v.position in position_set and v.position in hets]
 
+    # batch union-find: edge chains per read, one C connected-components
+    # pass (components are canonical, so this equals the union-find loop)
+    rows: List[int] = []
+    cols: List[int] = []
     for read in reads:
         covered = usable(read)
-        for later in covered[1:]:
-            finder.merge(covered[0], later)
+        if len(covered) > 1:
+            anchor = pos_index[covered[0]]
+            rows.extend([anchor] * (len(covered) - 1))
+            cols.extend(pos_index[p] for p in covered[1:])
     if master_block is not None:
-        for later in master_block[1:]:
-            finder.merge(master_block[0], later)
-    return {position: finder.find(position) for position in position_set}
+        anchor = pos_index[master_block[0]]
+        rows.extend([anchor] * (len(master_block) - 1))
+        cols.extend(pos_index[p] for p in master_block[1:])
+    labels = _connected_component_labels(len(phased_positions), rows, cols)
+    # positions ascend, so a label's first occurrence is the block minimum
+    rep_of_label: Dict[int, int] = {}
+    out: Dict[int, int] = {}
+    for i, lab in enumerate(labels):
+        rep = rep_of_label.get(lab)
+        if rep is None:
+            rep = rep_of_label[lab] = phased_positions[i]
+        out[phased_positions[i]] = rep
+    return out
+
+
+def _connected_component_labels(
+    n: int, rows: Sequence[int], cols: Sequence[int]
+) -> List[int]:
+    """Component label per node index for an undirected edge list."""
+    if n == 0:
+        return []
+    if not rows:
+        return list(range(n))
+    import numpy as np
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+
+    graph = coo_matrix(
+        (np.ones(len(rows), np.int8), (np.asarray(rows), np.asarray(cols))),
+        shape=(n, n),
+    )
+    _, labels = connected_components(graph, directed=False)
+    return labels.tolist()
 
 
 def find_largest_component(components: Mapping[int, int]) -> Sequence[int]:
@@ -117,17 +153,19 @@ def best_case_blocks(reads: ReadSet) -> Tuple[int, int]:
     positions: Set[int] = set()
     for read in reads:
         positions.update(read._positions)
-    finder = ComponentFinder(positions)
+    pos_index = {p: i for i, p in enumerate(sorted(positions))}
+    rows: List[int] = []
+    cols: List[int] = []
     for read in reads:
         covered = read._positions
-        if not covered:
-            continue
-        first = covered[0]
-        for later in covered[1:]:
-            finder.merge(first, later)
+        if len(covered) > 1:
+            anchor = pos_index[covered[0]]
+            rows.extend([anchor] * (len(covered) - 1))
+            cols.extend(pos_index[p] for p in covered[1:])
+    labels = _connected_component_labels(len(pos_index), rows, cols)
     sizes: Dict[int, int] = defaultdict(int)
-    for position in positions:
-        sizes[finder.find(position)] += 1
+    for lab in labels:
+        sizes[lab] += 1
     return len(sizes), sum(1 for size in sizes.values() if size > 1)
 
 
