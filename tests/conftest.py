@@ -22,6 +22,20 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 
+def pytest_configure(config):
+    """tests/data/pacbio/.gitignore excludes *.bai, so a fresh checkout has
+    no indexes for the pacbio fixtures; regenerate any missing ones here so
+    tests do not depend on untracked leftovers from earlier runs."""
+    import glob
+
+    from whatshap_tpu.io.sam import build_minimal_index
+
+    pacbio_dir = os.path.join(os.path.dirname(__file__), "data", "pacbio")
+    for bam in glob.glob(os.path.join(pacbio_dir, "*.bam")):
+        if not os.path.exists(bam + ".bai"):
+            build_minimal_index(bam)
+
+
 def pytest_collection_modifyitems(config, items):
     """Optional order scrambling: cross-test state pollution (round-1's
     failure class) only shows up under a different execution order, so CI
