@@ -239,7 +239,6 @@ def readselection(readset, max_cov, preferred_source_ids=None, bridging=True):
 
     for r in readset:
         if not len(r) >= 2:
-            print(r)
             raise ValueError("readselection expects reads that cover at least two variants")
 
     undecided_reads = set(range(len(readset)))

@@ -628,6 +628,16 @@ class ReadSetReader:
         """Union the variants of a fragment's alignments (primary +
         nearby same-strand supplementary parts) into one Read; positions
         with conflicting alleles are dropped."""
+        if (
+            len(group) == 1
+            and not group[0].is_supplementary
+            and not allow_supplementary_only_groups
+            and group[0].read.is_sorted()
+        ):
+            # Singleton primary (the common case): one alignment cannot
+            # conflict with itself and strictly-sorted positions imply no
+            # duplicates, so the merge below would rebuild an identical Read.
+            return group[0].read
         if len(group) > 1:
             logger.debug(f"Group of read {group[0].read.name!r} has {len(group)} items.")
         primaries = [g for g in group if not g.is_supplementary]
