@@ -182,9 +182,15 @@ def _timed_cli(run_once, instances_ctx, n=3):
         t0 = time.perf_counter()
         run_once()
         cold = time.perf_counter() - t0
+    from whatshap_tpu.io.sam import clear_bam_pool_cache
+
     times = []
     text = None
     for _ in range(n):
+        # Each timed run pays the full fresh-process BAM decode, matching
+        # what one CLI invocation costs (the pool cache only helps repeated
+        # opens *within* a run).
+        clear_bam_pool_cache()
         t0 = time.perf_counter()
         text = run_once()
         times.append(time.perf_counter() - t0)

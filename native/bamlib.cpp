@@ -27,9 +27,27 @@ struct BamFile {
     std::string error;
 };
 
+// One z_stream reused across all BGZF members: inflateReset per block
+// instead of a full inflateInit2/inflateEnd pair (which allocates and
+// frees the window state every 64 KiB of payload).
+struct ZGuard {
+    z_stream zs;
+    bool ok;
+    ZGuard() : zs(), ok(false) {
+        memset(&zs, 0, sizeof(zs));
+        ok = inflateInit2(&zs, -15) == Z_OK;
+    }
+    ~ZGuard() {
+        if (ok) inflateEnd(&zs);
+    }
+};
+
 bool inflate_bgzf(const uint8_t* data, size_t size, std::vector<uint8_t>& out) {
     size_t pos = 0;
     out.reserve(size * 3);
+    ZGuard zg;
+    if (!zg.ok) return false;
+    bool first = true;
     while (pos + 18 <= size) {
         if (data[pos] != 0x1f || data[pos + 1] != 0x8b) return false;
         uint16_t xlen;
@@ -66,16 +84,13 @@ bool inflate_bgzf(const uint8_t* data, size_t size, std::vector<uint8_t>& out) {
         if (isize > 0) {
             size_t base = out.size();
             out.resize(base + isize);
-            z_stream zs;
-            memset(&zs, 0, sizeof(zs));
-            if (inflateInit2(&zs, -15) != Z_OK) return false;
-            zs.next_in = const_cast<Bytef*>(data + cdata_off);
-            zs.avail_in = (uInt)cdata_len;
-            zs.next_out = out.data() + base;
-            zs.avail_out = isize;
-            int rc = inflate(&zs, Z_FINISH);
-            inflateEnd(&zs);
-            if (rc != Z_STREAM_END) return false;
+            if (!first && inflateReset(&zg.zs) != Z_OK) return false;
+            first = false;
+            zg.zs.next_in = const_cast<Bytef*>(data + cdata_off);
+            zg.zs.avail_in = (uInt)cdata_len;
+            zg.zs.next_out = out.data() + base;
+            zg.zs.avail_out = isize;
+            if (inflate(&zg.zs, Z_FINISH) != Z_STREAM_END) return false;
         }
         pos += bsize;
     }

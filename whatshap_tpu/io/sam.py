@@ -52,6 +52,32 @@ for _c, _i in SEQ_ENCODE.items():
 _SEQ_ENC_TRANS = bytes(_SEQ_ENC_TRANS)
 
 
+# Process-wide cache of native-decoded BAM pools, keyed by
+# (path, size, mtime_ns).  Bounded by total decoded bytes; oldest entries
+# evict first.  clear_bam_pool_cache() exists so benchmarks can charge each
+# timed run the full fresh-process decode cost.
+_BAM_POOL_CACHE: "dict[tuple, tuple]" = {}
+_BAM_POOL_CACHE_MAX_BYTES = 1 << 30
+
+
+def _bam_pool_cache_put(key, value):
+    if len(value[0]) > _BAM_POOL_CACHE_MAX_BYTES:
+        return
+    _BAM_POOL_CACHE[key] = value
+    total = sum(len(v[0]) for v in _BAM_POOL_CACHE.values())
+    for k in list(_BAM_POOL_CACHE):
+        if total <= _BAM_POOL_CACHE_MAX_BYTES:
+            break
+        if k == key:
+            continue
+        total -= len(_BAM_POOL_CACHE[k][0])
+        del _BAM_POOL_CACHE[k]
+
+
+def clear_bam_pool_cache():
+    _BAM_POOL_CACHE.clear()
+
+
 class AlignmentFileNotIndexedError(Exception):
     pass
 
@@ -650,7 +676,10 @@ class AlignmentFile:
 
     def _native_pool(self):
         """Whole-file decode through the C++ loader (native/bamlib.cpp):
-        one BGZF inflation pass and record splitting in C, cached."""
+        one BGZF inflation pass and record splitting in C.  The decoded
+        pool is cached process-wide keyed by (path, size, mtime) so a file
+        opened several times in one run (header probe + record pass, or one
+        pass per chromosome) inflates exactly once."""
         if getattr(self, "_native_handle", None) is not None:
             return self._native_cache
         from ..native import bamlib
@@ -658,15 +687,21 @@ class AlignmentFile:
         if bamlib is None:
             return None
         try:
-            size = os.path.getsize(self._path)
+            path = os.fspath(self._path)
+            st = os.stat(path)
         except (OSError, TypeError):
             return None
-        if size > self._NATIVE_SCAN_MAX_BYTES:
+        if st.st_size > self._NATIVE_SCAN_MAX_BYTES:
             return None
+        key = (path, st.st_size, st.st_mtime_ns)
+        cached = _BAM_POOL_CACHE.get(key)
+        if cached is not None:
+            self._native_handle = True
+            self._native_cache = cached
+            return cached
         import ctypes as _ct
-        import weakref
 
-        h = bamlib._lib.wh_bam_load(os.fspath(self._path).encode())
+        h = bamlib._lib.wh_bam_load(path.encode())
         if not h:
             return None
         n = bamlib._lib.wh_bam_n_records(h)
@@ -680,6 +715,7 @@ class AlignmentFile:
         bamlib._lib.wh_bam_free(h)
         self._native_handle = True
         self._native_cache = (pool, offsets)
+        _bam_pool_cache_put(key, self._native_cache)
         return self._native_cache
 
     def _iter_all(self) -> Iterator[AlignedSegment]:
