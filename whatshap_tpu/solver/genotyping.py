@@ -5,7 +5,10 @@ src/genotypedptable.cpp and src/genotyper.cpp).
 """
 
 import math
+import os
 from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
 
 from ..core.genotype import Genotype
 from ..core.pedigree_model import Pedigree
@@ -19,6 +22,52 @@ from ..ops import wmec
 #: installs it to replay the CLI's exact instances through the compiled
 #: reference C++ genotyping engine (tools/oracle.py geno oracle).
 CAPTURE_HOOK = None
+
+#: Host-route threshold for the genotyping forward-backward, in units of
+#: adaptive work sum_c 2^k_c * T^2 * 2^P (the native engine's true cost
+#: model, native/genolib.cpp — it pays per-column 2^k_c like the reference,
+#: src/genotypedptable.cpp:116-442, NOT the padded C * 2^K).  Routing on the
+#: padded size was the round-3 regression: a C=2000/K=12 instance looks like
+#: 8.4M padded but only ~800k adaptive, and the native engine solves it in
+#: 0.07 s — far below a cold device dispatch.  Calibrated like
+#: ops/wmec.HOST_ROUTE_WORK; env-overridable for other hosts.
+GENO_HOST_ROUTE_WORK = int(os.environ.get("WHATSHAP_TPU_GENO_HOST_ROUTE_WORK", 1 << 25))
+
+
+def adaptive_work(packed) -> int:
+    """Adaptive host cost of a genotyping instance: sum_c 2^k_c * T^2 * 2^P.
+
+    This is what the native engine (native/genolib.cpp) actually pays — it
+    iterates each column's 2^k_c live bipartitions like the reference
+    (src/genotypedptable.cpp:116-442) — NOT the padded C * 2^K * T that the
+    device kernels pad to.
+    """
+    T, nA = packed.T, 1 << packed.P
+    k_c = packed.active.sum(axis=1).astype(np.int64)
+    return int(np.sum(np.int64(1) << np.minimum(k_c, 40))) * T * T * nA
+
+
+def route_backend(packed) -> str:
+    """Pick host vs device for one genotyping instance.
+
+    The adaptive-cost check runs before any jax import so small instances
+    never pay (or hang on) accelerator backend initialization.  Routing on
+    the padded size was the round-3 regression: a C=2000/K=12 chromosome
+    looks like 8.4M states padded but only ~800k adaptive, and the native
+    engine solves it in 0.07 s — far below a cold device dispatch
+    (tests/test_geno_routing.py guards this).
+    """
+    if adaptive_work(packed) <= GENO_HOST_ROUTE_WORK:
+        return "host"
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return "host"
+    from ..ops import genotyping_pallas
+
+    if genotyping_pallas.kernel_supported(packed.K, packed.T, packed.P):
+        return "pallas"
+    return "jax32"
 
 
 class GenotypeDPTable:
@@ -47,8 +96,6 @@ class GenotypeDPTable:
         # overrides: host (exact longdouble), jax (f64, ~1e-12 relative),
         # jax32 (f32 TPU-speed, ~1e-4 — inside GT/GQ quantization), pallas
         # (VMEM-resident f32 kernel, same tolerance class as jax32).
-        import os
-
         backend = os.environ.get("WHATSHAP_TPU_GENO_BACKEND", "")
         if backend not in ("host", "jax", "jax32", "pallas"):
             backend = self._auto_backend()
@@ -66,23 +113,7 @@ class GenotypeDPTable:
             self._likelihoods = gt_ops.run_genotyping(self._packed, pedigree)
 
     def _auto_backend(self) -> str:
-        """Pick host vs device for this instance (see __init__).  The size
-        check runs before any jax import so small instances never pay (or
-        hang on) accelerator backend initialization."""
-        C, S, T = self._packed.n_cols, 1 << self._packed.K, self._packed.T
-        if C * S * T <= (1 << 22):
-            return "host"
-        import jax
-
-        if jax.default_backend() == "cpu":
-            return "host"
-        from ..ops import genotyping_pallas
-
-        if genotyping_pallas.kernel_supported(
-            self._packed.K, self._packed.T, self._packed.P
-        ):
-            return "pallas"
-        return "jax32"
+        return route_backend(self._packed)
 
     def get_genotype_likelihoods(self, sample_id, pos: int) -> PhredGenotypeLikelihoods:
         numeric_id = self._numeric_sample_ids[sample_id]
