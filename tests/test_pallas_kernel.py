@@ -156,3 +156,34 @@ def test_solve_segmented_trio_matches_batched():
     assert np.array_equal(np.asarray(cs), np.asarray(cr))
     assert np.array_equal(np.asarray(is_), np.asarray(ir))
     assert np.array_equal(np.asarray(ts), np.asarray(tr))
+
+
+def test_forward_m_seeded_matches_xla():
+    # pedigree seam-route pass 1: unit-seeded forwards -> seam matrix rows
+    K, T, P, arrays = _trio_workload(n_blocks=2, seed=71)
+    assert wmec_pallas.kernel_supported(K, T, P)
+    B = int(arrays[0].shape[0])
+    unit = np.full((T, T), wmec.INF, dtype=np.int32)
+    np.fill_diagonal(unit, 0)
+    dp0 = jnp.asarray(np.tile(unit, (B, 1)))
+    rep = tuple(jnp.repeat(a, T, axis=0) for a in arrays)
+    m_p = wmec_pallas.forward_m_seeded_pallas(K, T, P, *rep, dp0, interpret=True)
+    m_r = wmec.forward_m_batched(K, T, P, *rep, dp0)
+    assert np.array_equal(np.asarray(m_p), np.asarray(m_r))
+
+
+def test_solve_seeded_matches_xla():
+    # pedigree seam-route pass 2: seeded solves with per-seam backtraces
+    K, T, P, arrays = _trio_workload(n_blocks=3, seed=73)
+    assert wmec_pallas.kernel_supported(K, T, P)
+    B = int(arrays[0].shape[0])
+    rng = np.random.RandomState(7)
+    dp0 = jnp.asarray(rng.randint(0, 50, size=(B, T)).astype(np.int32))
+    dnext = jnp.asarray(rng.rand(B, K) < 0.4)
+    out_p = wmec.solve_seeded_batched_pallas(
+        K, T, P, *arrays, dp0, dnext, interpret=True
+    )
+    out_r = wmec.solve_seeded_batched(K, T, P, *arrays, dp0, dnext)
+    names = ["cost_head", "m", "ip_head", "tp_head", "seam_head", "ips", "tps", "seams"]
+    for name, xp, xr in zip(names, out_p, out_r):
+        assert np.array_equal(np.asarray(xp), np.asarray(xr)), name

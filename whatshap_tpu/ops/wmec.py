@@ -659,9 +659,9 @@ def solve_scan_segmented(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, seg=
         carry = _forward_carry_scan(K, T, P, *seg_args(i), carry)
         checkpoints.append(carry)
 
-    dp_last = np.asarray(jax.device_get(carry[0]))
-    jmin_last = np.asarray(jax.device_get(carry[1]))
-    key_last = np.asarray(jax.device_get(carry[2]))
+    dp_last, jmin_last, key_last = (
+        np.asarray(x) for x in jax.device_get(carry)
+    )
 
     # optimum: first strict minimum in (gray order, transmission) with the
     # numeric-index tiebreak for padded duplicates (as in run_dp's numpy
@@ -688,8 +688,9 @@ def solve_scan_segmented(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, seg=
         _, _, _, proj_idx, proj_jmin = _forward_tables_scan(
             K, T, P, *seg_args(s), checkpoints[s]
         )
-        proj_idx = np.asarray(jax.device_get(proj_idx))
-        proj_jmin = np.asarray(jax.device_get(proj_jmin))
+        proj_idx, proj_jmin = (
+            np.asarray(x) for x in jax.device_get((proj_idx, proj_jmin))
+        )
         lo = max(a, 1)
         for i in range(b - 1, lo - 1, -1):
             li = i - a
@@ -789,6 +790,65 @@ def solve_seeded_batched(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, dp0,
         return cost_head, m, ip_head, tp_head, seam_head, ips, tps, seams
 
     return jax.vmap(one)(wdiff, wbase, rankw, acost, die_prev, rc, dp0, die_next)
+
+
+@partial(jax.jit, static_argnames=("K", "T", "P", "interpret"))
+def solve_seeded_batched_pallas(
+    K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, dp0, die_next, interpret=False
+):
+    """Pallas-kernel mirror of solve_seeded_batched: seeded forward with
+    table emission on the VMEM-resident kernel, head backtrace, seam fold,
+    and per-transmission seam backtraces.  Bit-identical outputs; the
+    round-3 seam route ran these scans on the XLA path, ~4x below the
+    Pallas kernel on its dominant K=15/T=4 buckets."""
+    from . import wmec_pallas as wp
+
+    B = wdiff.shape[0]
+    S = 1 << K
+    pidx, pjmin, dp_last, jmin_last, key_last = wp.forward_tables_seeded_pallas(
+        K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, dp0, interpret=interpret
+    )
+    cost_head, opt_trans, opt_idx = wp._select_optimum(K, T, dp_last, key_last)
+    jm = jmin_last.reshape(B, T, S)
+    prev_trans = jax.vmap(lambda j, t, s: j[t, s])(jm, opt_trans, opt_idx)
+    init = jnp.stack([opt_idx, opt_trans, prev_trans], axis=1)
+    ip_head, tp_head, fin_head = wp.backtrace_pallas_t(
+        K, T, init, pidx, pjmin, interpret=interpret
+    )
+    # the backtrace kernel's final state walks one extra step through
+    # column 0; its middle element is exactly _backtrace_from's seam_prev
+    seam_head = fin_head[:, 1]
+
+    # seam fold with the NEXT block's first-column die flags (same XLA fold
+    # as the scan path — tiny relative to the forward pass)
+    dpST = dp_last.reshape(B, T, S).transpose(0, 2, 1)
+    jmST = jm.transpose(0, 2, 1)
+    keyS = key_last.reshape(B, S)
+    fc, _fk, fi, fj = jax.vmap(
+        lambda d, c, k, j: _fold_dying(K, T, d, c, k, j)
+    )(die_next, dpST, keyS, jmST)
+    m = fc[:, 0, :]
+    s_star = fi[:, 0, :]
+    jmin_star = fj[:, 0, :]
+    ips, tps, seams = [], [], []
+    for t in range(T):
+        init_t = jnp.stack(
+            [s_star[:, t], jnp.full((B,), t, jnp.int32), jmin_star[:, t]], axis=1
+        )
+        ip, tp, fin = wp.backtrace_pallas_t(K, T, init_t, pidx, pjmin, interpret=interpret)
+        ips.append(ip)
+        tps.append(tp)
+        seams.append(fin[:, 1])
+    return (
+        cost_head,
+        m,
+        ip_head,
+        tp_head,
+        seam_head,
+        jnp.stack(ips, axis=1),
+        jnp.stack(tps, axis=1),
+        jnp.stack(seams, axis=1),
+    )
 
 
 @partial(jax.jit, static_argnames=("K", "T", "P"))
@@ -1069,14 +1129,19 @@ def run_dp_batched(packed: PackedProblem) -> Optional[DPResult]:
     total_cost = 0
     index_path = np.zeros(C, dtype=np.int64)
     trans_path = np.zeros(C, dtype=np.int64)
+    # Dispatch every bucket's launch before fetching anything: jit dispatch
+    # is async, while each jax.device_get call is one host<->device round
+    # trip (tens of ms over a tunnel) — one fetch for all buckets, not one
+    # per output array per bucket.
+    pending = []
     for (c_pad, k_b), members in buckets.items():
         stacked = stack_blocks([arrs for _, arrs in members])
-        costs, index_paths, trans_paths = solve_batched_auto(
-            k_b, T, P, *[jnp.asarray(x) for x in stacked]
-        )
-        costs = np.asarray(jax.device_get(costs))
-        index_paths = np.asarray(jax.device_get(index_paths), dtype=np.int64)
-        trans_paths = np.asarray(jax.device_get(trans_paths), dtype=np.int64)
+        out = solve_batched_auto(k_b, T, P, *[jnp.asarray(x) for x in stacked])
+        pending.append((members, out))
+    fetched = jax.device_get([out for _, out in pending])
+    for (members, _), (costs, index_paths, trans_paths) in zip(pending, fetched):
+        index_paths = np.asarray(index_paths, dtype=np.int64)
+        trans_paths = np.asarray(trans_paths, dtype=np.int64)
         for bi, (ri, arrs) in enumerate(members):
             a, b = ranges[ri]
             total_cost += int(costs[bi])
@@ -1146,16 +1211,33 @@ def run_dp_batched_pedigree(packed: PackedProblem) -> Optional[DPResult]:
     np.fill_diagonal(unit_seeds, 0)
 
     # ---- pass 1: unit-seeded forwards -> per-block seam matrices G ----
+    # Dispatch all buckets before fetching: each jax.device_get call is one
+    # host<->device round trip (tens of ms over a tunnel), so the fetch for
+    # every bucket is fused into a single call (round-3 spent ~9 s of a
+    # 9.5 s trio run in 36 such round trips).
+    from . import wmec_pallas
+
     G = np.zeros((nb, T, T), dtype=np.int64)
     stacked_by_bucket = {}
+    pending_m = []
     for (c_pad, k_b), idxs in buckets.items():
         stacked = stack_blocks([blocks[ri][2] for ri in idxs])
         stacked_by_bucket[(c_pad, k_b)] = stacked
         B = len(idxs)
-        rep = tuple(np.repeat(x, T, axis=0) for x in stacked)
         dp0 = np.tile(unit_seeds, (B, 1))
-        m_out = _launch_batched(forward_m_batched, k_b, T, P, rep + (dp0,))
-        m_out = np.asarray(jax.device_get(m_out), dtype=np.int64)  # (B*T, T)
+        if on_accel and wmec_pallas.kernel_supported(k_b, T, P):
+            # VMEM-resident kernel; the T-fold seed repeat runs on device
+            rep = tuple(jnp.repeat(jnp.asarray(x), T, axis=0) for x in stacked)
+            kern = wmec_pallas.forward_m_seeded_pallas
+        else:
+            rep = tuple(np.repeat(x, T, axis=0) for x in stacked)
+            kern = forward_m_batched
+        m_out = _launch_batched(kern, k_b, T, P, rep + (dp0,))
+        pending_m.append((idxs, m_out))
+    for (idxs, _), m_out in zip(
+        pending_m, jax.device_get([m for _, m in pending_m])
+    ):
+        m_out = np.asarray(m_out, dtype=np.int64)  # (B*T, T)
         for bi, ri in enumerate(idxs):
             G[ri] = m_out[bi * T : (bi + 1) * T]
 
@@ -1167,7 +1249,9 @@ def run_dp_batched_pedigree(packed: PackedProblem) -> Optional[DPResult]:
         m_cur = np.minimum((m_cur[:, None] + G[j]).min(axis=0), INF)
 
     # ---- pass 2: seeded solves with per-seam backtraces ----
+    # Same dispatch-all-then-fetch-once pattern as pass 1.
     per_block_out = [None] * nb
+    pending_out = []
     for (c_pad, k_b), idxs in buckets.items():
         stacked = stacked_by_bucket[(c_pad, k_b)]
         dp0 = np.stack([m_in[ri].astype(np.int32) for ri in idxs])
@@ -1175,15 +1259,24 @@ def run_dp_batched_pedigree(packed: PackedProblem) -> Optional[DPResult]:
         S = 1 << k_b
         # head + T seam backtraces retire the forward tables per block
         per_block = c_pad * T * S * 4 * 2
+        kern = (
+            solve_seeded_batched_pallas
+            if on_accel and wmec_pallas.kernel_supported(k_b, T, P)
+            else solve_seeded_batched
+        )
         out = _launch_batched(
-            solve_seeded_batched,
+            kern,
             k_b,
             T,
             P,
             stacked + (dp0, dnext),
             per_block_bytes=per_block,
         )
-        out = tuple(np.asarray(jax.device_get(x)) for x in out)
+        pending_out.append((idxs, out))
+    for (idxs, _), out in zip(
+        pending_out, jax.device_get([o for _, o in pending_out])
+    ):
+        out = tuple(np.asarray(x) for x in out)
         for bi, ri in enumerate(idxs):
             per_block_out[ri] = tuple(x[bi] for x in out)
 
@@ -1226,13 +1319,17 @@ def solve_packed_list(
     if not packed_list:
         return results
     T, P = packed_list[0].T, packed_list[0].P
+    # dispatch all buckets, then fetch everything in one host<->device
+    # round trip (see run_dp_batched)
+    pending = []
     for k_b, cp, idxs, stacked in bucket_packed_list(packed_list, c_pad):
-        costs, ipaths, tpaths = solve_batched_auto(
-            k_b, T, P, *[jnp.asarray(x) for x in stacked]
-        )
-        costs = np.asarray(jax.device_get(costs))
-        ipaths = np.asarray(jax.device_get(ipaths), dtype=np.int64)
-        tpaths = np.asarray(jax.device_get(tpaths), dtype=np.int64)
+        out = solve_batched_auto(k_b, T, P, *[jnp.asarray(x) for x in stacked])
+        pending.append((idxs, out))
+    for (idxs, _), (costs, ipaths, tpaths) in zip(
+        pending, jax.device_get([out for _, out in pending])
+    ):
+        ipaths = np.asarray(ipaths, dtype=np.int64)
+        tpaths = np.asarray(tpaths, dtype=np.int64)
         for bi, i in enumerate(idxs):
             n = packed_list[i].n_cols
             results[i] = DPResult(int(costs[bi]), ipaths[bi, :n], tpaths[bi, :n])

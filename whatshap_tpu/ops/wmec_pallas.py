@@ -79,6 +79,8 @@ def _make_kernel(
     emit_tables: bool = True,
     carry_in: bool = False,
     CC: int = 1,
+    seed_in: bool = False,
+    emit_m_only: bool = False,
 ):
     """Kernel variants:
     - emit_jmin=False (T == 1 solve path only): skip the per-column
@@ -89,8 +91,20 @@ def _make_kernel(
       (cost, jmin, key) state — the checkpoint pass of the segmented solve
       (no table HBM writes at all).
     - carry_in=True: initialize the column-0 state from carry inputs instead
-      of zeros (segment continuation)."""
+      of zeros (segment continuation).
+    - seed_in=True: initialize the column-0 cost state from a tiny (T,)
+      SMEM seed vector broadcast across all bipartitions (jmin/key start at
+      zero) — the seam seeds of the pedigree block chain
+      (wmec.run_dp_batched_pedigree), matching wmec._seeded_carry without
+      materializing (B, T, S) carry planes in HBM.
+    - emit_m_only=True (requires emit_tables=False): the only output is the
+      final folded cost vector m (T,) = min over bipartitions, written to
+      SMEM — the seam-matrix pass needs nothing else, and skipping the
+      (B, T, S) dp output plus the tie-key updates saves HBM traffic and
+      VPU work (tie winners have equal cost, so m is key-independent)."""
     assert (emit_jmin or T == 1) or not emit_tables
+    assert not (carry_in and seed_in)
+    assert not emit_m_only or not emit_tables
     emit_jmin = emit_jmin and T > 1  # T == 1 has no transmission argmin
     S = 1 << K
     R = S >> LANE_BITS
@@ -161,6 +175,10 @@ def _make_kernel(
     ):
         i = 0
         jmin0_ref = None
+        seed_ref = None
+        if seed_in:
+            seed_ref = refs[i]
+            i += 1
         if carry_in:
             cost0_ref = refs[i]
             i += 1
@@ -176,7 +194,11 @@ def _make_kernel(
             if emit_jmin:
                 pjmin_ref = refs[i]
                 i += 1
-        if has_jmin:
+        if emit_m_only:
+            m_ref, cost_s, key_s = refs[i:]
+            jmin_s = None
+            dp_ref = jminl_ref = keyl_ref = None
+        elif has_jmin:
             dp_ref, jminl_ref, keyl_ref, cost_s, jmin_s, key_s = refs[i:]
         else:
             dp_ref, keyl_ref, cost_s, key_s = refs[i:]
@@ -190,9 +212,13 @@ def _make_kernel(
                     cost_s[t] = cost0_ref[0, t]
                     if has_jmin:
                         jmin_s[t] = jmin0_ref[0, t]
+                elif seed_in:
+                    cost_s[t] = jnp.zeros((R, LANES), jnp.int32) + seed_ref[0, 0, 0, t]
+                    if jmin_s is not None:
+                        jmin_s[t] = jnp.zeros((R, LANES), jnp.int32)
                 else:
                     cost_s[t] = jnp.zeros((R, LANES), jnp.int32)
-                    if has_jmin:
+                    if jmin_s is not None:
                         jmin_s[t] = jnp.zeros((R, LANES), jnp.int32)
             key_s[:] = key0_ref[0] if carry_in else jnp.zeros((R, LANES), jnp.int32)
 
@@ -271,11 +297,14 @@ def _make_kernel(
                         recomb = jnp.minimum(pcmat[ti, tj] * rc_safe, INF)
                         v = jnp.minimum(proj_cost[tj] + recomb, INF)
                         if best is None:
-                            best, barg = v, jnp.zeros((R, LANES), jnp.int32)
+                            best = v
+                            if not emit_m_only:
+                                barg = jnp.zeros((R, LANES), jnp.int32)
                         else:
                             take = v < best
                             best = jnp.where(take, v, best)
-                            barg = jnp.where(take, tj, barg)
+                            if not emit_m_only:
+                                barg = jnp.where(take, tj, barg)
                     trans_min.append(best)
                     jmin_new.append(barg)
 
@@ -291,7 +320,8 @@ def _make_kernel(
                 mask = ((idx0 >> k) & 1).astype(jnp.float32)
                 for jj in range(TP2):
                     facc[jj] = facc[jj] + mask * wdiff_ref[0, col, k, jj]
-                racc = racc + mask * rankw_ref[0, col, 0, k]
+                if not emit_m_only:
+                    racc = racc + mask * rankw_ref[0, col, 0, k]
             f = [acc.astype(jnp.int32) for acc in facc]
             # cp[t][p][a] = f[(t*P + p)*2 + a] + wbase[t,p,a]
             for t in range(T):
@@ -314,27 +344,34 @@ def _make_kernel(
                     best_a = total if best_a is None else jnp.minimum(best_a, total)
                 dp_t = jnp.minimum(best_a + trans_min[t], INF)
                 cost_s[t] = dp_t
-                if T > 1:
+                if T > 1 and not emit_m_only:
                     # the transmission argmin is carried state for pedigrees
                     # (folded into the next column's pjmin table)
                     jmin_s[t] = jmin_new[t]
 
             # ---- tie-break key for this column ----
-            n = racc.astype(jnp.int32)
-            shift = 1
-            while shift < max(K, 1):
-                n = n ^ (n >> shift)
-                shift <<= 1
-            key_s[:] = n
+            # m-only passes skip it: fold tie winners have equal cost, so
+            # the final min is key-independent
+            if not emit_m_only:
+                n = racc.astype(jnp.int32)
+                shift = 1
+                while shift < max(K, 1):
+                    n = n ^ (n >> shift)
+                    shift <<= 1
+                key_s[:] = n
 
         # ---- final outputs (last column) ----
         @pl.when(j_chunk == (C // CC) - 1)
         def _final():
-            for t in range(T):
-                dp_ref[0, t] = cost_s[t]
-                if has_jmin:
-                    jminl_ref[0, t] = jmin_s[t]
-            keyl_ref[0] = key_s[:]
+            if emit_m_only:
+                for t in range(T):
+                    m_ref[0, 0, t] = jnp.min(cost_s[t])
+            else:
+                for t in range(T):
+                    dp_ref[0, t] = cost_s[t]
+                    if has_jmin:
+                        jminl_ref[0, t] = jmin_s[t]
+                keyl_ref[0] = key_s[:]
 
     return kernel
 
@@ -442,6 +479,131 @@ def forward_scan_pallas(K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, inter
     proj_idx = pidx.reshape(B, C, T, S).transpose(0, 1, 3, 2)
     proj_jmin = pjmin.reshape(B, C, T, S).transpose(0, 1, 3, 2)
     return dp_last, jmin_last, key_last, proj_idx, proj_jmin
+
+
+@partial(jax.jit, static_argnames=("K", "T", "P", "interpret"))
+def forward_m_seeded_pallas(
+    K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, dp0, interpret=False
+):
+    """Seeded table-free forward pass for the pedigree seam route: per batch
+    element, run the block's columns from the seam seed dp0 (T,) and return
+    only m (T,) = min over bipartitions of the final dp — one row of the
+    block's T x T seam matrix (wmec.run_dp_batched_pedigree pass 1).
+
+    Inputs carry a leading batch axis B (the caller repeats each block T
+    times, one per unit seed); dp0 is (B, T) int32.  Bit-identical to
+    wmec.forward_m_batched (the XLA mirror).
+    """
+    B, C = wdiff.shape[0], wdiff.shape[1]
+    R = (1 << K) >> LANE_BITS
+    nA = 1 << P
+    TP2 = T * P * 2
+    CC = 1 if interpret else _fwd_chunk(C, K, T)
+    kernel = _make_kernel(
+        K, T, P, C, emit_tables=False, seed_in=True, emit_m_only=True, CC=CC
+    )
+    in_specs = [
+        pl.BlockSpec((1, CC, K, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, CC, 1, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, CC, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, CC, 1, T * nA), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, CC, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, CC, 1, 1), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1, T), lambda b, c: (b, 0, 0, 0), memory_space=pltpu.SMEM),
+    ]
+    out_specs = [pl.BlockSpec((1, 1, T), lambda b, c: (b, 0, 0), memory_space=pltpu.SMEM)]
+    scratch_shapes = [
+        pltpu.VMEM((T, R, LANES), jnp.int32),
+        pltpu.VMEM((R, LANES), jnp.int32),
+    ]
+    m = pl.pallas_call(
+        kernel,
+        grid=(B, C // CC),
+        out_shape=[jax.ShapeDtypeStruct((B, 1, T), jnp.int32)],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )(
+        wdiff,
+        wbase.reshape(B, C, 1, TP2),
+        rankw.reshape(B, C, 1, K),
+        acost.reshape(B, C, 1, T * nA),
+        die_prev.astype(jnp.int32).reshape(B, C, 1, K),
+        rc.reshape(B, C, 1, 1),
+        dp0.astype(jnp.int32).reshape(B, 1, 1, T),
+    )[0]
+    return m.reshape(B, T)
+
+
+@partial(jax.jit, static_argnames=("K", "T", "P", "interpret"))
+def forward_tables_seeded_pallas(
+    K, T, P, wdiff, wbase, rankw, acost, die_prev, rc, dp0, interpret=False
+):
+    """Seeded forward pass WITH table emission and full final state, for
+    pass 2 of the pedigree seam route.  dp0 (B, T) int32 seam seeds.
+    Returns (pidx (B,C,T,R,LANES), pjmin, dp_last (B,T,R,LANES), jmin_last,
+    key_last (B,R,LANES)) in the raw kernel layout."""
+    B, C = wdiff.shape[0], wdiff.shape[1]
+    R = (1 << K) >> LANE_BITS
+    nA = 1 << P
+    TP2 = T * P * 2
+    has_jmin = T > 1
+    CC = 1 if interpret else _fwd_chunk(C, K, T)
+    kernel = _make_kernel(K, T, P, C, emit_jmin=has_jmin, seed_in=True, CC=CC)
+    table_spec = pl.BlockSpec(
+        (1, CC, T, R, LANES), lambda b, c: (b, c, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    table_shape = jax.ShapeDtypeStruct((B, C, T, R, LANES), jnp.int32)
+    state_spec = pl.BlockSpec(
+        (1, T, R, LANES), lambda b, c: (b, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    state_shape = jax.ShapeDtypeStruct((B, T, R, LANES), jnp.int32)
+    key_spec = pl.BlockSpec((1, R, LANES), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, CC, K, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, CC, 1, TP2), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, CC, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, CC, 1, T * nA), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, CC, 1, K), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, CC, 1, 1), lambda b, c: (b, c, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1, T), lambda b, c: (b, 0, 0, 0), memory_space=pltpu.SMEM),
+    ]
+    out_shape = [table_shape] + ([table_shape] if has_jmin else []) + [state_shape]
+    out_specs = [table_spec] + ([table_spec] if has_jmin else []) + [state_spec]
+    if has_jmin:
+        out_shape.append(state_shape)
+        out_specs.append(state_spec)
+    out_shape.append(jax.ShapeDtypeStruct((B, R, LANES), jnp.int32))
+    out_specs.append(key_spec)
+    scratch_shapes = [pltpu.VMEM((T, R, LANES), jnp.int32)]
+    if has_jmin:
+        scratch_shapes.append(pltpu.VMEM((T, R, LANES), jnp.int32))
+    scratch_shapes.append(pltpu.VMEM((R, LANES), jnp.int32))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B, C // CC),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )(
+        wdiff,
+        wbase.reshape(B, C, 1, TP2),
+        rankw.reshape(B, C, 1, K),
+        acost.reshape(B, C, 1, T * nA),
+        die_prev.astype(jnp.int32).reshape(B, C, 1, K),
+        rc.reshape(B, C, 1, 1),
+        dp0.astype(jnp.int32).reshape(B, 1, 1, T),
+    )
+    outs = list(outs)
+    pidx = outs.pop(0)
+    pjmin = outs.pop(0) if has_jmin else jnp.zeros_like(pidx)
+    dp_last = outs.pop(0)
+    jmin_last = outs.pop(0) if has_jmin else jnp.zeros_like(dp_last)
+    key_last = outs.pop(0)
+    return pidx, pjmin, dp_last, jmin_last, key_last
 
 
 def _bt_chunk(C: int, table_bytes_per_col: int, vmem_budget: int = 2 << 20, T: int = 1) -> int:

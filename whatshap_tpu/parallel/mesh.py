@@ -82,10 +82,9 @@ def solve_blocks_sharded(mesh: Mesh, K: int, T: int, P_: int, arrays, axis_name:
     costs, index_paths, trans_paths = wmec.solve_batched(
         K, T, P_, *_shard_batch(mesh, arrays, axis_name)
     )
-    return (
-        np.asarray(jax.device_get(costs)),
-        np.asarray(jax.device_get(index_paths)),
-        np.asarray(jax.device_get(trans_paths)),
+    # single device_get call: one host<->device round trip for all outputs
+    return tuple(
+        np.asarray(x) for x in jax.device_get((costs, index_paths, trans_paths))
     )
 
 
