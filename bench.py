@@ -198,6 +198,19 @@ def _timed_cli(run_once, instances_ctx, n=3):
     return cold, times[0], times[len(times) // 2], text, instances
 
 
+def _phase_stage_breakdown():
+    """Per-stage seconds of the most recent run_whatshap call (its own
+    StageTimer) — shows where the end-to-end wall time goes."""
+    from whatshap_tpu.cli import phase as phase_cli
+
+    t = phase_cli.LAST_TIMERS
+    if t is None:
+        return None
+    stages = {k: round(v, 3) for k, v in sorted(t._acc.items()) if v >= 0.0005}
+    stages["total"] = round(t.total(), 3)
+    return stages
+
+
 def _oracle():
     sys.path.insert(0, str(Path(__file__).parent / "tools"))
     try:
@@ -393,6 +406,7 @@ def bench_phase_trio_chromosome():
         "child_switch_error_rate": round(n_switch / n_pairs, 4) if n_pairs else None,
         "ref_dp_seconds": round(ref_dp, 3) if ref_dp is not None else None,
         "vs_baseline": round(ref_dp / dt, 3) if ref_dp is not None else None,
+        "stages": _phase_stage_breakdown(),
         "baseline_note": E2E_BASELINE_NOTE,
     }
 
@@ -588,6 +602,7 @@ def bench_phase_chromosome_cli():
         "switch_error_rate": round(switch_rate, 4) if switch_rate is not None else None,
         "ref_dp_seconds": round(ref_dp, 3) if ref_dp is not None else None,
         "vs_baseline": round(ref_dp / dt, 3) if ref_dp is not None else None,
+        "stages": _phase_stage_breakdown(),
         "baseline_note": E2E_BASELINE_NOTE,
     }
 
@@ -842,11 +857,17 @@ def bench_whole_chromosome():
 
     compile_and_run = run_once()  # includes compile on first call
     dt = min(run_once() for _ in range(3))
+    # baseline: the compiled reference C++ DP on the identical instance
+    # (same oracle replay as every other phase config)
+    ref_dp = _reference_phase_dp_seconds([(rs, [1] * len(positions), ped, False, positions)])
     return {
         "value": round(n_cols / dt, 1),
         "unit": "variants/s",
         "first_call_s": round(compile_and_run, 1),
         "path": "pallas-segmented" if use_pallas else "xla-segmented",
+        "ref_dp_seconds": round(ref_dp, 3) if ref_dp is not None else None,
+        "vs_baseline": round(ref_dp / dt, 3) if ref_dp is not None else None,
+        "baseline_note": E2E_BASELINE_NOTE,
     }
 
 
@@ -1042,35 +1063,50 @@ def bench_scaling_model():
     from whatshap_tpu.cli.phase import run_whatshap
 
     on_accel = jax.default_backend() != "cpu"
+
+    def capture_launches(info):
+        """Run the phase CLI once under the batched route and record every
+        batched launch it makes (shape, batch, padding)."""
+        wmec.LAUNCH_STATS.clear()
+        out = io.StringIO()
+        # force the batched route for the capture run so the launch shapes
+        # are the production accelerator shapes even when this pass runs on
+        # a CPU host (auto would route small instances to numpy there)
+        old_backend = os.environ.get("WHATSHAP_TPU_BACKEND")
+        os.environ["WHATSHAP_TPU_BACKEND"] = "batched"
+        try:
+            run_whatshap(
+                phase_input_files=[info["bam"]],
+                variant_file=info["vcf"],
+                reference=info["fasta"],
+                output=out,
+                write_command_line_header=False,
+            )
+        finally:
+            if old_backend is None:
+                os.environ.pop("WHATSHAP_TPU_BACKEND", None)
+            else:
+                os.environ["WHATSHAP_TPU_BACKEND"] = old_backend
+        return [s for s in wmec.LAUNCH_STATS if s[3] > 0]
+
     if on_accel:
-        out_dir = Path(tempfile.gettempdir()) / "whatshap_tpu_bench_chrom_v1"
-        info = generate(out_dir, n_vars=4000, coverage=14, seed=7)
+        # chromosome grain: a chr1-scale synthetic (100k variants — the
+        # BASELINE.json "PacBio HG001 chr1-style" workload) — hundreds of
+        # blocks per launch, the regime the architecture is built for
+        out_dir = Path(tempfile.gettempdir()) / "whatshap_tpu_bench_chrom_chr1"
+        info = generate(out_dir, n_vars=100_000, coverage=14, seed=7)
+        # small grain kept alongside: a 4k-variant toy is overhead-dominated
+        # by construction and stays reported as the honest lower bound
+        out_dir_small = Path(tempfile.gettempdir()) / "whatshap_tpu_bench_chrom_v1"
+        info_small = generate(out_dir_small, n_vars=4000, coverage=14, seed=7)
+        launches_small = capture_launches(info_small)
     else:
         # CPU fallback: mechanism validation only — the XLA-CPU scan at the
         # accelerator workload sizes would blow the config timeout
         out_dir = Path(tempfile.gettempdir()) / "whatshap_tpu_bench_chrom_small"
         info = generate(out_dir, n_vars=1200, coverage=10, seed=7)
-    wmec.LAUNCH_STATS.clear()
-    out = io.StringIO()
-    # force the batched route for the capture run so the launch shapes are
-    # the production accelerator shapes even when this pass runs on a CPU
-    # host (auto would route small instances to numpy there)
-    old_backend = os.environ.get("WHATSHAP_TPU_BACKEND")
-    os.environ["WHATSHAP_TPU_BACKEND"] = "batched"
-    try:
-        run_whatshap(
-            phase_input_files=[info["bam"]],
-            variant_file=info["vcf"],
-            reference=info["fasta"],
-            output=out,
-            write_command_line_header=False,
-        )
-    finally:
-        if old_backend is None:
-            os.environ.pop("WHATSHAP_TPU_BACKEND", None)
-        else:
-            os.environ["WHATSHAP_TPU_BACKEND"] = old_backend
-    launches = [s for s in wmec.LAUNCH_STATS if s[3] > 0]
+        launches_small = None
+    launches = capture_launches(info)
     if not launches:
         return {"error": "CLI made no batched launches"}
 
@@ -1084,15 +1120,19 @@ def bench_scaling_model():
     dt_big = measure_device(K, T, P, arrays, n_iters=3 if on_accel else 1)
     rate = nb * nc * T * (1 << K) / dt_big  # states/sec
 
-    def model_time(n):
+    def model_time(n, ls):
         total = 0.0
-        for (k, t, c, _b, b_pad, _nd) in launches:
+        for (k, t, c, _b, b_pad, _nd) in ls:
             per_dev_blocks = math.ceil(b_pad / n)
             total += per_dev_blocks * c * t * (1 << k) / rate + overhead
         return total
 
-    t1 = model_time(1)
-    eff = {n: round(t1 / (n * model_time(n)), 3) for n in (2, 4, 8, 16, 32)}
+    def model_eff(ls):
+        t1 = model_time(1, ls)
+        return {n: round(t1 / (n * model_time(n, ls)), 3) for n in (2, 4, 8, 16, 32)}
+
+    eff = model_eff(launches)
+    eff_small = model_eff(launches_small) if launches_small else None
 
     total_blocks = sum(s[3] for s in launches)
     total_padded = sum(s[4] for s in launches)
@@ -1105,7 +1145,9 @@ def bench_scaling_model():
     return {
         "value": eff[8],
         "unit": "modeled_8dev_efficiency",
+        "workload_variants": info["n_vars"],
         "efficiency_by_devices": eff,
+        "efficiency_by_devices_small_4k": eff_small,
         "launches": len(launches),
         "blocks": total_blocks,
         "pad_fraction": round((total_padded - total_blocks) / max(total_padded, 1), 4),
@@ -1115,7 +1157,9 @@ def bench_scaling_model():
         "note": (
             "single-chip-measured model (real multi-chip not attachable "
             "here); blocks are independent and shard without collectives, "
-            "so the bound is launch-grain load balance + dispatch overhead"
+            "so the bound is launch-grain load balance + dispatch overhead; "
+            "the headline is the chr1-grain workload, the 4k toy kept "
+            "alongside as the overhead-dominated lower bound"
         ),
     }
 

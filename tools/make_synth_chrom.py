@@ -14,6 +14,7 @@ Returns/writes: ref.fasta(+.fai), reads.bam(+.bai), variants.vcf and a
 truth table of the two haplotypes.
 """
 
+import json
 import random
 from pathlib import Path
 
@@ -31,6 +32,32 @@ from whatshap_tpu.io.sam import (  # noqa: E402
 BASES = "ACGT"
 
 
+def _load_cached(out, params):
+    """Deterministic outputs are cached on disk: if a manifest with the
+    same parameters exists and the files it names are present, reuse them
+    (a 100k-variant chromosome takes ~1 min to synthesize)."""
+    mf = Path(out) / "manifest.json"
+    if not mf.exists():
+        return None
+    try:
+        d = json.loads(mf.read_text())
+    except (OSError, ValueError):
+        return None
+    if d.get("params") != params:
+        return None
+    info = d.get("info", {})
+    for key in ("fasta", "bam", "vcf", "ped"):
+        if key in info and not Path(info[key]).exists():
+            return None
+    return info
+
+
+def _store_cached(out, params, info):
+    (Path(out) / "manifest.json").write_text(
+        json.dumps({"params": params, "info": info})
+    )
+
+
 def generate(
     out_dir,
     n_vars=4000,
@@ -43,6 +70,12 @@ def generate(
 ):
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
+    params = dict(kind="single", n_vars=n_vars, coverage=coverage,
+                  vars_per_read=vars_per_read, spacing=spacing, err=err,
+                  break_every=break_every, seed=seed)
+    cached = _load_cached(out, params)
+    if cached is not None:
+        return cached
     rng = random.Random(seed)
     contig = "chr1"
     ref_len = (n_vars + 2) * spacing
@@ -129,7 +162,7 @@ def generate(
         bf.write(seg)
     bf.close()
     build_minimal_index(str(bam))
-    return {
+    info = {
         "fasta": str(fasta),
         "bam": str(bam),
         "vcf": str(vcf),
@@ -137,6 +170,8 @@ def generate(
         "n_reads": len(reads),
         "hap0": hap0,
     }
+    _store_cached(out, params, info)
+    return info
 
 
 def generate_trio(
@@ -157,6 +192,13 @@ def generate_trio(
     Returns paths plus the true haplotypes per sample."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
+    params = dict(kind="trio", n_vars=n_vars, coverage=coverage,
+                  vars_per_read=vars_per_read, spacing=spacing, err=err,
+                  break_every=break_every, recomb_per_block=recomb_per_block,
+                  seed=seed)
+    cached = _load_cached(out, params)
+    if cached is not None:
+        return cached
     rng = random.Random(seed)
     contig = "chr1"
     ref_len = (n_vars + 2) * spacing
@@ -260,15 +302,17 @@ def generate_trio(
         bf.write(seg)
     bf.close()
     build_minimal_index(str(bam))
-    return {
+    info = {
         "fasta": str(fasta),
         "bam": str(bam),
         "vcf": str(vcf),
         "ped": str(ped),
         "n_vars": n_vars,
         "n_reads": len(reads),
-        "samples": {k: v for k, v in samples.items()},
+        "samples": {k: list(v) for k, v in samples.items()},
     }
+    _store_cached(out, params, info)
+    return info
 
 
 if __name__ == "__main__":

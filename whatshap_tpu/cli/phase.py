@@ -62,6 +62,10 @@ __author__ = "Murray Patterson, Alexander Schönhuth, Tobias Marschall, Marcel M
 
 logger = logging.getLogger(__name__)
 
+#: StageTimer of the most recent run_whatshap call — bench.py reads it to
+#: publish a per-stage wall-clock breakdown next to each end-to-end number.
+LAST_TIMERS = None
+
 
 # ---------------------------------------------------------------------------
 # connected components of variants
@@ -880,7 +884,8 @@ def run_whatshap(
     if algorithm == "hapchat" and ped is not None:
         raise CommandLineError("The hapchat algorithm cannot do pedigree phasing")
 
-    timers = StageTimer()
+    global LAST_TIMERS
+    timers = LAST_TIMERS = StageTimer()
     logger.info(
         f"This is whatshap-tpu {__version__} running under Python {platform.python_version()}"
     )

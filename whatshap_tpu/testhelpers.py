@@ -1,46 +1,52 @@
 """
-Utility functions only used by unit tests.
+Test-support helpers: ASCII allele-matrix fixtures and a brute-force MEC
+oracle.
 
-Behavior parity with whatshap/testhelpers.py (ASCII-art allele matrices to
-ReadSets; brute-force MEC oracle enumerating all bipartitions).
+The fixture *format* is a parity contract with the reference test suite
+(whatshap/testhelpers.py defines it): each line of an ASCII block is one
+read, each character column one variant at position (col+1)*10, spaces are
+uncovered sites, and an optional parallel block gives per-site phred
+weights.  The implementation here is the repo's own: fixtures parse into a
+dense numpy allele/weight matrix first, and the brute-force oracle scores
+every bipartition with one matrix product instead of walking reads per
+partition per column.
 """
 
 import math
 import textwrap
-from collections import defaultdict
 
-from .core import PhredGenotypeLikelihoods, Read, ReadSet, Genotype
+import numpy as np
+
+from .core import Genotype, PhredGenotypeLikelihoods, Read, ReadSet
 
 
 def likelihoods_equal(a: PhredGenotypeLikelihoods, b: PhredGenotypeLikelihoods):
-    for gt in a.genotypes():
-        if not math.isclose(a[gt], b[gt], abs_tol=1e-9):
-            return False
-    return True
+    return all(math.isclose(a[gt], b[gt], abs_tol=1e-9) for gt in a.genotypes())
+
+
+def _parse_matrix(block):
+    """ASCII block -> list of rows, each a list of (column, value) pairs."""
+    rows = []
+    for line in textwrap.dedent(block).strip().split("\n"):
+        if line:
+            rows.append([(col, int(ch)) for col, ch in enumerate(line) if ch != " "])
+    return rows
 
 
 def string_to_readset(s, w=None, sample_ids=None, source_id=0, scale_quality=None):
-    s = textwrap.dedent(s).strip()
-    if w is not None:
-        w = textwrap.dedent(w).strip().split("\n")
+    """Build a ReadSet from an ASCII allele matrix (optionally with a
+    parallel weight matrix `w`); variant positions are (column+1)*10."""
+    alleles = _parse_matrix(s)
+    weights = None if w is None else textwrap.dedent(w).strip().split("\n")
     rs = ReadSet()
-    for index, line in enumerate(s.split("\n")):
-        if len(line) == 0:
-            continue
-        if sample_ids is None:
-            read = Read(f"Read {index + 1}", 50, source_id)
-        else:
-            read = Read(f"Read {index + 1}", 50, source_id, sample_ids[index])
-        for pos, c in enumerate(line):
-            if c == " ":
-                continue
-            q = 1
-            if w is not None:
-                q = int(w[index][pos])
+    for i, row in enumerate(alleles):
+        sid = 0 if sample_ids is None else sample_ids[i]
+        read = Read(f"Read {i + 1}", 50, source_id, sid)
+        for col, allele in row:
+            q = 1 if weights is None else int(weights[i][col])
             if scale_quality is not None:
-                read.add_variant(position=(pos + 1) * 10, allele=int(c), quality=q * scale_quality)
-            else:
-                read.add_variant(position=(pos + 1) * 10, allele=int(c), quality=q)
+                q *= scale_quality
+            read.add_variant(position=(col + 1) * 10, allele=allele, quality=q)
         assert len(read) > 1, "Reads covering less than two variants are not allowed"
         rs.add(read)
     print(rs)
@@ -48,149 +54,124 @@ def string_to_readset(s, w=None, sample_ids=None, source_id=0, scale_quality=Non
 
 
 def string_to_readset_pedigree(s, w=None, scaling_quality=None):
-    s = textwrap.dedent(s).strip()
-    read_sources = []
-    s2 = ""
-    for line in s.split("\n"):
-        if len(line) == 0:
-            continue
-        individual = ord(line[0]) - ord("A")
+    """Pedigree variant of the ASCII format: the first character of each
+    line names the individual (A, B, C, ...)."""
+    lines = [ln for ln in textwrap.dedent(s).strip().split("\n") if ln]
+    sources = []
+    for ln in lines:
+        individual = ord(ln[0]) - ord("A")
         assert 0 <= individual < 26
-        read_sources.append(individual)
-        s2 += line[1:] + "\n"
-    rs = string_to_readset(s=s2, w=w, sample_ids=read_sources, scale_quality=scaling_quality)
-    print("read_sources:", read_sources)
+        sources.append(individual)
+    body = "\n".join(ln[1:] for ln in lines)
+    rs = string_to_readset(
+        s=body, w=w, sample_ids=sources, scale_quality=scaling_quality
+    )
+    print("read_sources:", sources)
     return rs
 
 
 def matrix_to_readset(lines):
+    """Build a ReadSet from the sparse `.matrix` fixture format: each line
+    is `index (offset alleles)+` with 1-based contiguous indices."""
     rs = ReadSet()
-    index_tracker = 0
-    for line in lines:
-        s = line.split()
-        assert len(s) % 2 == 1, "Not in matrix format."
-
-        index = int(s[0])
-        index_tracker += 1
-        assert index == index_tracker, "Not in matrix format."
-
-        read = Read(f"Read {index}", 50)
-        for i in range(int(len(s) / 2)):
-            offset = int(s[2 * i + 1])
-            for pos, c in enumerate(s[2 * i + 2]):
-                read.add_variant(position=(offset + pos) * 10, allele=int(c), quality=1)
-
+    for expected_index, line in enumerate(lines, start=1):
+        fields = line.split()
+        assert len(fields) % 2 == 1, "Not in matrix format."
+        assert int(fields[0]) == expected_index, "Not in matrix format."
+        read = Read(f"Read {expected_index}", 50)
+        for offset_str, run in zip(fields[1::2], fields[2::2]):
+            offset = int(offset_str)
+            for j, ch in enumerate(run):
+                read.add_variant(position=(offset + j) * 10, allele=int(ch), quality=1)
         rs.add(read)
-
     print(rs)
     return rs
 
 
-def flip_cost(variant, target_value):
-    """Returns cost of flipping the given read variant to target_value."""
-    if variant.allele == target_value:
-        return 0
-    else:
-        return variant.quality
+def _readset_to_arrays(read_set):
+    """Dense (reads x positions) allele/weight matrices; allele -1 = blank."""
+    positions = read_set.get_positions()
+    col_of = {p: i for i, p in enumerate(positions)}
+    R, P = len(read_set), len(positions)
+    alleles = np.full((R, P), -1, dtype=np.int64)
+    weights = np.zeros((R, P), dtype=np.int64)
+    for r, read in enumerate(read_set):
+        for v in read:
+            c = col_of[v.position]
+            alleles[r, c] = v.allele
+            weights[r, c] = v.quality
+    return alleles, weights
 
 
-def is_ambiguous(assignments):
-    sets = [set(), set()]
-    for assignment in assignments:
-        for s, allele in zip(sets, assignment):
-            s.add(allele)
-    return [len(s) > 1 for s in sets]
-
-
-def column_cost(variants, possible_assignments):
-    """Compute cost for one position and return the minimum cost assignment.
-    Returns ('X','X') if minimum is not unique (i.e. a "tie")."""
-    costs = []
-    for allele1, allele2 in possible_assignments:
-        cost1 = sum(flip_cost(v, allele1) for v in variants[0])
-        cost2 = sum(flip_cost(v, allele2) for v in variants[1])
-        costs.append(cost1 + cost2)
-    l = [(cost, i) for i, cost in enumerate(costs)]
-    l.sort()
-    min_cost = l[0][0]
-    best_assignment = list(possible_assignments[l[0][1]])
-    # check for ties
-    counts = defaultdict(int)
-    for cost, index in l:
-        counts[cost] += 1
-    ties = counts[min_cost]
-    ambiguous = is_ambiguous([possible_assignments[i] for cost, i in l[:ties]])
-    for i in range(2):
-        if ambiguous[i]:
-            best_assignment[i] = 3
-    return min_cost, best_assignment
+def _haplotype_with_ties(assign_costs, assignments):
+    """Per column: minimum-cost assignment with EQUAL_SCORES (allele 3)
+    marking any haplotype whose allele differs among the tied minima.
+    assign_costs: (nA, P); assignments: (nA, 2)."""
+    P = assign_costs.shape[1]
+    mins = assign_costs.min(axis=0)
+    hap = np.empty((P, 2), dtype=np.int64)
+    for side in (0, 1):
+        vals = assignments[:, side][:, None]  # (nA, 1)
+        tied = assign_costs == mins[None, :]
+        lo = np.where(tied, vals, np.iinfo(np.int64).max).min(axis=0)
+        hi = np.where(tied, vals, np.iinfo(np.int64).min).max(axis=0)
+        first = assignments[np.argmin(assign_costs, axis=0), side]
+        hap[:, side] = np.where(lo != hi, 3, first)
+    return mins, hap
 
 
 def brute_force_phase(read_set, all_heterozygous):
-    """Solves MEC by enumerating all possible bipartitions."""
-
-    def print(*args):
-        pass
-
-    assert len(read_set) < 10, "Too many reads for brute force"
-    positions = read_set.get_positions()
+    """Exact MEC by exhaustive bipartition enumeration, as a matrix product:
+    cost[a0->side] = (partition indicator) @ (per-read flip cost), so all
+    2^R partitions score in one shot.  Returns (cost, partition per read,
+    #solutions//2, haplotype1, haplotype2) like the reference oracle."""
+    R = len(read_set)
+    assert R < 10, "Too many reads for brute force"
+    alleles, weights = _readset_to_arrays(read_set)
+    P = alleles.shape[1]
     if all_heterozygous:
-        possible_assignments = [(0, 1), (1, 0)]
+        assignments = np.array([(0, 1), (1, 0)], dtype=np.int64)
     else:
-        possible_assignments = [(0, 0), (0, 1), (1, 0), (1, 1)]
-    # bit i in "partition" encodes to which set read i belongs
-    best_partition = None
-    best_cost = None
-    best_haplotypes = None
-    solution_count = 0
-    for partition in range(2 ** len(read_set)):
-        print(f"Looking at partition {partition:0>{len(read_set)}b}")
-        # compute cost induced by that partition
-        cost = 0
-        haplotypes = []
-        for p in positions:
-            # find variants covering this position
-            variants = [[], []]
-            for n, read in enumerate(read_set):
-                i = (partition >> n) & 1
-                for variant in read:
-                    if variant.position == p:
-                        variants[i].append(variant)
-            c, assignment = column_cost(variants, possible_assignments)
-            print(f"    position: {p}, variants: {str(variants)} --> cost = {c}")
-            cost += c
-            haplotypes.append(assignment)
-        print("  --> cost for this partitioning:", cost)
-        if (best_cost is None) or (cost < best_cost):
-            best_partition = partition
-            best_cost = cost
-            best_haplotypes = haplotypes
-            solution_count = 1
-        elif cost == best_cost:
-            solution_count += 1
-    # Each partition has its inverse with the same cost
+        assignments = np.array([(0, 0), (0, 1), (1, 0), (1, 1)], dtype=np.int64)
+
+    # flip[a, r, p]: cost of read r's observation at p under target allele a
+    flip = np.stack(
+        [np.where(alleles == 1, weights, 0), np.where(alleles == 0, weights, 0)]
+    )
+    # side membership of every read under every partition mask
+    masks = (np.arange(1 << R)[:, None] >> np.arange(R)[None, :]) & 1  # (2^R, R)
+    side = np.stack([1 - masks, masks]).astype(np.int64)  # (2, 2^R, R)
+    # cost_sa[side, allele, partition, position]
+    cost_sa = np.einsum("smr,arp->samp", side, flip)
+    # per-assignment cost: side 0 gets allele a0, side 1 gets a1
+    assign_costs = (
+        cost_sa[0, assignments[:, 0]] + cost_sa[1, assignments[:, 1]]
+    )  # (nA, 2^R, P)
+    totals = assign_costs.min(axis=0).sum(axis=1)  # (2^R,)
+
+    best_cost = int(totals.min())
+    best_partition = int(np.argmin(totals))
+    solution_count = int((totals == best_cost).sum())
+    # every partition pairs with its complement at the same cost
     assert solution_count % 2 == 0
-    haplotype1 = "".join([str(allele1) for allele1, allele2 in best_haplotypes])
-    haplotype2 = "".join([str(allele2) for allele1, allele2 in best_haplotypes])
+
+    _, hap = _haplotype_with_ties(assign_costs[:, best_partition, :], assignments)
     return (
         best_cost,
-        [(best_partition >> x) & 1 for x in range(len(read_set))],
+        [(best_partition >> r) & 1 for r in range(R)],
         solution_count // 2,
-        haplotype1,
-        haplotype2,
+        "".join(str(a) for a in hap[:, 0]),
+        "".join(str(a) for a in hap[:, 1]),
     )
 
 
 def canonic_index_to_biallelic_gt(num_alt, ploidy=2):
-    """Takes the numeric VCF representation of a biallelic genotype and given
-    ploidy and converts it into a Genotype object."""
+    """Numeric VCF genotype index + ploidy -> biallelic Genotype object."""
     if 0 <= num_alt <= ploidy:
-        return Genotype([0] * (ploidy - num_alt) + [1] * (num_alt))
-    else:
-        return Genotype([])
+        return Genotype([0] * (ploidy - num_alt) + [1] * num_alt)
+    return Genotype([])
 
 
 def canonic_index_list_to_biallelic_gt_list(list_int, ploidy=2):
-    """Returns a list of diploid, biallelic genotype objects according to the
-    provided integer representation"""
+    """List version of canonic_index_to_biallelic_gt."""
     return [canonic_index_to_biallelic_gt(i, ploidy) for i in list_int]
