@@ -57,6 +57,10 @@ struct Graph {
     int n = 0;
     std::unordered_map<uint64_t, int> rank;  // (u,v) -> rank id (1-based)
     std::unordered_map<int64_t, int> rank_by_id;  // edge id -> rank (for the quirk)
+    // rank_by_id is only ever probed with a RANK as the key (the reference
+    // quirk in setPermanent's second loop) and never mutated after
+    // construction, so the probe collapses to a static per-rank boolean
+    std::vector<char> rank_quirk_hit;
     std::vector<float> weight;               // rank -> weight; [0] = 0
     std::vector<std::pair<int, int>> edges;  // rank -> (u, v)
     std::vector<std::vector<int>> unpruned, nonzero, cliques;
@@ -460,8 +464,7 @@ struct Solver {
             int r = g.findIndex(u, w);
             // reference quirk: the second loop checks findIndex of the RANK
             // treated as an edge id
-            auto it = g.rank_by_id.find((int64_t)r);
-            if (it != g.rank_by_id.end() && it->second > 0)
+            if (r >= 0 && (size_t)r < g.rank_quirk_hit.size() && g.rank_quirk_hit[r])
                 updateTriplePermanentUW(uv, g.findIndex(v, w), g.weight[r]);
         }
         if (uv < 0) totalCost -= uv;
@@ -624,6 +627,11 @@ long long wh_cluster_run(int n_nodes, long long n_edges, const int* us, const in
         g.refresh(u, v, 0.0f, w);
     }
     g.buildIndex();
+    g.rank_quirk_hit.assign(g.weight.size(), 0);
+    for (size_t r = 1; r < g.weight.size(); ++r) {
+        auto it = g.rank_by_id.find((int64_t)r);
+        if (it != g.rank_by_id.end() && it->second > 0) g.rank_quirk_hit[r] = 1;
+    }
     Solver solver(std::move(g), bundle_edges != 0);
     auto clusters = solver.run();
     g_out_nodes.clear();

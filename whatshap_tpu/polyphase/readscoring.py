@@ -19,6 +19,10 @@ from .trianglesparse import TriangleSparseMatrix
 _DBL_MAX = 1.7976931348623157e308
 _U32_MASK = 0xFFFFFFFF
 
+#: process-wide per-position LUT cache, keyed by
+#: (allele-depth vector, ploidy, err, numAlleles) — see scoreReadset
+_LUT_CACHE: Dict[Tuple, List[List[float]]] = {}
+
 
 def _f32(v: float) -> float:
     return struct.unpack("f", struct.pack("f", v))[0]
@@ -239,40 +243,44 @@ class ReadScoring:
         if err == 0.0:
             err = _estimate_allele_error_rate(am, ploidy)
 
-        # Genotype likelihoods depend on the position only through its
-        # allele-depth vector, so identical depth vectors (very common along
-        # a chromosome) share one computation — values are exactly those of
-        # the per-position loop.
-        gl: List[Dict[Genotype, float]] = []
-        occ = {}
-        gl_cache: Dict[Tuple[int, ...], Dict[Genotype, float]] = {}
-        for i in range(am.getNumPositions()):
-            depths = tuple(am.getAlleleDepths(i))
-            col = gl_cache.get(depths)
-            if col is None:
-                col = computeGenotypeLikelihoods(list(depths), ploidy, err)
-                gl_cache[depths] = col
-            gl.append(col)
-            for g in col:
-                occ[g] = True
-        occGenotypes = list(occ)
-        gMap = {g: i for i, g in enumerate(occGenotypes)}
+        # The per-position score LUT is a pure function of (allele-depth
+        # vector, ploidy, err, numAlleles): the genotype likelihood column
+        # is determined by the depths, and each apls/apld entry depends
+        # only on its own genotype.  Depth vectors repeat heavily along a
+        # chromosome AND across blocks, so the cache is process-wide.
         numAlleles = am.getMaxNumAllele()
-        apls, apld = _compute_allele_pair_likelihoods(occGenotypes, numAlleles, err)
+        depths_list = [
+            tuple(am.getAlleleDepths(i)) for i in range(am.getNumPositions())
+        ]
+        if len(_LUT_CACHE) > (1 << 16):
+            _LUT_CACHE.clear()
+        missing = []
+        seen = set()
+        for depths in depths_list:
+            key = (depths, ploidy, err, numAlleles)
+            if key not in _LUT_CACHE and key not in seen:
+                seen.add(key)
+                missing.append((key, depths))
+        if missing:
+            cols = [
+                computeGenotypeLikelihoods(list(depths), ploidy, err)
+                for _key, depths in missing
+            ]
+            occ = {}
+            for col in cols:
+                for g in col:
+                    occ[g] = True
+            occGenotypes = list(occ)
+            gMap = {g: i for i, g in enumerate(occGenotypes)}
+            apls, apld = _compute_allele_pair_likelihoods(occGenotypes, numAlleles, err)
+            for (key, _depths), col in zip(missing, cols):
+                _LUT_CACHE[key] = _single_pos_table(numAlleles, col, gMap, apls, apld)
+        luts = [
+            _LUT_CACHE[(depths, ploidy, err, numAlleles)] for depths in depths_list
+        ]
 
         sortedReads = sorted(range(am.size()), key=am.getFirstPos)
         offset = _f32(-math.log(ploidy * (1.0 - 1.0 / ploidy)))
-
-        # the LUT is a pure function of the (shared) gl dict within one call
-        lut_cache: Dict[int, List[List[float]]] = {}
-        luts = []
-        for pos in range(am.getNumPositions()):
-            key = id(gl[pos])
-            lut = lut_cache.get(key)
-            if lut is None:
-                lut = _single_pos_table(numAlleles, gl[pos], gMap, apls, apld)
-                lut_cache[key] = lut
-            luts.append(lut)
         reads_cache = [am.getRead(r) for r in range(am.size())]
 
         nans = self._score_pairs_native(
