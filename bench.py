@@ -1121,10 +1121,26 @@ def bench_scaling_model():
     rate = nb * nc * T * (1 << K) / dt_big  # states/sec
 
     def model_time(n, ls):
-        total = 0.0
+        """Replay _launch_batched's exact launch structure at n devices:
+        per-shape block totals are split into chunks bounded by the
+        PER-DEVICE HBM table budget times n (the chunk cap scales with the
+        mesh, wmec._launch_batched), each chunk pays one dispatch overhead
+        and runs ceil(chunk/n) blocks per device."""
+        from whatshap_tpu.ops.wmec import HBM_TABLE_BUDGET
+
+        shape_blocks = {}
         for (k, t, c, _b, b_pad, _nd) in ls:
-            per_dev_blocks = math.ceil(b_pad / n)
-            total += per_dev_blocks * c * t * (1 << k) / rate + overhead
+            key = (k, t, c)
+            shape_blocks[key] = shape_blocks.get(key, 0) + b_pad
+        total = 0.0
+        for (k, t, c), blocks in shape_blocks.items():
+            per_block_bytes = c * t * (1 << k) * 4 * 2
+            max_b = max(1, HBM_TABLE_BUDGET // max(per_block_bytes, 1)) * n
+            remaining = blocks
+            while remaining > 0:
+                chunk = min(remaining, max_b)
+                total += math.ceil(chunk / n) * c * t * (1 << k) / rate + overhead
+                remaining -= chunk
         return total
 
     def model_eff(ls):

@@ -152,3 +152,41 @@ def test_solve_packed_list_mixed_tp_rejected():
     _, _, _, trio, _ = workloads.build_trio_batch(1, n_pos=8, n_reads=9, seed=8, c_pad=8)
     with pytest.raises(ValueError):
         wmec.solve_packed_list(single + trio)
+
+
+def test_b_tier_ladder():
+    from whatshap_tpu.ops import wmec
+
+    assert wmec._b_tier(1) == 1
+    assert wmec._b_tier(5) == 6
+    assert wmec._b_tier(63) == 64
+    assert wmec._b_tier(65) == 96
+    assert wmec._b_tier(9999) == 9999  # beyond ladder: unchanged
+    assert wmec._b_tier_floor(238) == 192
+    assert wmec._b_tier_floor(1) == 1
+    # ladder steps are <= 1.5x (after the tiny head) so padded compute
+    # waste is bounded by a third
+    for a, b in zip(wmec._B_TIERS, wmec._B_TIERS[1:]):
+        assert b <= max(a * 1.5, a + 1)
+
+
+def test_prep_batch_and_slice_b_roundtrip():
+    import numpy as np
+
+    from whatshap_tpu.ops import wmec
+
+    arrs = (np.arange(12.0).reshape(3, 4), np.ones((3, 2), bool))
+    padded = tuple(np.asarray(x) for x in wmec._prep_batch(1, 6, *arrs))
+    assert all(a.shape[0] == 6 for a in padded)
+    # padding replicates block 0
+    assert (padded[0][3:] == arrs[0][0]).all()
+    # repeat happens before padding (the seam route's T unit seeds)
+    rep = tuple(np.asarray(x) for x in wmec._prep_batch(2, 8, *arrs))
+    assert rep[0].shape[0] == 8
+    assert (rep[0][:6] == np.repeat(arrs[0], 2, axis=0)).all()
+    assert (rep[0][6:] == arrs[0][0]).all()
+    # tuple and single-array results both slice back
+    out = wmec._slice_b(tuple(padded), 3)
+    assert all((o == a).all() for o, a in zip(out, arrs))
+    single = wmec._slice_b(padded[0], 3)
+    assert (single == arrs[0]).all()

@@ -811,13 +811,7 @@ def solve_seeded_batched_pallas(
     cost_head, opt_trans, opt_idx = wp._select_optimum(K, T, dp_last, key_last)
     jm = jmin_last.reshape(B, T, S)
     prev_trans = jax.vmap(lambda j, t, s: j[t, s])(jm, opt_trans, opt_idx)
-    init = jnp.stack([opt_idx, opt_trans, prev_trans], axis=1)
-    ip_head, tp_head, fin_head = wp.backtrace_pallas_t(
-        K, T, init, pidx, pjmin, interpret=interpret
-    )
-    # the backtrace kernel's final state walks one extra step through
-    # column 0; its middle element is exactly _backtrace_from's seam_prev
-    seam_head = fin_head[:, 1]
+    head_init = jnp.stack([opt_idx, opt_trans, prev_trans], axis=1)  # (B, 3)
 
     # seam fold with the NEXT block's first-column die flags (same XLA fold
     # as the scan path — tiny relative to the forward pass)
@@ -830,24 +824,25 @@ def solve_seeded_batched_pallas(
     m = fc[:, 0, :]
     s_star = fi[:, 0, :]
     jmin_star = fj[:, 0, :]
-    ips, tps, seams = [], [], []
-    for t in range(T):
-        init_t = jnp.stack(
-            [s_star[:, t], jnp.full((B,), t, jnp.int32), jmin_star[:, t]], axis=1
-        )
-        ip, tp, fin = wp.backtrace_pallas_t(K, T, init_t, pidx, pjmin, interpret=interpret)
-        ips.append(ip)
-        tps.append(tp)
-        seams.append(fin[:, 1])
+    t_ids = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (B, T))
+    seam_inits = jnp.stack([s_star, t_ids, jmin_star], axis=2)  # (B, T, 3)
+
+    # head + T seam backtraces in ONE kernel launch sharing the tables
+    inits = jnp.concatenate([head_init[:, None, :], seam_inits], axis=1)
+    ips_all, tps_all, fins_all = wp.backtrace_pallas_t_multi(
+        K, T, T + 1, inits, pidx, pjmin, interpret=interpret
+    )
+    # the backtrace kernel's final state walks one extra step through
+    # column 0; its middle element is exactly _backtrace_from's seam_prev
     return (
         cost_head,
         m,
-        ip_head,
-        tp_head,
-        seam_head,
-        jnp.stack(ips, axis=1),
-        jnp.stack(tps, axis=1),
-        jnp.stack(seams, axis=1),
+        ips_all[:, 0],
+        tps_all[:, 0],
+        fins_all[:, 0, 1],
+        ips_all[:, 1:],
+        tps_all[:, 1:],
+        fins_all[:, 1:, 1],
     )
 
 
@@ -954,31 +949,113 @@ def _launch_sharded(kernel, K, T, P, *arrays, n_dev):
     out = fn(*arrays)
     _record_launch(K, T, arrays[0].shape[1], B, B + pad, n_dev)
     if pad:
-        out = tuple(x[:B] for x in out)
+        out = _slice_b(out, B)
     return out
+
+
+#: Batch-axis launch tiers (1.5-step ladder): every distinct batch size is
+#: a separate jit/Mosaic compile (the grid bakes B in), so an arbitrary
+#: workload would recompile per block count.  Padding B up to the next tier
+#: (replicating block 0; replica results are dropped) bounds the compile
+#: universe to ~2 tiers per (K, C) shape per chromosome at <= 33% padded
+#: compute — and makes the persistent cache (and tools/precompile.py)
+#: actually cover unseen workloads.
+_B_TIERS = [1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256,
+            384, 512, 768, 1024, 1536, 2048, 3072, 4096]
+
+
+def _b_tier(b: int) -> int:
+    for t in _B_TIERS:
+        if t >= b:
+            return t
+    return b
+
+
+def _b_tier_floor(b: int) -> int:
+    prev = _B_TIERS[0]
+    for t in _B_TIERS:
+        if t > b:
+            return prev
+        prev = t
+    return prev
+
+
+def _slice_b(out, b):
+    """Drop batch-padding rows from a kernel result (tuple of arrays or a
+    single array — forward_m returns one array)."""
+    if isinstance(out, tuple):
+        return tuple(x[:b] for x in out)
+    return out[:b]
+
+
+def _run_bucket_thunks(thunks):
+    """Run per-bucket launch thunks, in parallel threads when there are
+    several: each first-contact bucket shape pays a compile or a
+    persistent-cache executable load — several seconds of round trips on a
+    tunneled backend — and those RPCs release the GIL, so overlapping them
+    across buckets cuts cold start by the bucket count.  Results keep
+    thunk order; with one bucket this is a plain call."""
+    if len(thunks) <= 1:
+        return [f() for f in thunks]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, len(thunks))) as ex:
+        return list(ex.map(lambda f: f(), thunks))
+
+
+@partial(jax.jit, static_argnames=("reps", "bt"))
+def _prep_batch(reps, bt, *arrs):
+    """Fused launch-prep program: repeat each array `reps` times along the
+    batch axis (the pedigree seam route's T unit seeds), then pad the batch
+    to tier `bt` by replicating row 0.  One jitted program per bucket shape
+    — doing this with per-array jnp glue cost a dozen tiny executables per
+    bucket, each a ~0.3 s device-load round trip on a tunneled backend."""
+    if reps > 1:
+        arrs = tuple(jnp.repeat(a, reps, axis=0) for a in arrs)
+    b = arrs[0].shape[0]
+    if bt > b:
+        arrs = tuple(
+            jnp.concatenate([a, jnp.repeat(a[:1], bt - b, axis=0)], axis=0)
+            for a in arrs
+        )
+    return arrs
 
 
 def _launch_batched(kernel, K, T, P, arrays, per_block_bytes=0):
     """One batched kernel launch: sharded over the local mesh when more
-    than one device is attached (shard_map; parallel/mesh.py), and chunked
-    so per-device HBM-resident tables stay under HBM_TABLE_BUDGET when
+    than one device is attached (shard_map; parallel/mesh.py), chunked so
+    per-device HBM-resident tables stay under HBM_TABLE_BUDGET when
     `per_block_bytes` is given (e.g. K=15, T=4, C=256 backtrace tables need
     256 MiB/block — a B=64 launch would want 16 GiB and OOM a 16 GiB
-    part)."""
+    part), and batch-tier padded on accelerators (see _B_TIERS)."""
     enable_persistent_cache()
     B = arrays[0].shape[0]
     n_dev = _mesh_devices()
+    on_accel = jax.default_backend() != "cpu"
     if n_dev > 1 and B > 1:
-        launch = partial(_launch_sharded, kernel, n_dev=n_dev)
+        launch_raw = partial(_launch_sharded, kernel, n_dev=n_dev)
     else:
         n_dev = 1
 
-        def launch(K_, T_, P_, *arrs):
+        def launch_raw(K_, T_, P_, *arrs):
             _record_launch(K_, T_, arrs[0].shape[1], arrs[0].shape[0], arrs[0].shape[0], 1)
             return kernel(K_, T_, P_, *arrs)
 
-    if jax.default_backend() != "cpu" and per_block_bytes > 0:
+    def launch(K_, T_, P_, *arrs):
+        b = arrs[0].shape[0]
+        bt = _b_tier(b) if on_accel else b
+        if bt > b:
+            arrs = _prep_batch(1, bt, *arrs)
+        # trailing tier-padding rows (replicas of block 0) stay in the
+        # result: every caller indexes outputs by true block position, so
+        # slicing them off on device would only add programs
+        return launch_raw(K_, T_, P_, *arrs)
+
+    if on_accel and per_block_bytes > 0:
         max_b = max(n_dev, (HBM_TABLE_BUDGET // per_block_bytes) * n_dev)
+        # floor the chunk size to a tier so tier padding never exceeds the
+        # HBM table budget
+        max_b = max(n_dev, _b_tier_floor(max_b))
         if B > max_b:
             parts = [
                 launch(K, T, P, *(a[i : i + max_b] for a in arrays))
@@ -1120,6 +1197,7 @@ def run_dp_batched(packed: PackedProblem) -> Optional[DPResult]:
     if len(ranges) <= 1:
         return None
 
+    enable_persistent_cache()  # before the first glue jnp op of the route
     on_accel = jax.default_backend() != "cpu"
 
     buckets: dict = {}  # (c_pad, k_b) -> list of (range_index, PaddedArrays)
@@ -1129,15 +1207,23 @@ def run_dp_batched(packed: PackedProblem) -> Optional[DPResult]:
     total_cost = 0
     index_path = np.zeros(C, dtype=np.int64)
     trans_path = np.zeros(C, dtype=np.int64)
-    # Dispatch every bucket's launch before fetching anything: jit dispatch
-    # is async, while each jax.device_get call is one host<->device round
+    # Dispatch every bucket's launch before fetching anything (parallel
+    # threads: first-contact compiles/loads overlap): jit dispatch is
+    # async, while each jax.device_get call is one host<->device round
     # trip (tens of ms over a tunnel) — one fetch for all buckets, not one
     # per output array per bucket.
-    pending = []
-    for (c_pad, k_b), members in buckets.items():
+    def _bucket_thunk(k_b, members):
         stacked = stack_blocks([arrs for _, arrs in members])
-        out = solve_batched_auto(k_b, T, P, *[jnp.asarray(x) for x in stacked])
-        pending.append((members, out))
+        return members, solve_batched_auto(
+            k_b, T, P, *[jnp.asarray(x) for x in stacked]
+        )
+
+    pending = _run_bucket_thunks(
+        [
+            partial(_bucket_thunk, k_b, members)
+            for (c_pad, k_b), members in buckets.items()
+        ]
+    )
     fetched = jax.device_get([out for _, out in pending])
     for (members, _), (costs, index_paths, trans_paths) in zip(pending, fetched):
         index_paths = np.asarray(index_paths, dtype=np.int64)
@@ -1190,6 +1276,7 @@ def run_dp_batched_pedigree(packed: PackedProblem) -> Optional[DPResult]:
     if nb <= 1:
         return None
 
+    enable_persistent_cache()  # before the first glue jnp op of the route
     on_accel = jax.default_backend() != "cpu"
     blocks = list(_slice_ranges(packed, ranges, on_accel))
     die_next = []
@@ -1219,21 +1306,40 @@ def run_dp_batched_pedigree(packed: PackedProblem) -> Optional[DPResult]:
 
     G = np.zeros((nb, T, T), dtype=np.int64)
     stacked_by_bucket = {}
-    pending_m = []
-    for (c_pad, k_b), idxs in buckets.items():
-        stacked = stack_blocks([blocks[ri][2] for ri in idxs])
-        stacked_by_bucket[(c_pad, k_b)] = stacked
+
+    def _pass1_thunk(c_pad, k_b, idxs):
+        stacked = stacked_by_bucket[(c_pad, k_b)]
         B = len(idxs)
         dp0 = np.tile(unit_seeds, (B, 1))
-        if on_accel and wmec_pallas.kernel_supported(k_b, T, P):
-            # VMEM-resident kernel; the T-fold seed repeat runs on device
-            rep = tuple(jnp.repeat(jnp.asarray(x), T, axis=0) for x in stacked)
-            kern = wmec_pallas.forward_m_seeded_pallas
+        if on_accel:
+            # fused repeat+tier-pad in one device program; dp0 pads on the
+            # host (numpy, free) to the same tier
+            bt = _b_tier(B * T)
+            rep = _prep_batch(T, bt, *stacked)
+            if bt > B * T:
+                dp0 = np.concatenate(
+                    [dp0, np.repeat(dp0[:1], bt - B * T, axis=0)], axis=0
+                )
+            kern = (
+                wmec_pallas.forward_m_seeded_pallas
+                if wmec_pallas.kernel_supported(k_b, T, P)
+                else forward_m_batched
+            )
         else:
             rep = tuple(np.repeat(x, T, axis=0) for x in stacked)
             kern = forward_m_batched
-        m_out = _launch_batched(kern, k_b, T, P, rep + (dp0,))
-        pending_m.append((idxs, m_out))
+        return idxs, _launch_batched(kern, k_b, T, P, rep + (dp0,))
+
+    for (c_pad, k_b), idxs in buckets.items():
+        stacked_by_bucket[(c_pad, k_b)] = stack_blocks(
+            [blocks[ri][2] for ri in idxs]
+        )
+    pending_m = _run_bucket_thunks(
+        [
+            partial(_pass1_thunk, c_pad, k_b, idxs)
+            for (c_pad, k_b), idxs in buckets.items()
+        ]
+    )
     for (idxs, _), m_out in zip(
         pending_m, jax.device_get([m for _, m in pending_m])
     ):
@@ -1251,8 +1357,8 @@ def run_dp_batched_pedigree(packed: PackedProblem) -> Optional[DPResult]:
     # ---- pass 2: seeded solves with per-seam backtraces ----
     # Same dispatch-all-then-fetch-once pattern as pass 1.
     per_block_out = [None] * nb
-    pending_out = []
-    for (c_pad, k_b), idxs in buckets.items():
+
+    def _pass2_thunk(c_pad, k_b, idxs):
         stacked = stacked_by_bucket[(c_pad, k_b)]
         dp0 = np.stack([m_in[ri].astype(np.int32) for ri in idxs])
         dnext = np.stack([die_next[ri] for ri in idxs])
@@ -1272,7 +1378,14 @@ def run_dp_batched_pedigree(packed: PackedProblem) -> Optional[DPResult]:
             stacked + (dp0, dnext),
             per_block_bytes=per_block,
         )
-        pending_out.append((idxs, out))
+        return idxs, out
+
+    pending_out = _run_bucket_thunks(
+        [
+            partial(_pass2_thunk, c_pad, k_b, idxs)
+            for (c_pad, k_b), idxs in buckets.items()
+        ]
+    )
     for (idxs, _), out in zip(
         pending_out, jax.device_get([o for _, o in pending_out])
     ):

@@ -760,6 +760,56 @@ def backtrace_pallas_t(K, T, init, pidx, pjmin, interpret=False):
     return path.reshape(B, C), tpath.reshape(B, C), final.reshape(B, 3)
 
 
+@partial(jax.jit, static_argnames=("K", "T", "M", "interpret"))
+def backtrace_pallas_t_multi(K, T, M, init, pidx, pjmin, interpret=False):
+    """M independent general-T backtraces per block sharing one set of
+    projection tables (the seam route walks 1 head + T seam paths through
+    the SAME tables).  One pallas_call with grid (B*M, chunks) whose table
+    index maps read block b // M — a single kernel payload in the
+    executable instead of M duplicates (the seeded-solve executables were
+    dominated by repeated backtrace kernels, which made persistent-cache
+    loads seconds each).  init (B, M, 3); returns paths (B, M, C) and
+    finals (B, M, 3), identical to M separate backtrace_pallas_t calls."""
+    B, C = pidx.shape[0], pidx.shape[1]
+    S = 1 << K
+    R = S >> LANE_BITS
+    CC = 1 if interpret else _bt_chunk(C, T * R * LANES * 4, T=T)
+    nchunks = C // CC
+    kernel = _make_backtrace_kernel_t(K, T, C, CC)
+    BM = B * M
+    table_spec = pl.BlockSpec(
+        (1, CC, T, R, LANES),
+        lambda b, j: (b // M, nchunks - 1 - j, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    path, tpath, final = pl.pallas_call(
+        kernel,
+        grid=(BM, nchunks),
+        out_shape=[
+            jax.ShapeDtypeStruct((BM, C, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((BM, C, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((BM, 1, 1, 3), jnp.int32),
+        ],
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, 3), lambda b, j: (b, 0, 0, 0), memory_space=pltpu.SMEM),
+            table_spec,
+            table_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, CC, 1, 1), lambda b, j: (b, nchunks - 1 - j, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, CC, 1, 1), lambda b, j: (b, nchunks - 1 - j, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec((1, 1, 1, 3), lambda b, j: (b, 0, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[pltpu.SMEM((3,), jnp.int32)],
+        interpret=interpret,
+    )(init.reshape(BM, 1, 1, 3), pidx, pjmin)
+    return path.reshape(B, M, C), tpath.reshape(B, M, C), final.reshape(B, M, 3)
+
+
 @partial(jax.jit, static_argnames=("K", "interpret"))
 def backtrace_pallas(K, opt_idx, pidx, interpret=False):
     """Batched T == 1 backtrace.  opt_idx (B,) i32 is the selected final

@@ -47,7 +47,10 @@ def enable_persistent_cache() -> None:
         )
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # threshold 0: on a tunneled backend even a trivial broadcast/reshape
+        # compile is a ~0.5 s compiler round trip, and a cold CLI run makes
+        # dozens of them — cache every executable, not just the big kernels
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         logger.debug("persistent compilation cache at %s", cache_dir)
     except Exception as exc:  # pragma: no cover - cache is best-effort
