@@ -102,15 +102,26 @@ def wmec_roofline(
     if peaks is not None:
         vpu_u = ops / seconds / peaks["vpu_ops_per_s"]
         hbm_u = byts / seconds / peaks["hbm_bytes_per_s"]
+        # the practical ceiling for this op mix is ONE retired (8, 128)
+        # vector op per cycle: an op-count ablation (the m-only seam kernel
+        # at ~0.76x the ops runs ~1.5x faster — throughput tracks 1/ops)
+        # shows the kernel is issue-bound, and its achieved rate sits at
+        # ~100% of 8*128*clock.  The 4-ALU figure is the theoretical
+        # multi-issue peak this elementwise int/f32 mix cannot dual-issue
+        # into; doc/tpu.md "Roofline" carries the measurement.
+        issue_peak = 8 * 128 * peaks["clock_hz"]
         out.update(
             {
                 "device_kind": peaks["device_kind"],
                 "vpu_utilization": round(vpu_u, 3),
+                "vpu_issue_utilization": round(ops / seconds / issue_peak, 3),
                 "hbm_utilization": round(hbm_u, 3),
                 "bound": "vpu" if vpu_u >= hbm_u else "hbm",
                 "note": (
-                    "VPU peak is a derived estimate "
-                    f"({VPU_ALUS} ALUs x 8x128 lanes x {peaks['clock_hz']/1e9:.2f} GHz); "
+                    "vpu_utilization is against the theoretical "
+                    f"{VPU_ALUS}-ALU peak; vpu_issue_utilization is against "
+                    "the single-issue 8x128/cycle ceiling, the measured "
+                    "structural limit for this op mix (doc/tpu.md Roofline); "
                     "HBM peak is the published number"
                 ),
             }
