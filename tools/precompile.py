@@ -84,17 +84,17 @@ def main():
     tiers = [t for t in wmec._B_TIERS if t <= 256]
     small = [1, 2, 4, 8, 24, 64, 192]
     plans = []
-    # single-sample exact solve (T=1, P=2): K16 is the default-coverage
-    # tier; others get the small ladder unless --full
-    for k in (8, 10, 12, 14, 16):
-        bt = tiers if (args.full or k == 16) else small
+    # single-sample exact solve (T=1, P=2): K15 is the default-coverage
+    # tier (exact-K bucketing); others get the small ladder unless --full
+    for k in range(8, 17):
+        bt = tiers if (args.full or k in (14, 15, 16)) else small
         for c in args.cols:
             plans += [("solve", k, 1, 2, c, b) for b in bt]
     # trio seam route (T=4, P=4): K15 is the default tier
-    for k in (8, 10, 12, 14, 15):
+    for k in range(8, 16):
         if not wmec_pallas.kernel_supported(k, 4, 4):
             continue
-        bt = tiers if (args.full or k == 15) else small
+        bt = tiers if (args.full or k in (14, 15)) else small
         for c in args.cols:
             # pass-1 batches are B*T seeds; warm the same ladder
             plans += [("forward_m", k, 4, 4, c, b) for b in bt]

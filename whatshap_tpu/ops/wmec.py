@@ -1458,11 +1458,12 @@ MERGE_OVERHEAD_STATES = 2.5e7
 def _k_tier(k: int, T: int, P: int, on_accel: bool) -> int:
     """Launch-bucket slot count for a block of coverage k.
 
-    On accelerators, rounds up to the Pallas lane minimum and then to an
-    even tier (8, 10, 12, ...) when the kernel supports it: each distinct K
-    is a separate Mosaic compile (minutes on first use), so tiers trade at
-    most a 2x state padding for half the kernel shapes.  On CPU the XLA
-    scan compiles fast and exact K wins.
+    On accelerators, rounds up to the Pallas lane minimum only — K stays
+    exact above it.  Rounding odd K to even tiers (a round-3 rule to halve
+    Mosaic compile counts) doubled the state space of every odd-coverage
+    block; with the batch-tier ladder, the persistent compile cache and
+    tools/precompile.py bounding cold compiles, exact K wins (the default
+    coverage-15 workload runs 2^15 states per block, not 2^16).
     """
     from . import wmec_pallas
 
@@ -1471,10 +1472,7 @@ def _k_tier(k: int, T: int, P: int, on_accel: bool) -> int:
         max(k, wmec_pallas.LANE_BITS), T, P
     ):
         return k
-    k = max(k, wmec_pallas.LANE_BITS)
-    if (k & 1) and wmec_pallas.kernel_supported(k + 1, T, P):
-        k += 1
-    return k
+    return max(k, wmec_pallas.LANE_BITS)
 
 
 def bucket_packed_list(
