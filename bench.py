@@ -1027,6 +1027,7 @@ def _wmec_roofline(K, T, P, n_blocks, n_cols, seconds):
             "achieved_gops",
             "achieved_gbps",
             "vpu_utilization",
+            "vpu_issue_utilization",
             "hbm_utilization",
             "bound",
             "device_kind",

@@ -81,8 +81,8 @@ def main():
     from whatshap_tpu.utils.jaxcache import enable_persistent_cache
 
     enable_persistent_cache()
-    tiers = [t for t in wmec._B_TIERS if t <= 256]
-    small = [1, 2, 4, 8, 24, 64, 192]
+    tiers = [t for t in wmec._B_TIERS if t <= 384]
+    small = [1, 8, 64]
     plans = []
     # single-sample exact solve (T=1, P=2): K15 is the default-coverage
     # tier (exact-K bucketing); others get the small ladder unless --full
