@@ -1109,11 +1109,12 @@ def connected_column_ranges(packed: PackedProblem) -> List[Tuple[int, int]]:
     no transmission state to couple them).
     """
     C = packed.n_cols
-    starts = [0]
-    for c in range(1, C):
-        crossing = packed.active[c - 1] & packed.active[c] & ~packed.die_prev[c]
-        if not crossing.any():
-            starts.append(c)
+    if C <= 1:
+        return [(0, C)] if C else []
+    crossing = (
+        packed.active[:-1] & packed.active[1:] & ~packed.die_prev[1:]
+    ).any(axis=1)
+    starts = [0] + list(np.nonzero(~crossing)[0] + 1)
     return list(zip(starts, starts[1:] + [C]))
 
 
