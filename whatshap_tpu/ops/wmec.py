@@ -1118,7 +1118,24 @@ def connected_column_ranges(packed: PackedProblem) -> List[Tuple[int, int]]:
     return list(zip(starts, starts[1:] + [C]))
 
 
-def _slice_ranges(packed: PackedProblem, ranges, on_accel: bool):
+def _range_tiers(packed: PackedProblem, ranges, on_accel: bool):
+    """(c_pad, k_tier) per read-connected range, with small K tiers merged
+    into the next tier when the extra padded states cost less than a
+    launch (_merge_k_pairs) — computed up front so slicing pads each range
+    directly to its final launch bucket."""
+    pairs = []
+    for a, b in ranges:
+        c_pad = _next_pow2(b - a, lo=64)
+        act = np.nonzero(packed.active[a:b].any(axis=0))[0]
+        k_used = int(act[-1]) + 1 if act.size else 1
+        pairs.append((c_pad, _k_tier(k_used, packed.T, packed.P, on_accel)))
+    if on_accel and len(pairs) > 1:
+        merged = _merge_k_pairs(pairs, packed.T)
+        pairs = [(cp, k) for (cp, _k), k in zip(pairs, merged)]
+    return pairs
+
+
+def _slice_ranges(packed: PackedProblem, ranges, on_accel: bool, tiers=None):
     """Slice each read-connected column range out of a packed problem as an
     independent padded block with its own launch-bucket slot count.
 
@@ -1130,7 +1147,9 @@ def _slice_ranges(packed: PackedProblem, ranges, on_accel: bool):
     read-connected range's occupied slots dense at the bottom, so slicing
     to the highest active slot gives each range its own 2^k state space
     (bucketing by K as well as by C — one high-coverage range must not
-    make every sparse range pay its exponent).
+    make every sparse range pay its exponent).  `tiers` (from
+    _range_tiers) overrides the per-range (c_pad, k_b) so launch-merged
+    buckets pad straight to their final tier.
 
     Yields (c_pad, k_b, PaddedArrays) in range order.
     """
@@ -1142,15 +1161,10 @@ def _slice_ranges(packed: PackedProblem, ranges, on_accel: bool):
     ).astype(np.float32)
     wdiff_full = packed.wdiff.reshape(C, K, T * P * 2).astype(np.float32)
 
-    for a, b in ranges:
+    if tiers is None:
+        tiers = _range_tiers(packed, ranges, on_accel)
+    for (a, b), (c_pad, k_b) in zip(ranges, tiers):
         n = b - a
-        # lo=64: every distinct (C, K) bucket is a separate kernel compile
-        # (minutes each on a cold Mosaic cache), and padding short ranges
-        # is linear work — fewer column tiers beats exact fits
-        c_pad = _next_pow2(n, lo=64)
-        act = np.nonzero(packed.active[a:b].any(axis=0))[0]
-        k_used = int(act[-1]) + 1 if act.size else 1
-        k_b = _k_tier(k_used, T, P, on_accel)
         kk = min(K, k_b)
         nA = 1 << P
         arrs = PaddedArrays(
@@ -1451,9 +1465,42 @@ def solve_packed_list(
 
 
 # One kernel launch+fence costs roughly this many state*column*T units of
-# VPU work (calibrated on the v5e trio workload); used to decide whether a
-# small launch bucket is worth its dispatch overhead.
-MERGE_OVERHEAD_STATES = 2.5e7
+# VPU work; used to decide whether a small launch bucket is worth its
+# dispatch overhead.  On the attached v5e the measured per-launch overhead
+# is ~25 ms and the kernel sustains ~7.5e9 states/s, putting the
+# break-even near 2e8 (the round-3 constant of 2.5e7 corresponded to a
+# ~3 ms overhead and kept launch-bound small buckets alive).
+MERGE_OVERHEAD_STATES = float(
+    os.environ.get("WHATSHAP_TPU_MERGE_OVERHEAD_STATES", 2e8)
+)
+
+
+def _merge_k_pairs(pairs: List[Tuple[int, int]], T: int) -> List[int]:
+    """Launch-merge model for per-range buckets: given (c_pad, k_tier) per
+    range, raise small tiers into the next tier of the same c_pad whenever
+    the extra padded state work costs less than one launch
+    (MERGE_OVERHEAD_STATES).  Returns the final k per range."""
+    by_cp: dict = {}
+    for i, (cp, kb) in enumerate(pairs):
+        by_cp.setdefault(cp, {}).setdefault(kb, []).append(i)
+    out = [kb for _cp, kb in pairs]
+    for cp, tiers in by_cp.items():
+        items = sorted(tiers.items())
+        i = 0
+        while i + 1 < len(items):
+            k_b, idxs = items[i]
+            k_next = items[i + 1][0]
+            added_states = len(idxs) * ((1 << k_next) - (1 << k_b)) * cp * T
+            if added_states < MERGE_OVERHEAD_STATES:
+                items[i + 1] = (k_next, idxs + items[i + 1][1])
+            else:
+                for j in idxs:
+                    out[j] = k_b
+            i += 1
+        k_b, idxs = items[-1]
+        for j in idxs:
+            out[j] = k_b
+    return out
 
 
 def _k_tier(k: int, T: int, P: int, on_accel: bool) -> int:
