@@ -367,6 +367,8 @@ def bench_phase_trio_chromosome():
         return out.getvalue()
 
     cold, dt, dt_median, text, instances = _timed_cli(run_once, _capture_phase_instances)
+    stages = _phase_stage_breakdown()  # before the oracle replay: the
+    # timer's total() runs until capture, so capture right after the runs
     ref_dp = _reference_phase_dp_seconds(instances)
 
     header = [ln for ln in text.splitlines() if ln.startswith("#CHROM")][0].split("\t")
@@ -406,7 +408,7 @@ def bench_phase_trio_chromosome():
         "child_switch_error_rate": round(n_switch / n_pairs, 4) if n_pairs else None,
         "ref_dp_seconds": round(ref_dp, 3) if ref_dp is not None else None,
         "vs_baseline": round(ref_dp / dt, 3) if ref_dp is not None else None,
-        "stages": _phase_stage_breakdown(),
+        "stages": stages,
         "baseline_note": E2E_BASELINE_NOTE,
     }
 
@@ -570,6 +572,7 @@ def bench_phase_chromosome_cli():
         return out.getvalue()
 
     cold, dt, dt_median, text, instances = _timed_cli(run_once, _capture_phase_instances)
+    stages = _phase_stage_breakdown()  # before the oracle replay (see above)
     ref_dp = _reference_phase_dp_seconds(instances)
 
     # switch-error rate within phase blocks vs the simulated truth
@@ -611,7 +614,7 @@ def bench_phase_chromosome_cli():
         "switch_error_rate": round(switch_rate, 4) if switch_rate is not None else None,
         "ref_dp_seconds": round(ref_dp, 3) if ref_dp is not None else None,
         "vs_baseline": round(ref_dp / dt, 3) if ref_dp is not None else None,
-        "stages": _phase_stage_breakdown(),
+        "stages": stages,
         "baseline_note": E2E_BASELINE_NOTE,
     }
 
@@ -922,7 +925,6 @@ def bench_polyphase():
     # caches: score-LUTs, native .so loads), then the median of 3 timed runs
     solve_polyphase_instance(matrix, genotypes, param, StageTimer())
     times = []
-    timers = StageTimer()
     for _ in range(3):
         timers = StageTimer()
         t0 = time.perf_counter()

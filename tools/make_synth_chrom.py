@@ -49,6 +49,12 @@ def _load_cached(out, params):
     for key in ("fasta", "bam", "vcf", "ped"):
         if key in info and not Path(info[key]).exists():
             return None
+    # required index sidecars (a crash or partial cleanup can lose them
+    # while the main files survive)
+    if "fasta" in info and not Path(info["fasta"] + ".fai").exists():
+        return None
+    if "bam" in info and not Path(info["bam"] + ".bai").exists():
+        return None
     return info
 
 

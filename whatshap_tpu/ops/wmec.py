@@ -947,7 +947,6 @@ def _launch_sharded(kernel, K, T, P, *arrays, n_dev):
     except TypeError:  # pragma: no cover - older jax spells it check_rep
         fn = _shard_map(body, mesh=mesh, in_specs=spec, out_specs=spec, check_rep=False)
     out = fn(*arrays)
-    _record_launch(K, T, arrays[0].shape[1], B, B + pad, n_dev)
     if pad:
         out = _slice_b(out, B)
     return out
@@ -1038,7 +1037,6 @@ def _launch_batched(kernel, K, T, P, arrays, per_block_bytes=0):
         n_dev = 1
 
         def launch_raw(K_, T_, P_, *arrs):
-            _record_launch(K_, T_, arrs[0].shape[1], arrs[0].shape[0], arrs[0].shape[0], 1)
             return kernel(K_, T_, P_, *arrs)
 
     def launch(K_, T_, P_, *arrs):
@@ -1046,6 +1044,11 @@ def _launch_batched(kernel, K, T, P, arrays, per_block_bytes=0):
         bt = _b_tier(b) if on_accel else b
         if bt > b:
             arrs = _prep_batch(1, bt, *arrs)
+        # record the true vs padded batch (tier pad + the sharded path's
+        # device-multiple pad) so pad_fraction and the scaling model see
+        # the replicated compute
+        bt_dev = bt + ((-bt) % n_dev)
+        _record_launch(K_, T_, arrs[0].shape[1], b, bt_dev, n_dev)
         # trailing tier-padding rows (replicas of block 0) stay in the
         # result: every caller indexes outputs by true block position, so
         # slicing them off on device would only add programs
@@ -1057,10 +1060,17 @@ def _launch_batched(kernel, K, T, P, arrays, per_block_bytes=0):
         # HBM table budget
         max_b = max(n_dev, _b_tier_floor(max_b))
         if B > max_b:
-            parts = [
-                launch(K, T, P, *(a[i : i + max_b] for a in arrays))
-                for i in range(0, B, max_b)
-            ]
+            # tier-padded rows must never land in the MIDDLE of the
+            # concatenated batch (callers index by true block position),
+            # so any padded part is sliced back to its true size; with a
+            # tier-valued max_b only the final part can need the slice
+            parts = []
+            for i in range(0, B, max_b):
+                true_b = min(max_b, B - i)
+                out = launch(K, T, P, *(a[i : i + max_b] for a in arrays))
+                if _b_tier(true_b) > true_b:
+                    out = _slice_b(out, true_b)
+                parts.append(out)
             return tuple(jnp.concatenate(xs, axis=0) for xs in zip(*parts))
     return launch(K, T, P, *arrays)
 

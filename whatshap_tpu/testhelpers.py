@@ -134,9 +134,15 @@ def brute_force_phase(read_set, all_heterozygous):
     else:
         assignments = np.array([(0, 0), (0, 1), (1, 0), (1, 1)], dtype=np.int64)
 
-    # flip[a, r, p]: cost of read r's observation at p under target allele a
+    # flip[a, r, p]: cost of read r's observation at p under target allele
+    # a — any covered allele differing from the target is charged (a
+    # non-biallelic observation costs against both targets), blanks cost 0
+    covered = alleles >= 0
     flip = np.stack(
-        [np.where(alleles == 1, weights, 0), np.where(alleles == 0, weights, 0)]
+        [
+            np.where(covered & (alleles != 0), weights, 0),
+            np.where(covered & (alleles != 1), weights, 0),
+        ]
     )
     # side membership of every read under every partition mask
     masks = (np.arange(1 << R)[:, None] >> np.arange(R)[None, :]) & 1  # (2^R, R)
