@@ -190,3 +190,27 @@ def test_prep_batch_and_slice_b_roundtrip():
     assert all((o == a).all() for o, a in zip(out, arrs))
     single = wmec._slice_b(padded[0], 3)
     assert (single == arrs[0]).all()
+
+
+def test_launch_stats_record_true_and_padded_batch(monkeypatch):
+    """LAUNCH_STATS rows are (K, T, C, B_true, B_padded, n_dev): B_true is
+    the pre-padding block count (pad_fraction and the scaling model depend
+    on seeing the padding)."""
+    import numpy as np
+
+    from whatshap_tpu.ops import wmec
+
+    monkeypatch.setenv("WHATSHAP_TPU_NO_MESH", "1")  # single-device launch
+    calls = []
+
+    def fake_kernel(K, T, P, *arrs):
+        calls.append(arrs[0].shape[0])
+        return (np.zeros((arrs[0].shape[0], 4)),)
+
+    arrays = tuple(np.zeros((5, 8, 2), np.float32) for _ in range(3))
+    wmec.LAUNCH_STATS.clear()
+    out = wmec._launch_batched(fake_kernel, 8, 1, 2, arrays)
+    assert calls == [5]  # CPU backend: no tier padding
+    (k, t, c, b, b_pad, nd) = wmec.LAUNCH_STATS[-1]
+    assert (k, t, c, b, nd) == (8, 1, 8, 5, 1)
+    assert b_pad >= b
