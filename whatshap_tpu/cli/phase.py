@@ -58,8 +58,6 @@ from . import (
     raise_if_any_sample_not_in_vcf,
 )
 
-__author__ = "Murray Patterson, Alexander Schönhuth, Tobias Marschall, Marcel Martin"
-
 logger = logging.getLogger(__name__)
 
 #: StageTimer of the most recent run_whatshap call — bench.py reads it to

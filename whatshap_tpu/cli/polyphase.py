@@ -30,8 +30,6 @@ from ..utils import ChromosomeFilter
 from ..vcf import PhasedVcfWriter, PloidyError, VariantTable, VcfReader
 from . import CommandLineError, PhasedInputReader, log_memory_usage, populate_arg_parser
 
-__author__ = "Jana Ebler, Sven Schrinner"
-
 logger = logging.getLogger(__name__)
 
 

@@ -1,15 +1,11 @@
 """
-Remove phasing information from a VCF file
+Strip phasing from a VCF
 
-This script removes all types of phasing information from the input VCF and
-prints out the modified VCF to standard output. The modifications are:
-
-- The HP, PS and PQ tags are removed
-- Phasing in the GT tag (using pipe notation) is removed. The genotypes are
-  sorted in ascending order. For example, a GT value of '1|0' is converted
-  to '0/1'.
-
-It is not an error if no phasing information was found.
+Writes a copy of the input VCF to standard output with every trace of
+phasing removed: the HP/PS/PQ FORMAT fields disappear from the header and
+from each call, and pipe-phased genotypes are rewritten as unphased
+slash-separated genotypes with the alleles in ascending order (e.g. '1|0'
+becomes '0/1').  Inputs without any phasing pass through unchanged.
 """
 
 import logging
@@ -19,40 +15,49 @@ from ..io.vcflib import VariantFile
 
 logger = logging.getLogger(__name__)
 
-TAGS_TO_REMOVE = frozenset(("HP", "PQ", "PS"))
+#: FORMAT fields that carry phasing and must not survive the copy.
+PHASING_FIELDS = ("HP", "PQ", "PS")
 
 
 def add_arguments(parser):
-    add = parser.add_argument
-    add("vcf", metavar="VCF", help='VCF file. Use "-" to read from standard input')
+    parser.add_argument(
+        "vcf", metavar="VCF", help='VCF file. Use "-" to read from standard input'
+    )
 
 
-def unphase_header(header):
+def _strip_header(header) -> None:
+    """Drop the ##phasing meta line and the phasing FORMAT declarations."""
     header.remove_meta_key("phasing")
-    for tag in TAGS_TO_REMOVE:
-        if tag in header.formats:
-            header.remove_format(tag)
+    for field in PHASING_FIELDS:
+        if field in header.formats:
+            header.remove_format(field)
+
+
+def _strip_record(record) -> None:
+    """Remove phasing fields and pipe-phasing from one record in place."""
+    record.format = [f for f in record.format if f not in PHASING_FIELDS]
+    for call in record.samples.values():
+        for field in PHASING_FIELDS:
+            if field in call:
+                del call[field]
+        gt = call["GT"] if "GT" in call._values else None
+        if gt is not None and len(gt) >= 2 and None not in gt:
+            call["GT"] = tuple(sorted(gt))
+        call.phased = False
 
 
 def run_unphase(vcf_path, outfile):
-    """Read a VCF, remove phasing information, write the result to outfile."""
-    if vcf_path == "-":
-        reader = VariantFile(sys.stdin)
-    else:
-        reader = VariantFile(vcf_path)
+    """Copy ``vcf_path`` to the file-like ``outfile`` without phasing.
 
-    unphase_header(reader.header)
+    Reference behavior: whatshap/cli/unphase.py (header surgery + per-call
+    GT normalization); re-implemented over this repo's own io/vcflib stack.
+    """
+    source = sys.stdin if vcf_path == "-" else vcf_path
+    reader = VariantFile(source)
+    _strip_header(reader.header)
     with VariantFile(outfile, mode="w", header=reader.header) as writer:
         for record in reader:
-            record.format = [tag for tag in record.format if tag not in TAGS_TO_REMOVE]
-            for call in record.samples.values():
-                for tag in TAGS_TO_REMOVE:
-                    if tag in call:
-                        del call[tag]
-                gt = call["GT"] if "GT" in call._values else None
-                if gt is not None and len(gt) >= 2 and gt[0] is not None and gt[1] is not None:
-                    call["GT"] = tuple(sorted(gt))
-                call.phased = False
+            _strip_record(record)
             writer.write(record)
 
 
