@@ -482,3 +482,343 @@ extern "C" int32_t wh_realign_read(
     }
     return count;
 }
+
+// ---------------------------------------------------------------------------
+// Pool-batched realignment: one call for EVERY record of a chromosome,
+// straight off the raw BAM record pool produced by native/bamlib.cpp.
+// Replaces, for the default phase/genotype read path, the per-record
+// Python chain parse_bam_record -> _usable_alignments ->
+// _detect_by_realignment (whatshap_tpu/variants.py) with a single native
+// pass: header-field filtering (tid, flags, mapq), read-group sample
+// filtering, CIGAR + 4-bit sequence decode, and the same realignment
+// scoring as wh_realign_read, parallelized over records with std::thread.
+//
+// Records the fast pass cannot reproduce exactly (symbolic ALTs in range,
+// missing sequence, odd tag types) get status -2 and are re-processed by
+// the Python fallback path, one by one, with identical semantics.
+
+#include <cstring>
+#include <thread>
+
+namespace {
+
+constexpr char kSeqNT16[] = "=ACMGRSVTWYHKDBN";
+
+constexpr int32_t kStatusFiltered = -1;
+constexpr int32_t kStatusFallback = -2;
+
+struct RecMeta {
+    int32_t status = kStatusFiltered;  // >=0: kept, #hits after tie-drop
+    int32_t flag = 0;
+    int32_t mapq = 0;
+    int64_t ref_start = -1;
+    int64_t ref_end = -1;
+    int32_t hp = -1;
+    int64_t ps = -1;
+    int64_t name_off = 0;
+    int32_t name_len = 0;
+    int64_t bx_off = -1;
+    int32_t bx_len = 0;
+};
+
+struct RealignPoolResult {
+    std::vector<RecMeta> meta;
+    std::vector<int64_t> hit_off;  // n_rec + 1
+    std::vector<int32_t> hit_var, hit_allele, hit_qual;
+};
+
+struct TagScan {
+    int64_t rg_off = -1;
+    int32_t rg_len = 0;
+    int64_t bx_off = -1;
+    int32_t bx_len = 0;
+    int64_t hp = -1;
+    int64_t ps = -1;
+    bool bad = false;  // tag block truncated or HP/PS of a non-int type
+};
+
+// Scan one record's aux block.  `base` is the pool origin (offsets into it
+// are returned so Python can slice string values without another parse).
+void scan_tags(const uint8_t* base, int64_t off, int64_t end, TagScan* out) {
+    int64_t p = off;
+    while (p + 3 <= end) {
+        const char t0 = (char)base[p], t1 = (char)base[p + 1];
+        const char typ = (char)base[p + 2];
+        int64_t val = p + 3;
+        int64_t vlen = 0;
+        int64_t ival = 0;
+        bool is_int = false;
+        switch (typ) {
+            case 'A': vlen = 1; break;
+            case 'c': if (val >= end) { out->bad = true; return; }
+                ival = (int8_t)base[val]; is_int = true; vlen = 1; break;
+            case 'C': if (val >= end) { out->bad = true; return; }
+                ival = base[val]; is_int = true; vlen = 1; break;
+            case 's': { if (val + 2 > end) { out->bad = true; return; }
+                int16_t v; std::memcpy(&v, base + val, 2);
+                ival = v; is_int = true; vlen = 2; break; }
+            case 'S': { if (val + 2 > end) { out->bad = true; return; }
+                uint16_t v; std::memcpy(&v, base + val, 2);
+                ival = v; is_int = true; vlen = 2; break; }
+            case 'i': { if (val + 4 > end) { out->bad = true; return; }
+                int32_t v; std::memcpy(&v, base + val, 4);
+                ival = v; is_int = true; vlen = 4; break; }
+            case 'I': { if (val + 4 > end) { out->bad = true; return; }
+                uint32_t v; std::memcpy(&v, base + val, 4);
+                ival = (int64_t)v; is_int = true; vlen = 4; break; }
+            case 'f': vlen = 4; break;
+            case 'Z': case 'H': {
+                int64_t q = val;
+                while (q < end && base[q]) ++q;
+                if (q >= end) { out->bad = true; return; }  // missing NUL
+                vlen = q - val + 1;
+                break;
+            }
+            case 'B': {
+                if (val + 5 > end) { out->bad = true; return; }
+                const char sub = (char)base[val];
+                uint32_t n; std::memcpy(&n, base + val + 1, 4);
+                int64_t esz = (sub == 'c' || sub == 'C') ? 1
+                            : (sub == 's' || sub == 'S') ? 2 : 4;
+                vlen = 5 + (int64_t)n * esz;
+                break;
+            }
+            default: out->bad = true; return;
+        }
+        if (val + vlen > end) { out->bad = true; return; }
+        if (t0 == 'R' && t1 == 'G') {
+            if (typ == 'Z') { out->rg_off = val; out->rg_len = (int32_t)(vlen - 1); }
+        } else if (t0 == 'B' && t1 == 'X') {
+            if (typ == 'Z') { out->bx_off = val; out->bx_len = (int32_t)(vlen - 1); }
+            else { out->bad = true; return; }
+        } else if (t0 == 'H' && t1 == 'P') {
+            if (is_int) out->hp = ival;
+            else { out->bad = true; return; }
+        } else if (t0 == 'P' && t1 == 'S') {
+            if (is_int) out->ps = ival;
+            else { out->bad = true; return; }
+        }
+        p = val + vlen;
+    }
+    if (p != end) out->bad = true;
+}
+
+}  // namespace
+
+extern "C" void* wh_realign_pool(
+    const uint8_t* pool, const uint64_t* rec_off, int64_t n_rec,
+    int32_t target_tid, int32_t mapq_threshold, int32_t keep_duplicates,
+    // allowed read-group ids, concatenated (sample filter); n_rg == 0
+    // means "no RG filtering" (ignore-read-groups mode)
+    const char* rg_concat, const int32_t* rg_off, int32_t n_rg,
+    // shared variant tables, identical to wh_realign_read
+    const int64_t* var_positions, int32_t n_vars,
+    const int32_t* ref_lens, const int32_t* alt_off, const int32_t* alt_seq_off,
+    const char* alt_seq, const uint8_t* skip,
+    const char* reference, int64_t ref_total_len,
+    int32_t overhang, int32_t use_affine, int32_t default_mismatch,
+    int32_t gap_start, int32_t gap_extend, int32_t n_threads) {
+    auto* res = new RealignPoolResult();
+    res->meta.assign(n_rec, RecMeta());
+    res->hit_off.assign(n_rec + 1, 0);
+
+    if (n_threads < 1) n_threads = 1;
+    int hw = (int)std::thread::hardware_concurrency();
+    if (hw > 0 && n_threads > hw) n_threads = hw;
+    if (n_threads > n_rec) n_threads = (int32_t)(n_rec > 0 ? n_rec : 1);
+
+    struct ThreadOut {
+        std::vector<int32_t> var, allele, qual;
+    };
+    std::vector<ThreadOut> touts(n_threads);
+
+    auto work = [&](int ti, int64_t lo, int64_t hi, ThreadOut* tout) {
+        (void)ti;
+        std::vector<int32_t> ops, lens;
+        std::vector<char> seq;
+        std::vector<int32_t> hidx, hallele, hqual;
+        for (int64_t r = lo; r < hi; ++r) {
+            RecMeta& m = res->meta[r];
+            const int64_t o = (int64_t)rec_off[r];
+            const int64_t oe = (int64_t)rec_off[r + 1];
+            if (oe - o < 32) { m.status = kStatusFallback; continue; }
+            int32_t ref_id, pos, l_seq, next_ref, next_pos, tlen;
+            std::memcpy(&ref_id, pool + o, 4);
+            std::memcpy(&pos, pool + o + 4, 4);
+            const uint8_t l_read_name = pool[o + 8];
+            const uint8_t mapq = pool[o + 9];
+            uint16_t n_cigar, flag;
+            std::memcpy(&n_cigar, pool + o + 12, 2);
+            std::memcpy(&flag, pool + o + 14, 2);
+            std::memcpy(&l_seq, pool + o + 16, 4);
+            std::memcpy(&next_ref, pool + o + 20, 4);
+            std::memcpy(&next_pos, pool + o + 24, 4);
+            std::memcpy(&tlen, pool + o + 28, 4);
+            if (ref_id != target_tid) continue;               // other contig
+            if (flag & 0x4) continue;                         // unmapped
+            if (flag & 0x100) continue;                       // secondary
+            if (flag & 0x800) continue;                       // supplementary
+            if ((flag & 0x400) && !keep_duplicates) continue; // duplicate
+            if ((int32_t)mapq < mapq_threshold) continue;     // mapq screen
+
+            const int64_t name_off = o + 32;
+            const int64_t cig_off = name_off + l_read_name;
+            const int64_t seq_off = cig_off + 4LL * n_cigar;
+            const int64_t nseq_bytes = ((int64_t)l_seq + 1) / 2;
+            const int64_t qual_off = seq_off + nseq_bytes;
+            const int64_t tag_off = qual_off + l_seq;
+            if (tag_off > oe) { m.status = kStatusFallback; continue; }
+
+            TagScan tags;
+            scan_tags(pool, tag_off, oe, &tags);
+            if (n_rg > 0) {
+                // sample filter: RG tag must exist and match an allowed id
+                if (tags.rg_off < 0) continue;
+                bool match = false;
+                for (int32_t g = 0; g < n_rg && !match; ++g) {
+                    const int32_t glen = rg_off[g + 1] - rg_off[g];
+                    match = glen == tags.rg_len &&
+                            std::memcmp(rg_concat + rg_off[g],
+                                        pool + tags.rg_off, glen) == 0;
+                }
+                if (!match) continue;
+            }
+            // past every screen: this record WOULD reach _empty_read_for,
+            // whose PS validation can raise -- odd tags go to Python
+            if (tags.bad) { m.status = kStatusFallback; continue; }
+            if (n_cigar == 0 || l_seq == 0) { m.status = kStatusFallback; continue; }
+
+            m.flag = flag;
+            m.mapq = mapq;
+            m.ref_start = pos;
+            m.hp = (int32_t)tags.hp;
+            m.ps = tags.ps;
+            m.name_off = name_off;
+            m.name_len = l_read_name > 0 ? l_read_name - 1 : 0;
+            m.bx_off = tags.bx_off;
+            m.bx_len = tags.bx_len;
+
+            ops.resize(n_cigar);
+            lens.resize(n_cigar);
+            int64_t ref_end = pos;
+            for (int32_t ci = 0; ci < n_cigar; ++ci) {
+                uint32_t c;
+                std::memcpy(&c, pool + cig_off + 4LL * ci, 4);
+                const int op = (int)(c & 0xF);
+                const int32_t ln = (int32_t)(c >> 4);
+                ops[ci] = op;
+                lens[ci] = ln;
+                if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+                    ref_end += ln;
+            }
+            m.ref_end = ref_end;
+
+            seq.resize(l_seq);
+            for (int32_t b = 0; b < l_seq; ++b) {
+                const uint8_t byte = pool[seq_off + (b >> 1)];
+                seq[b] = kSeqNT16[(b & 1) ? (byte & 0xF) : (byte >> 4)];
+            }
+
+            // cursor + hit capacity from the variant span
+            const int64_t* vlo =
+                std::lower_bound(var_positions, var_positions + n_vars, (int64_t)pos);
+            const int64_t* vhi = std::lower_bound(
+                var_positions + (vlo - var_positions), var_positions + n_vars,
+                ref_end + 1);
+            const int32_t j0 = (int32_t)(vlo - var_positions);
+            const int32_t cap = (int32_t)(vhi - vlo) + 1;
+            hidx.resize(cap);
+            hallele.resize(cap);
+            hqual.resize(cap);
+            const int32_t n = wh_realign_read(
+                var_positions, n_vars, j0, ref_lens, alt_off, alt_seq_off,
+                alt_seq, skip, reference, ref_total_len, pos,
+                ops.data(), lens.data(), n_cigar, seq.data(), l_seq, overhang,
+                use_affine, default_mismatch, gap_start, gap_extend,
+                hidx.data(), hallele.data(), hqual.data(), cap);
+            bool fallback = n < 0 || n > cap;
+            int32_t kept = 0;
+            for (int32_t h = 0; h < n && !fallback; ++h) {
+                if (hallele[h] == -2) fallback = true;  // Python path needed
+            }
+            if (fallback) { m.status = kStatusFallback; continue; }
+            for (int32_t h = 0; h < n; ++h) {
+                if (hallele[h] < 0) continue;  // tie: variant skipped
+                const int32_t n_alts = alt_off[hidx[h] + 1] - alt_off[hidx[h]];
+                if (hallele[h] > n_alts) continue;
+                tout->var.push_back(hidx[h]);
+                tout->allele.push_back(hallele[h]);
+                tout->qual.push_back(hqual[h]);
+                ++kept;
+            }
+            m.status = kept;
+        }
+    };
+
+    if (n_threads <= 1 || n_rec == 0) {
+        work(0, 0, n_rec, &touts[0]);
+    } else {
+        std::vector<std::thread> threads;
+        const int64_t chunk = (n_rec + n_threads - 1) / n_threads;
+        for (int ti = 0; ti < n_threads; ++ti) {
+            const int64_t lo = ti * chunk;
+            const int64_t hi = std::min<int64_t>(lo + chunk, n_rec);
+            if (lo >= hi) break;
+            threads.emplace_back(work, ti, lo, hi, &touts[ti]);
+        }
+        for (auto& t : threads) t.join();
+    }
+
+    int64_t total = 0;
+    for (int64_t r = 0; r < n_rec; ++r) {
+        res->hit_off[r] = total;
+        if (res->meta[r].status > 0) total += res->meta[r].status;
+    }
+    res->hit_off[n_rec] = total;
+    res->hit_var.reserve(total);
+    res->hit_allele.reserve(total);
+    res->hit_qual.reserve(total);
+    for (auto& t : touts) {  // threads own contiguous record ranges in order
+        res->hit_var.insert(res->hit_var.end(), t.var.begin(), t.var.end());
+        res->hit_allele.insert(res->hit_allele.end(), t.allele.begin(), t.allele.end());
+        res->hit_qual.insert(res->hit_qual.end(), t.qual.begin(), t.qual.end());
+    }
+    return res;
+}
+
+extern "C" int64_t wh_realign_pool_n_hits(void* h) {
+    return ((RealignPoolResult*)h)->hit_off.back();
+}
+
+extern "C" void wh_realign_pool_fetch(
+    void* h, int32_t* status, int32_t* flag, int32_t* mapq,
+    int64_t* ref_start, int64_t* ref_end, int32_t* hp, int64_t* ps,
+    int64_t* name_off, int32_t* name_len, int64_t* bx_off, int32_t* bx_len,
+    int64_t* hit_off, int32_t* hit_var, int32_t* hit_allele,
+    int32_t* hit_qual) {
+    auto* res = (RealignPoolResult*)h;
+    const int64_t n_rec = (int64_t)res->meta.size();
+    for (int64_t r = 0; r < n_rec; ++r) {
+        const RecMeta& m = res->meta[r];
+        status[r] = m.status;
+        flag[r] = m.flag;
+        mapq[r] = m.mapq;
+        ref_start[r] = m.ref_start;
+        ref_end[r] = m.ref_end;
+        hp[r] = m.hp;
+        ps[r] = m.ps;
+        name_off[r] = m.name_off;
+        name_len[r] = m.name_len;
+        bx_off[r] = m.bx_off;
+        bx_len[r] = m.bx_len;
+        hit_off[r] = res->hit_off[r];
+    }
+    hit_off[n_rec] = res->hit_off[n_rec];
+    std::memcpy(hit_var, res->hit_var.data(), res->hit_var.size() * 4);
+    std::memcpy(hit_allele, res->hit_allele.data(), res->hit_allele.size() * 4);
+    std::memcpy(hit_qual, res->hit_qual.data(), res->hit_qual.size() * 4);
+}
+
+extern "C" void wh_realign_pool_free(void* h) {
+    delete (RealignPoolResult*)h;
+}

@@ -355,6 +355,13 @@ class ReadSet:
         self._name_map[key] = len(self._reads)
         self._reads.append(read.copy())
 
+    def _add_owned(self, read: Read) -> None:
+        """Adds the read itself, without the defensive copy.  Only for
+        freshly constructed reads that no other container references
+        (the batched read path builds thousands per chromosome)."""
+        self._name_map[(read.name, read.source_id)] = len(self._reads)
+        self._reads.append(read)
+
     def sort(self) -> None:
         self._reads.sort(key=_readset_sort_key)
         self._rebuild_name_map()

@@ -579,6 +579,108 @@ class _CigarLib:
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             i32p, i32p, i32p, ctypes.c_int32,
         ]
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        c.wh_realign_pool.restype = ctypes.c_void_p
+        c.wh_realign_pool.argtypes = [
+            ctypes.c_char_p, u64p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_char_p, i32p, ctypes.c_int32,
+            i64p, ctypes.c_int32,
+            i32p, i32p, i32p, ctypes.c_char_p, u8p,
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ]
+        c.wh_realign_pool_n_hits.restype = ctypes.c_int64
+        c.wh_realign_pool_n_hits.argtypes = [ctypes.c_void_p]
+        c.wh_realign_pool_fetch.restype = None
+        c.wh_realign_pool_fetch.argtypes = [
+            ctypes.c_void_p, i32p, i32p, i32p, i64p, i64p, i32p, i64p,
+            i64p, i32p, i64p, i32p, i64p, i32p, i32p, i32p,
+        ]
+        c.wh_realign_pool_free.restype = None
+        c.wh_realign_pool_free.argtypes = [ctypes.c_void_p]
+
+    def realign_pool(
+        self, pool, rec_offsets, target_tid, mapq_threshold, keep_duplicates,
+        rg_ids, var_positions, n_vars, ref_lens, alt_off, alt_seq_off,
+        alt_seq, skip, reference, overhang, use_affine=False,
+        default_mismatch=15, gap_start=10, gap_extend=7, n_threads=4,
+    ):
+        """Batched realignment over a whole BAM record pool (one contig).
+
+        Returns a dict of numpy arrays: per-record `status` (>=0 kept with
+        that many hits, -1 filtered, -2 needs the Python fallback), header
+        fields, tag values, and the packed (variant, allele, quality) hit
+        arrays with per-record `hit_off` boundaries.  `rg_ids` is an
+        iterable of allowed read-group id strings, or None to skip sample
+        filtering.
+        """
+        import numpy as np
+
+        n_rec = len(rec_offsets) - 1
+        rec_off = np.ascontiguousarray(rec_offsets, dtype=np.uint64)
+        if rg_ids is None:
+            rg_concat, rg_off_arr, n_rg = b"", self._i32([0]), 0
+        else:
+            ids = [s.encode() for s in rg_ids]
+            offs = [0]
+            for s in ids:
+                offs.append(offs[-1] + len(s))
+            rg_concat = b"".join(ids)
+            rg_off_arr = self._i32(offs)
+            n_rg = len(ids)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        h = self._lib.wh_realign_pool(
+            pool, rec_off.ctypes.data_as(u64p), n_rec,
+            target_tid, mapq_threshold, int(keep_duplicates),
+            rg_concat, rg_off_arr, n_rg,
+            var_positions, n_vars, ref_lens, alt_off, alt_seq_off,
+            alt_seq, skip, reference, len(reference),
+            overhang, int(use_affine), default_mismatch, gap_start,
+            gap_extend, n_threads,
+        )
+        if not h:
+            return None
+        try:
+            n_hits = self._lib.wh_realign_pool_n_hits(h)
+            out = {
+                "status": np.empty(n_rec, np.int32),
+                "flag": np.empty(n_rec, np.int32),
+                "mapq": np.empty(n_rec, np.int32),
+                "ref_start": np.empty(n_rec, np.int64),
+                "ref_end": np.empty(n_rec, np.int64),
+                "hp": np.empty(n_rec, np.int32),
+                "ps": np.empty(n_rec, np.int64),
+                "name_off": np.empty(n_rec, np.int64),
+                "name_len": np.empty(n_rec, np.int32),
+                "bx_off": np.empty(n_rec, np.int64),
+                "bx_len": np.empty(n_rec, np.int32),
+                "hit_off": np.empty(n_rec + 1, np.int64),
+                "hit_var": np.empty(max(n_hits, 1), np.int32),
+                "hit_allele": np.empty(max(n_hits, 1), np.int32),
+                "hit_qual": np.empty(max(n_hits, 1), np.int32),
+            }
+            i32p = ctypes.POINTER(ctypes.c_int32)
+
+            def p32(name):
+                return out[name].ctypes.data_as(i32p)
+
+            def p64(name):
+                return out[name].ctypes.data_as(i64p)
+
+            self._lib.wh_realign_pool_fetch(
+                h, p32("status"), p32("flag"), p32("mapq"),
+                p64("ref_start"), p64("ref_end"), p32("hp"), p64("ps"),
+                p64("name_off"), p32("name_len"), p64("bx_off"), p32("bx_len"),
+                p64("hit_off"), p32("hit_var"), p32("hit_allele"),
+                p32("hit_qual"),
+            )
+        finally:
+            self._lib.wh_realign_pool_free(h)
+        return out
 
     @staticmethod
     def _i32(xs):
@@ -661,7 +763,7 @@ def _build_cigarlib() -> bool:
     try:
         subprocess.run(
             [
-                "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
                 "-o", str(_CIGAR_SO_PATH), str(src),
             ],
             check=True,
@@ -1000,7 +1102,75 @@ if _build_wmeclib():
         wmeclib = None
 
 
+# --- native read selection (native/readselectlib.cpp) -----------------------
+
+_READSELECT_SO_PATH = _NATIVE_DIR / "_readselectlib.so"
+
+
+class _ReadSelectLib:
+    def __init__(self, cdll):
+        c = self._lib = cdll
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        c.wh_readselection.restype = ctypes.c_int32
+        c.wh_readselection.argtypes = [
+            ctypes.c_int32, ctypes.c_int32,
+            i32p, i32p, i32p,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+
+    def readselection(self, read_off, vidx, quals, n_positions, max_cov, bridging):
+        """Run the full slice/bridging selection; returns the selected-read
+        boolean mask as a numpy array.  Inputs are int32 numpy arrays:
+        CSR offsets per read into the (position index, quality) columns."""
+        import numpy as np
+
+        n_reads = len(read_off) - 1
+        out = np.zeros(max(n_reads, 1), dtype=np.uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        self._lib.wh_readselection(
+            n_reads, n_positions,
+            read_off.ctypes.data_as(i32p),
+            vidx.ctypes.data_as(i32p),
+            quals.ctypes.data_as(i32p),
+            max_cov, int(bridging),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        return out[:n_reads]
+
+
+def _build_readselectlib() -> bool:
+    src = _NATIVE_DIR / "readselectlib.cpp"
+    if not src.exists():
+        return False
+    if (
+        _READSELECT_SO_PATH.exists()
+        and _READSELECT_SO_PATH.stat().st_mtime >= src.stat().st_mtime
+    ):
+        return True
+    try:
+        subprocess.run(
+            [
+                "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                "-o", str(_READSELECT_SO_PATH), str(src),
+            ],
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+readselectlib = None
+if _build_readselectlib():
+    try:
+        readselectlib = _ReadSelectLib(ctypes.CDLL(str(_READSELECT_SO_PATH)))
+    except OSError:
+        readselectlib = None
+
+
 # WHATSHAP_TPU_NO_NATIVE=1 disables every native engine (pure-Python
 # fallbacks take over) — a debugging/verification kill switch.
 if os.environ.get("WHATSHAP_TPU_NO_NATIVE"):
-    lib = bamlib = clusterlib = threadlib = genolib = pqext = heurlib = cigarlib = hapchatlib = scorelib = switchfliplib = wmeclib = None
+    lib = bamlib = clusterlib = threadlib = genolib = pqext = heurlib = cigarlib = hapchatlib = scorelib = switchfliplib = wmeclib = readselectlib = None
