@@ -346,8 +346,11 @@ class VariantRecordSample:
         raw = self._values.get("GT")
         if raw is None:
             return
-        sep = "|" if self.phased else "/"
-        self._values["GT"] = re.sub(r"[/|]", sep, raw)
+        if self.phased:
+            if "/" in raw:
+                self._values["GT"] = raw.replace("/", "|")
+        elif "|" in raw:
+            self._values["GT"] = raw.replace("|", "/")
 
     def items(self):
         return [(k, self[k]) for k in self.keys()]
@@ -504,23 +507,22 @@ class VariantRecord:
             self._info_raw if self._info_raw else MISSING,
         ]
         if self.header.samples:
+            calls = self.samples._calls
             # drop FORMAT keys that no sample carries anymore (except GT)
             fmt = [
                 k
                 for k in self.format
-                if k == "GT" or any(k in c._values for c in self.samples.values())
+                if k == "GT" or any(k in c._values for c in calls)
             ]
             if not fmt:
                 fmt = ["GT"]
             fields.append(":".join(fmt))
-            for call in self.samples.values():
+            for call in calls:
                 call._rewrite_gt_separator()
-                parts = []
-                for k in fmt:
-                    parts.append(call._values.get(k, MISSING))
+                values = call._values
                 # trailing missing fields may be dropped per spec, but keep
                 # them for simplicity/compatibility
-                fields.append(":".join(parts) if parts else MISSING)
+                fields.append(":".join(values.get(k, MISSING) for k in fmt))
         return "\t".join(fields)
 
 

@@ -1083,12 +1083,26 @@ class PhasedVcfWriter(VcfAugmenter):
         if haploid_component:
             call["HS"] = [c + 1 for c in haploid_component]
 
+    #: raw-string GT normalization for the overwhelmingly common diploid
+    #: biallelic values: unphase + ascending allele order in one lookup
+    _GT_NORM = {
+        "0/0": "0/0", "0/1": "0/1", "1/0": "0/1", "1/1": "1/1",
+        "0|0": "0/0", "0|1": "0/1", "1|0": "0/1", "1|1": "1/1",
+    }
+
     def _remove_existing_phasing(self, record: VariantRecord, samples: Iterable[str]) -> None:
         if self.tag != "PS":
             return
+        norm = self._GT_NORM
         for sample in samples:
             call = record.samples[sample]
-            if "GT" not in call:
+            raw = call._values.get("GT")
+            if raw is None:
+                continue
+            fast = norm.get(raw)
+            if fast is not None:
+                call._values["GT"] = fast
+                call.phased = False
                 continue
             call.phased = False
             gt = call["GT"]
@@ -1118,6 +1132,12 @@ class PhasedVcfWriter(VcfAugmenter):
 
         genotype_changes: List[GenotypeChange] = []
         target_samples = list(sample_superreads)
+        # hoisted per-sample lookups for the any-sample-phased screen
+        screen = [
+            (sample_components.get(s, ()), phase_of.get(s, ()))
+            for s in self.samples
+            if s in sample_superreads
+        ]
         prev_pos = None
         for record in self._record_modifier(chromosome):
             self._remove_existing_phasing(record, target_samples)
@@ -1133,11 +1153,7 @@ class PhasedVcfWriter(VcfAugmenter):
             ):
                 continue
 
-            if not any(
-                pos in sample_components.get(s, ()) and pos in phase_of.get(s, ())
-                for s in self.samples
-                if s in sample_superreads
-            ):
+            if not any(pos in comp and pos in ph for comp, ph in screen):
                 continue  # this variant is phased in no sample
 
             for sample in target_samples:
@@ -1160,6 +1176,9 @@ class PhasedVcfWriter(VcfAugmenter):
             )
             self._warned_existing_tag = True
 
+    #: raw diploid biallelic GT -> canonical genotype index
+    _GT_IDX = {"0/0": 0, "0/1": 1, "1/1": 2}
+
     def _phase_one_call(
         self,
         record: VariantRecord,
@@ -1171,6 +1190,32 @@ class PhasedVcfWriter(VcfAugmenter):
         components: Dict[int, int],
         sample_haploid_components,
     ) -> List[GenotypeChange]:
+        # raw-string fast path for the common case: diploid biallelic call,
+        # no genotype correction, PS tag, no haploid sets — equivalent to
+        # the full path below, without Genotype object construction
+        if self.tag == "PS" and sample_haploid_components is None:
+            code = self._GT_IDX.get(call._values.get("GT", ""))
+            if code is not None:
+                entry = phases.get(pos)
+                if entry is None:
+                    call._values.pop("PS", None)
+                    return []
+                phasing = entry[0]
+                if (
+                    len(phasing) == 2
+                    and 0 <= phasing[0] <= 1
+                    and 0 <= phasing[1] <= 1
+                    and phasing[0] + phasing[1] == code
+                ):
+                    if code == 1 and pos in components:
+                        call._values["GT"] = f"{phasing[0]}|{phasing[1]}"
+                        call._values["PS"] = str(components[pos] + 1)
+                        call.phased = True
+                        record._ensure_format("PS")
+                    else:
+                        call._values.pop("PS", None)
+                    return []
+
         changes: List[GenotypeChange] = []
         current_gt = genotype_code(call["GT"])
         is_het = not current_gt.is_homozygous()
