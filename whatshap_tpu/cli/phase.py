@@ -87,9 +87,9 @@ def find_components(
 
     def usable(read):
         if heterozygous_positions is None:
-            return [v.position for v in read if v.position in position_set]
+            return [p for p in read._positions if p in position_set]
         hets = heterozygous_positions[read.sample_id]
-        return [v.position for v in read if v.position in position_set and v.position in hets]
+        return [p for p in read._positions if p in position_set and p in hets]
 
     # batch union-find: edge chains per read, one C connected-components
     # pass (components are canonical, so this equals the union-find loop)
@@ -803,7 +803,10 @@ class _PhasingPipeline:
 
         with self.timers("write_vcf"):
             logger.debug("Writing phasing result to output VCF")
-            changed_genotypes = self.vcf_writer.write(chromosome, superreads, components)
+            changed_genotypes = self.vcf_writer.write(
+                chromosome, superreads, components,
+                records=variant_table.raw_records,
+            )
             if changed_genotypes:
                 assert cfg.distrust_genotypes
                 logger.info("Changed %d genotypes while writing VCF", len(changed_genotypes))
@@ -813,13 +816,13 @@ class _PhasingPipeline:
 
         logger.debug("Chromosome %r finished", chromosome)
 
-    def skip_chromosome(self, chromosome) -> None:
+    def skip_chromosome(self, chromosome, records=None) -> None:
         logger.info(
             "Leaving chromosome %r unchanged (present in VCF but not requested by --chromosome)",
             chromosome,
         )
         with self.timers("write_vcf"):
-            self.vcf_writer.write(chromosome, {}, {})
+            self.vcf_writer.write(chromosome, {}, {}, records=records)
 
 
 def _log_time_and_memory_usage(timers: StageTimer, show_phase_vcfs: bool) -> None:
@@ -941,7 +944,12 @@ def run_whatshap(
 
         # genotype likelihoods are only needed when they may be overridden
         vcf_reader = stack.enter_context(
-            VcfReader(variant_file, only_snvs=only_snvs, genotype_likelihoods=distrust_genotypes)
+            VcfReader(
+                variant_file,
+                only_snvs=only_snvs,
+                genotype_likelihoods=distrust_genotypes,
+                remember_records=True,
+            )
         )
 
         if ignore_read_groups and not samples and len(vcf_reader.samples) > 1:
@@ -999,7 +1007,9 @@ def run_whatshap(
             if variant_table.chromosome in wanted:
                 pipeline.process_chromosome(variant_table)
             else:
-                pipeline.skip_chromosome(variant_table.chromosome)
+                pipeline.skip_chromosome(
+                    variant_table.chromosome, records=variant_table.raw_records
+                )
 
     _log_time_and_memory_usage(timers, show_phase_vcfs=show_phase_vcfs)
 

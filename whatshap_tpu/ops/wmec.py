@@ -145,32 +145,29 @@ def pack_problem(
         last_col[i] = lc
 
     # Slot assignment: greedy lowest-free-slot over activation order.
+    # Event-driven: reads visited by (start column, read id); before each
+    # assignment every slot whose occupant died strictly before that column
+    # is freed.  Identical assignment to a per-column sweep (the lowest
+    # free slot does not depend on the order slots were freed in).
     import heapq
-
-    events_start: List[List[int]] = [[] for _ in range(C)]
-    for i in range(n_reads):
-        if first_col[i] >= 0:
-            events_start[first_col[i]].append(i)
 
     read_slot = np.full(n_reads, -1, dtype=np.int32)
     free_slots: List[int] = []
+    deaths: List[Tuple[int, int]] = []  # (first column after death, slot)
     next_slot = 0
-    active_until = {}  # slot -> last col
-    K = 0
-    for c in range(C):
-        # free slots of reads that died before this column
-        for s in [s for s, lc in active_until.items() if lc < c]:
-            heapq.heappush(free_slots, s)
-            del active_until[s]
-        for i in events_start[c]:  # activation order = read id order
-            if free_slots:
-                s = heapq.heappop(free_slots)
-            else:
-                s = next_slot
-                next_slot += 1
-            read_slot[i] = s
-            active_until[s] = last_col[i]
-        K = max(K, len(active_until))
+    for i in np.argsort(first_col, kind="stable").tolist():
+        fc = first_col[i]
+        if fc < 0:
+            continue
+        while deaths and deaths[0][0] <= fc:
+            heapq.heappush(free_slots, heapq.heappop(deaths)[1])
+        if free_slots:
+            s = heapq.heappop(free_slots)
+        else:
+            s = next_slot
+            next_slot += 1
+        read_slot[i] = s
+        heapq.heappush(deaths, (last_col[i] + 1, s))
     K = max(next_slot, 1)
 
     active = np.zeros((C, K), dtype=bool)

@@ -73,21 +73,26 @@ class PedigreeDPTable:
             allele0, allele1, quality = wmec.extract_alleles(
                 self._packed, self._result, self._pedigree
             )
-            positions = self._packed.positions
-            for c in range(self._packed.n_cols):
-                for i in range(n_ind):
-                    superreads[i][0].add_variant(
-                        int(positions[c]), int(allele0[c, i]), int(quality[c, i])
-                    )
-                    superreads[i][1].add_variant(
-                        int(positions[c]), int(allele1[c, i]), int(quality[c, i])
-                    )
-                transmission_vector.append(int(self._result.trans_path[c]))
+            # bulk column assignment (same content as per-variant
+            # add_variant calls; the arrays are fresh per superread)
+            positions = self._packed.positions.tolist()
+            for i in range(n_ind):
+                quals = quality[:, i].tolist()
+                r0, r1 = superreads[i]
+                r0._positions = list(positions)
+                r0._alleles = allele0[:, i].tolist()
+                r0._qualities = quals
+                r1._positions = list(positions)
+                r1._alleles = allele1[:, i].tolist()
+                r1._qualities = list(quals)
+            transmission_vector = self._result.trans_path[
+                : self._packed.n_cols
+            ].tolist()
 
         output: List[ReadSet] = []
         for i in range(n_ind):
             rs = ReadSet()
-            rs.add(superreads[i][0])
-            rs.add(superreads[i][1])
+            rs._add_owned(superreads[i][0])
+            rs._add_owned(superreads[i][1])
             output.append(rs)
         return output, transmission_vector

@@ -318,6 +318,10 @@ class VariantTable:
         self.samples = list(samples)
         self.variants: List[VcfVariant] = []
         self._columns: Dict[str, _SampleColumns] = {s: _SampleColumns() for s in samples}
+        #: set by VcfReader(remember_records=True): the chromosome's parsed
+        #: VariantRecords, reusable by the output writer (saves the writer's
+        #: second parse of the input file)
+        self.raw_records: Optional[List[VariantRecord]] = None
 
     # -- sample-id-indexed views (reference-compatible attribute access)
 
@@ -520,9 +524,11 @@ class VcfReader:
         ploidy: Optional[int] = None,
         mav: bool = False,
         allele_depth: bool = False,
+        remember_records: bool = False,
     ):
         self._vcf = VariantFile(os.fspath(path))
         self._path = path
+        self._remember_records = remember_records
         self._only_snvs = only_snvs
         self._want_phases = phases
         self._want_likelihoods = genotype_likelihoods
@@ -579,7 +585,13 @@ class VcfReader:
 
     def __iter__(self) -> Iterator[VariantTable]:
         for chromosome, records in itertools.groupby(self._vcf, lambda rec: rec.chrom):
-            yield self._build_table(chromosome, records)
+            if self._remember_records:
+                records = list(records)
+                table = self._build_table(chromosome, records)
+                table.raw_records = records
+                yield table
+            else:
+                yield self._build_table(chromosome, records)
 
     # -- per-call field extraction
 
@@ -1006,9 +1018,18 @@ class VcfAugmenter:
     def samples(self) -> List[str]:
         return list(self._reader.header.samples)
 
-    def _iterrecords(self, chromosome: str) -> Iterator[VariantRecord]:
+    def _iterrecords(
+        self, chromosome: str, records: Optional[List[VariantRecord]] = None
+    ) -> Iterator[VariantRecord]:
         """All input records of ``chromosome``; the first record of the
-        following chromosome is buffered for the next call."""
+        following chromosome is buffered for the next call.  When
+        ``records`` is given (the reader's already-parsed records of this
+        chromosome, VcfReader(remember_records=True)), they are used
+        directly and the writer's own input stream is not touched —
+        callers must then inject records for EVERY chromosome."""
+        if records is not None:
+            yield from records
+            return
         emitted = 0
         if self._buffered is not None:
             assert self._buffered.chrom == chromosome
@@ -1023,13 +1044,17 @@ class VcfAugmenter:
             emitted += 1
             yield record
 
-    def _record_modifier(self, chromosome: str) -> Iterator[VariantRecord]:
-        for record in self._iterrecords(chromosome):
+    def _record_modifier(
+        self, chromosome: str, records: Optional[List[VariantRecord]] = None
+    ) -> Iterator[VariantRecord]:
+        for record in self._iterrecords(chromosome, records):
             yield record  # caller mutates it here
             self._writer.write(record)
 
-    def write_unchanged(self, chromosome: str) -> None:
-        for record in self._iterrecords(chromosome):
+    def write_unchanged(
+        self, chromosome: str, records: Optional[List[VariantRecord]] = None
+    ) -> None:
+        for record in self._iterrecords(chromosome, records):
             self._writer.write(record)
 
 
@@ -1117,9 +1142,12 @@ class PhasedVcfWriter(VcfAugmenter):
         sample_superreads: Dict[str, ReadSet],
         sample_components: Dict,
         sample_haploid_components=None,
+        records: Optional[List[VariantRecord]] = None,
     ) -> List[GenotypeChange]:
         """Phase one chromosome's records.  ``sample_components`` maps
         sample -> {position -> block id (leftmost variant position)}.
+        ``records`` optionally supplies the chromosome's already-parsed
+        input records (skips the writer's own re-parse of the input VCF).
         Returns the genotype corrections that were applied."""
         # per sample: position -> (phase tuple, implied genotype)
         phase_of: Dict[str, Dict[int, Tuple[Tuple[int, ...], Genotype]]] = {}
@@ -1139,7 +1167,7 @@ class PhasedVcfWriter(VcfAugmenter):
             if s in sample_superreads
         ]
         prev_pos = None
-        for record in self._record_modifier(chromosome):
+        for record in self._record_modifier(chromosome, records):
             self._remove_existing_phasing(record, target_samples)
             if not record.alts:
                 continue
