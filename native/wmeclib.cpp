@@ -49,7 +49,9 @@ struct Solver {
     }
 
     int run(i64* out_cost, i64* out_index, i64* out_trans) const {
-        // per-column backtrace records
+        // per-column backtrace records.  Columns without dying slots store
+        // NO tables: their fold is the identity (win_bits all zero, win_jm
+        // the carried jmin), which the backtrace reconstructs for free.
         std::vector<i64> dying_mask(C, 0);
         std::vector<std::vector<int>> res_slots(C);       // residual slot list
         std::vector<std::vector<i64>> win_bits(C);        // (2^k_res)*T
@@ -71,94 +73,124 @@ struct Solver {
         std::vector<int> act;              // current column active slots
         std::vector<int> pos_cur(K, -1);
 
-        // scratch
+        // scratch, reused across columns (no per-column allocation)
         std::vector<i64> fcost, fkey, fwb;
         std::vector<int32_t> fjm;
         std::vector<i64> proj;             // (2^k_res)*T
         std::vector<i64> dp_cur, key_cur;
         std::vector<int32_t> jmin_cur;
         std::vector<i64> tmin;
+        std::vector<i64> f;                // subset sums, Sc*vec
+        std::vector<i64> kacc;             // subset rank-key sums, Sc
+        std::vector<int> racc;             // residual gather masks, Sc
+        std::vector<i64> recomb((size_t)T * T);
 
         for (int c = 0; c < C; c++) {
             int kp = (int)prev_act.size();
             int Sp = 1 << kp;
 
-            // ---- fold dying bits of the previous column ----
-            // carried per (state, t): cost, key, winner dying-bit pattern, jm
-            fcost.assign((size_t)Sp * T, 0);
-            fkey.assign((size_t)Sp * T, 0);
-            fwb.assign((size_t)Sp * T, 0);
-            fjm.assign((size_t)Sp * T, 0);
             i64 dmask = 0;
             for (int s = 0; s < K; s++)
                 if (die_prev[(size_t)c * K + s]) dmask |= (i64)1 << s;
-            for (int x = 0; x < Sp; x++) {
-                i64 die_bits = 0;
-                for (int j = 0; j < kp; j++)
-                    if (((x >> j) & 1) && ((dmask >> prev_act[j]) & 1))
-                        die_bits |= (i64)1 << prev_act[j];
-                for (int t = 0; t < T; t++) {
-                    fcost[(size_t)x * T + t] = dp[(size_t)x * T + t];
-                    fkey[(size_t)x * T + t] = key[x];
-                    fwb[(size_t)x * T + t] = die_bits;
-                    fjm[(size_t)x * T + t] = jmin_prev[(size_t)x * T + t];
-                }
+            // keep only dying bits that were actually active in c-1
+            {
+                i64 am = 0;
+                for (int j = 0; j < kp; j++) am |= (i64)1 << prev_act[j];
+                dmask &= am;
             }
-            for (int j = 0; j < kp; j++) {
-                if (!((dmask >> prev_act[j]) & 1)) continue;
-                int hi = 1 << (kp - 1 - j);
-                int lo = 1 << j;
-                for (int h = 0; h < hi; h++)
-                    for (int l = 0; l < lo; l++) {
-                        size_t i0 = (((size_t)h * 2 + 0) * lo + l) * T;
-                        size_t i1 = (((size_t)h * 2 + 1) * lo + l) * T;
-                        for (int t = 0; t < T; t++) {
-                            i64 ac = fcost[i0 + t], bc = fcost[i1 + t];
-                            i64 ak = fkey[i0 + t], bk = fkey[i1 + t];
-                            bool tb = (bc < ac) || (bc == ac && bk < ak);
-                            if (tb) {
-                                fcost[i0 + t] = bc;
-                                fkey[i0 + t] = bk;
-                                fwb[i0 + t] = fwb[i1 + t];
-                                fjm[i0 + t] = fjm[i1 + t];
-                            } else {
-                                fcost[i1 + t] = ac;
-                                fkey[i1 + t] = ak;
-                                fwb[i1 + t] = fwb[i0 + t];
-                                fjm[i1 + t] = fjm[i0 + t];
+            dying_mask[c] = dmask;
+
+            std::vector<int>& rs = res_slots[c];
+            int kr, Sr;
+            const i64* proj_ptr;
+            if (dmask == 0) {
+                // nothing dies: the fold is the identity.  The projection
+                // aliases dp; no per-column tables are stored (win_bits is
+                // all-zero, win_jm equals the carried jmin — reconstructed
+                // in the backtrace).  For T > 1 the jmin table is still
+                // needed per column; keep it only then.
+                rs = prev_act;
+                kr = kp;
+                Sr = Sp;
+                proj_ptr = dp.data();
+                if (T > 1) {
+                    win_jm[c] = jmin_prev;
+                    total_tables += (double)Sr * T * 4;
+                    if (total_tables > 8e9) return -1;
+                }
+            } else {
+                // ---- fold dying bits of the previous column ----
+                // carried per (state, t): cost, key, winner dying bits, jm
+                fcost.assign((size_t)Sp * T, 0);
+                fkey.assign((size_t)Sp * T, 0);
+                fwb.assign((size_t)Sp * T, 0);
+                fjm.assign((size_t)Sp * T, 0);
+                for (int x = 0; x < Sp; x++) {
+                    i64 die_bits = 0;
+                    for (int j = 0; j < kp; j++)
+                        if (((x >> j) & 1) && ((dmask >> prev_act[j]) & 1))
+                            die_bits |= (i64)1 << prev_act[j];
+                    for (int t = 0; t < T; t++) {
+                        fcost[(size_t)x * T + t] = dp[(size_t)x * T + t];
+                        fkey[(size_t)x * T + t] = key[x];
+                        fwb[(size_t)x * T + t] = die_bits;
+                        fjm[(size_t)x * T + t] = jmin_prev[(size_t)x * T + t];
+                    }
+                }
+                for (int j = 0; j < kp; j++) {
+                    if (!((dmask >> prev_act[j]) & 1)) continue;
+                    int hi = 1 << (kp - 1 - j);
+                    int lo = 1 << j;
+                    for (int h = 0; h < hi; h++)
+                        for (int l = 0; l < lo; l++) {
+                            size_t i0 = (((size_t)h * 2 + 0) * lo + l) * T;
+                            size_t i1 = (((size_t)h * 2 + 1) * lo + l) * T;
+                            for (int t = 0; t < T; t++) {
+                                i64 ac = fcost[i0 + t], bc = fcost[i1 + t];
+                                i64 ak = fkey[i0 + t], bk = fkey[i1 + t];
+                                bool tb = (bc < ac) || (bc == ac && bk < ak);
+                                if (tb) {
+                                    fcost[i0 + t] = bc;
+                                    fkey[i0 + t] = bk;
+                                    fwb[i0 + t] = fwb[i1 + t];
+                                    fjm[i0 + t] = fjm[i1 + t];
+                                } else {
+                                    fcost[i1 + t] = ac;
+                                    fkey[i1 + t] = ak;
+                                    fwb[i1 + t] = fwb[i0 + t];
+                                    fjm[i1 + t] = fjm[i0 + t];
+                                }
                             }
                         }
-                    }
-            }
+                }
 
-            // ---- residual extraction (non-dying previous-active slots) ----
-            std::vector<int>& rs = res_slots[c];
-            std::vector<int> res_bit_of_prev;  // prev compact bit -> res bit
-            res_bit_of_prev.assign(kp, -1);
-            for (int j = 0; j < kp; j++)
-                if (!((dmask >> prev_act[j]) & 1)) {
-                    res_bit_of_prev[j] = (int)rs.size();
-                    rs.push_back(prev_act[j]);
-                }
-            int kr = (int)rs.size();
-            int Sr = 1 << kr;
-            dying_mask[c] = dmask;
-            win_bits[c].assign((size_t)Sr * T, 0);
-            win_jm[c].assign((size_t)Sr * T, 0);
-            proj.assign((size_t)Sr * T, 0);
-            total_tables += (double)Sr * T * 12;
-            if (total_tables > 8e9) return -1;
-            for (int r = 0; r < Sr; r++) {
-                // representative in prev compact space: dying bits = 0
-                int x0 = 0;
+                // ---- residual extraction (non-dying prev-active slots) ----
+                std::vector<int> res_bit_of_prev(kp, -1);
                 for (int j = 0; j < kp; j++)
-                    if (res_bit_of_prev[j] >= 0 && ((r >> res_bit_of_prev[j]) & 1))
-                        x0 |= 1 << j;
-                for (int t = 0; t < T; t++) {
-                    proj[(size_t)r * T + t] = fcost[(size_t)x0 * T + t];
-                    win_bits[c][(size_t)r * T + t] = fwb[(size_t)x0 * T + t];
-                    win_jm[c][(size_t)r * T + t] = fjm[(size_t)x0 * T + t];
+                    if (!((dmask >> prev_act[j]) & 1)) {
+                        res_bit_of_prev[j] = (int)rs.size();
+                        rs.push_back(prev_act[j]);
+                    }
+                kr = (int)rs.size();
+                Sr = 1 << kr;
+                win_bits[c].assign((size_t)Sr * T, 0);
+                win_jm[c].assign((size_t)Sr * T, 0);
+                proj.assign((size_t)Sr * T, 0);
+                total_tables += (double)Sr * T * 12;
+                if (total_tables > 8e9) return -1;
+                for (int r = 0; r < Sr; r++) {
+                    // representative in prev compact space: dying bits = 0
+                    int x0 = 0;
+                    for (int j = 0; j < kp; j++)
+                        if (res_bit_of_prev[j] >= 0 && ((r >> res_bit_of_prev[j]) & 1))
+                            x0 |= 1 << j;
+                    for (int t = 0; t < T; t++) {
+                        proj[(size_t)r * T + t] = fcost[(size_t)x0 * T + t];
+                        win_bits[c][(size_t)r * T + t] = fwb[(size_t)x0 * T + t];
+                        win_jm[c][(size_t)r * T + t] = fjm[(size_t)x0 * T + t];
+                    }
                 }
+                proj_ptr = proj.data();
             }
 
             // ---- current column compact layout ----
@@ -182,36 +214,21 @@ struct Solver {
                     if (rs[rb] == s) { rmask[j] = 1 << rb; break; }
             }
 
-            // ---- transition (min-plus over transmissions) ----
-            dp_cur.assign((size_t)Sc * T, 0);
-            jmin_cur.assign((size_t)Sc * T, 0);
-            tmin.assign((size_t)Sc * T, 0);
-            std::vector<i64> recomb((size_t)T * T);
-            for (int i = 0; i < T; i++)
-                for (int j = 0; j < T; j++) {
-                    i64 v = (i64)popcount(i ^ j) * (i64)rc[c];
-                    recomb[(size_t)i * T + j] = v < INF ? v : INF;
-                }
-            for (int y = 0; y < Sc; y++) {
-                int r = 0;
-                for (int j = 0; j < k; j++)
-                    if ((y >> j) & 1) r |= rmask[j];
-                for (int i = 0; i < T; i++) {
-                    i64 best = INF + 1;
-                    int bj = 0;
-                    for (int j = 0; j < T; j++) {
-                        i64 v = proj[(size_t)r * T + j] + recomb[(size_t)i * T + j];
-                        if (v > INF) v = INF;
-                        if (v < best) { best = v; bj = j; }
-                    }
-                    tmin[(size_t)y * T + i] = best;
-                    jmin_cur[(size_t)y * T + i] = bj;
-                }
+            // rank weights for the key
+            std::vector<i64> rankw(k, 0);
+            for (int j = 0; j < k; j++) {
+                int rk = rank[(size_t)c * K + act[j]];
+                rankw[j] = rk >= 0 ? ((i64)1 << rk) : 0;
             }
 
-            // ---- emission (subset-sum accumulation over active slots) ----
-            int vec = T * P * 2;
-            std::vector<i64> f((size_t)Sc * vec, 0);
+            // ---- subset-sum accumulation over active slots: emission
+            // vectors f, raw rank keys kacc, residual gather masks racc ----
+            const int vec = T * P * 2;
+            if ((size_t)Sc * vec > f.size()) f.resize((size_t)Sc * vec);
+            if ((size_t)Sc > kacc.size()) { kacc.resize(Sc); racc.resize(Sc); }
+            for (int q = 0; q < vec; q++) f[q] = 0;
+            kacc[0] = 0;
+            racc[0] = 0;
             for (int y = 1; y < Sc; y++) {
                 int low = y & -y;
                 int j = 0;
@@ -221,49 +238,101 @@ struct Solver {
                 i64* fy = &f[(size_t)y * vec];
                 const i64* fp = &f[(size_t)prev * vec];
                 for (int q = 0; q < vec; q++) fy[q] = fp[q] + wrow[q];
-            }
-            const int32_t* wb = &wbase[(size_t)c * vec];
-            const int32_t* ac_col = &acost[(size_t)c * T * nA];
-            key_cur.assign(Sc, 0);
-            // rank weights for the key
-            std::vector<i64> rankw(k, 0);
-            for (int j = 0; j < k; j++) {
-                int rk = rank[(size_t)c * K + act[j]];
-                rankw[j] = rk >= 0 ? ((i64)1 << rk) : 0;
-            }
-            for (int y = 0; y < Sc; y++) {
-                const i64* fy = &f[(size_t)y * vec];
-                for (int t = 0; t < T; t++) {
-                    // cp[p][a] = f + wbase; s0 = sum_p cp[p][0]; d = cp[p][1]-cp[p][0]
-                    i64 s0 = 0;
-                    i64 d[16];
-                    for (int p = 0; p < P; p++) {
-                        i64 cp0 = fy[(t * P + p) * 2 + 0] + wb[(t * P + p) * 2 + 0];
-                        i64 cp1 = fy[(t * P + p) * 2 + 1] + wb[(t * P + p) * 2 + 1];
-                        s0 += cp0;
-                        d[p] = cp1 - cp0;
-                    }
-                    i64 cc = INF;
-                    for (int a = 0; a < nA; a++) {
-                        i64 pa = 0;
-                        for (int p = 0; p < P; p++)
-                            if ((a >> p) & 1) pa += d[p];
-                        i64 tot = s0 + pa + (i64)ac_col[(size_t)t * nA + a];
-                        if (tot > INF) tot = INF;
-                        if (tot < cc) cc = tot;
-                    }
-                    i64 v = cc + tmin[(size_t)y * T + t];
-                    dp_cur[(size_t)y * T + t] = v < INF ? v : INF;
-                }
-                i64 kraw = 0;
-                for (int j = 0; j < k; j++)
-                    if ((y >> j) & 1) kraw += rankw[j];
-                key_cur[y] = invgray(kraw);
+                kacc[y] = kacc[prev] + rankw[j];
+                racc[y] = racc[prev] | rmask[j];
             }
 
-            dp = dp_cur;
-            key = key_cur;
-            jmin_prev = jmin_cur;
+            const int32_t* wb = &wbase[(size_t)c * vec];
+            const int32_t* ac_col = &acost[(size_t)c * T * nA];
+            if ((size_t)Sc * T > dp_cur.size()) dp_cur.resize((size_t)Sc * T);
+            if ((size_t)Sc > key_cur.size()) key_cur.resize(Sc);
+
+            if (T == 1 && P == 2) {
+                // diploid single-sample fast path: no transmission state
+                // (jmin is identically 0), 4 allele assignments unrolled
+                const i64 wb0 = wb[0], wb1 = wb[1], wb2 = wb[2], wb3 = wb[3];
+                const i64 a0 = ac_col[0], a1 = ac_col[1], a2 = ac_col[2],
+                          a3 = ac_col[3];
+                for (int y = 0; y < Sc; y++) {
+                    const i64* fy = &f[(size_t)y * 4];
+                    const i64 cp00 = fy[0] + wb0, cp01 = fy[1] + wb1;
+                    const i64 cp10 = fy[2] + wb2, cp11 = fy[3] + wb3;
+                    const i64 s0 = cp00 + cp10;
+                    const i64 d0 = cp01 - cp00, d1 = cp11 - cp10;
+                    i64 cc = s0 + a0;
+                    i64 t1 = s0 + d0 + a1;
+                    if (t1 < cc) cc = t1;
+                    i64 t2 = s0 + d1 + a2;
+                    if (t2 < cc) cc = t2;
+                    i64 t3 = s0 + d0 + d1 + a3;
+                    if (t3 < cc) cc = t3;
+                    if (cc > INF) cc = INF;
+                    i64 v = cc + proj_ptr[racc[y]];
+                    dp_cur[y] = v < INF ? v : INF;
+                    key_cur[y] = invgray(kacc[y]);
+                }
+                if ((size_t)Sc > jmin_cur.size()) jmin_cur.resize(Sc);
+                // jmin stays all-zero for T == 1; ensure the carried slice
+                // is zeroed once per column (cheap, Sc ints)
+                std::fill(jmin_cur.begin(), jmin_cur.begin() + Sc, 0);
+            } else {
+                // ---- transition (min-plus over transmissions) ----
+                if ((size_t)Sc * T > jmin_cur.size())
+                    jmin_cur.resize((size_t)Sc * T);
+                if ((size_t)Sc * T > tmin.size()) tmin.resize((size_t)Sc * T);
+                for (int i = 0; i < T; i++)
+                    for (int j = 0; j < T; j++) {
+                        i64 v = (i64)popcount(i ^ j) * (i64)rc[c];
+                        recomb[(size_t)i * T + j] = v < INF ? v : INF;
+                    }
+                for (int y = 0; y < Sc; y++) {
+                    int r = racc[y];
+                    for (int i = 0; i < T; i++) {
+                        i64 best = INF + 1;
+                        int bj = 0;
+                        for (int j = 0; j < T; j++) {
+                            i64 v = proj_ptr[(size_t)r * T + j] +
+                                    recomb[(size_t)i * T + j];
+                            if (v > INF) v = INF;
+                            if (v < best) { best = v; bj = j; }
+                        }
+                        tmin[(size_t)y * T + i] = best;
+                        jmin_cur[(size_t)y * T + i] = bj;
+                    }
+                }
+
+                for (int y = 0; y < Sc; y++) {
+                    const i64* fy = &f[(size_t)y * vec];
+                    for (int t = 0; t < T; t++) {
+                        // cp[p][a] = f + wbase; s0 = sum_p cp[p][0];
+                        // d = cp[p][1] - cp[p][0]
+                        i64 s0 = 0;
+                        i64 d[16];
+                        for (int p = 0; p < P; p++) {
+                            i64 cp0 = fy[(t * P + p) * 2 + 0] + wb[(t * P + p) * 2 + 0];
+                            i64 cp1 = fy[(t * P + p) * 2 + 1] + wb[(t * P + p) * 2 + 1];
+                            s0 += cp0;
+                            d[p] = cp1 - cp0;
+                        }
+                        i64 cc = INF;
+                        for (int a = 0; a < nA; a++) {
+                            i64 pa = 0;
+                            for (int p = 0; p < P; p++)
+                                if ((a >> p) & 1) pa += d[p];
+                            i64 tot = s0 + pa + (i64)ac_col[(size_t)t * nA + a];
+                            if (tot > INF) tot = INF;
+                            if (tot < cc) cc = tot;
+                        }
+                        i64 v = cc + tmin[(size_t)y * T + t];
+                        dp_cur[(size_t)y * T + t] = v < INF ? v : INF;
+                    }
+                    key_cur[y] = invgray(kacc[y]);
+                }
+            }
+
+            dp.assign(dp_cur.begin(), dp_cur.begin() + (size_t)Sc * T);
+            key.assign(key_cur.begin(), key_cur.begin() + Sc);
+            jmin_prev.assign(jmin_cur.begin(), jmin_cur.begin() + (size_t)Sc * T);
             prev_act = act;
             for (int s = 0; s < K; s++) pos_prev[s] = pos_cur[s];
         }
@@ -302,12 +371,27 @@ struct Solver {
         out_index[C - 1] = v;
         out_trans[C - 1] = vt;
         for (int i = C - 1; i >= 1; i--) {
+            int vtrans = prev_trans;
+            if (dying_mask[i] == 0) {
+                // identity fold: no tables were stored (win_bits all zero;
+                // win_jm kept only for T > 1, where it equals the carried
+                // jmin of the previous column)
+                if (T > 1) {
+                    const std::vector<int>& rs = res_slots[i];
+                    int r = 0;
+                    for (size_t j = 0; j < rs.size(); j++)
+                        if ((v >> rs[j]) & 1) r |= 1 << j;
+                    prev_trans = win_jm[i][(size_t)r * T + vtrans];
+                }
+                out_index[i - 1] = v;
+                out_trans[i - 1] = vtrans;
+                continue;
+            }
             const std::vector<int>& rs = res_slots[i];
             int r = 0;
             for (size_t j = 0; j < rs.size(); j++)
                 if ((v >> rs[j]) & 1) r |= 1 << j;
             i64 vnew = (v & ~dying_mask[i]) | win_bits[i][(size_t)r * T + prev_trans];
-            int vtrans = prev_trans;
             prev_trans = win_jm[i][(size_t)r * T + vtrans];
             out_index[i - 1] = vnew;
             out_trans[i - 1] = vtrans;
