@@ -69,3 +69,66 @@ def test_trio_and_assignment_axes_scale_adaptive_cost():
     trio = _packed(k_per_col=4, n_cols=10, K=8, T=4, P=3)
     # T enters squared (transmission transition matrix), P as 2^P
     assert sg.adaptive_work(trio) == sg.adaptive_work(base) * 16 * 2
+
+
+def test_routed_small_instance_latency_near_direct_native():
+    """The full routed GenotypeDPTable call on an adaptive-small instance
+    must cost close to the bare native engine run on the same packed
+    problem — the router, packing and glue may not add more than ~1x the
+    engine's own time (wall-clock guard for the round-4 ask that routed
+    latency stays bounded; generous factor to survive CI noise)."""
+    import random
+    import time
+
+    import whatshap_tpu.core as core
+    from whatshap_tpu.core.genotype import Genotype
+    from whatshap_tpu.core.phredgl import PhredGenotypeLikelihoods
+    from whatshap_tpu.ops import genotyping as gt_ops
+    from whatshap_tpu.ops import wmec
+
+    rng = random.Random(5)
+    n_pos = 500
+    positions = sorted(rng.sample(range(10, 10**6), n_pos))
+    rs = core.ReadSet()
+    for i in range(150):
+        start = rng.randint(0, n_pos - 10)
+        r = core.Read(f"r{i}", 50, 0, 0)
+        for p in range(start, min(start + rng.randint(5, 20), n_pos)):
+            r.add_variant(positions[p], rng.randint(0, 1), rng.choice([5, 30]))
+        rs.add(r)
+    rs.sort()
+    nsi = core.NumericSampleIds()
+    ped = core.Pedigree(nsi)
+    gls = []
+    for _ in range(n_pos):
+        triple = [10.0 ** (-rng.choice([0, 5, 20]) / 10.0) for _ in range(3)]
+        triple[rng.randint(0, 2)] = 1.0
+        gls.append(triple)
+    ped.add_individual(
+        "ind0",
+        [Genotype.from_index(rng.randint(0, 2), 2) for _ in range(n_pos)],
+        [PhredGenotypeLikelihoods(gl) for gl in gls],
+    )
+    recomb = [rng.choice([1, 2, 5]) for _ in range(n_pos)]
+
+    packed = wmec.pack_problem(
+        rs, recomb, ped, False, positions, check_conflicts=False,
+        emission_tables=False,
+    )
+    assert sg.adaptive_work(packed) <= sg.GENO_HOST_ROUTE_WORK
+
+    def best_of(f, n=3):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            f()
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_direct = best_of(lambda: gt_ops.run_genotyping(packed, ped))
+    t_routed = best_of(
+        lambda: core.GenotypeDPTable(nsi, rs, recomb, ped, positions)
+    )
+    assert t_routed <= max(2.0 * t_direct, t_direct + 0.05), (
+        f"routed {t_routed:.4f}s vs direct {t_direct:.4f}s"
+    )

@@ -97,6 +97,7 @@ def pack_problem(
     distrust_genotypes: bool = False,
     positions: Optional[Sequence[int]] = None,
     check_conflicts: bool = True,
+    emission_tables: bool = True,
 ) -> PackedProblem:
     """Convert a ReadSet + Pedigree into dense arrays for the device DP.
 
@@ -247,6 +248,37 @@ def pack_problem(
         for i in range(n_ind):
             h2p[t, i, 0] = pp.haplotype_to_partition(i, 0)
             h2p[t, i, 1] = pp.haplotype_to_partition(i, 1)
+
+    if not emission_tables:
+        # caller consumes only the structural arrays (the genotyping HMM
+        # builds its own probability-space emission from allele/weight):
+        # skip the wMEC cost-table construction below entirely
+        rc = np.asarray(list(recombcost), dtype=np.int32)
+        if C > 0 and len(rc) < C:
+            rc = np.concatenate([rc, np.full(C - len(rc), INF, dtype=np.int32)])
+        empty32 = np.zeros(0, dtype=np.int32)
+        return PackedProblem(
+            n_cols=C,
+            K=K,
+            T=T,
+            P=P,
+            n_reads=n_reads,
+            positions=np.asarray(cols, dtype=np.int64),
+            active=active,
+            slot_read=slot_read,
+            allele=allele,
+            weight=weight,
+            rank=rank,
+            die_prev=die_prev,
+            rc=rc[:C] if C > 0 else rc,
+            wdiff=empty32.reshape(0, K, T, P, 2),
+            wbase=empty32.reshape(0, T, P, 2),
+            acost=empty32.reshape(0, T, 1 << P),
+            read_slot=read_slot,
+            read_first_col=first_col,
+            h2p=h2p,
+            read_source=read_source,
+        )
 
     # Column cost weights.
     # c_s(a) = weight if allele in {0,1} and allele != a else 0

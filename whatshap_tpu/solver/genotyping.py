@@ -84,7 +84,12 @@ class GenotypeDPTable:
         self._numeric_sample_ids = numeric_sample_ids
         self._pedigree = pedigree
         self._packed = wmec.pack_problem(
-            readset, recombcost, pedigree, False, positions, check_conflicts=False
+            readset, recombcost, pedigree, False, positions,
+            check_conflicts=False,
+            # the genotyping HMM builds its own probability-space emission
+            # from allele/weight — the wMEC integer cost tables are unused
+            # on every genotyping backend
+            emission_tables=False,
         )
         # Adaptive backend routing, mirroring run_dp's cost model
         # (ops/wmec.py): the host longdouble path is byte-exact and faster
