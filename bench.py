@@ -944,13 +944,22 @@ def bench_polyphase():
         for read in rs:
             inp.append(f"{read.name.replace(' ', '_')} 0 {len(read)}")
             inp += [f"{v.position} {v.allele} {v.quality}" for v in read]
-        out = oracle.run_extra_oracle("polyphase", "\n".join(inp) + "\n")
-        if out is not None:
+        text = "\n".join(inp) + "\n"
+        ref_times = []
+        for _ in range(3):  # median of 3, like our side — the leg was noisy
+            out = oracle.run_extra_oracle("polyphase", text)
+            if out is None:
+                break
             for line in out.splitlines():
                 parts = line.split()
                 if parts and parts[0] == "time":
-                    ref_s = float(parts[1])
+                    ref_times.append(float(parts[1]))
                     break
+        if len(ref_times) == 3:
+            ref_times.sort()
+            ref_s = ref_times[1]
+        elif ref_times:
+            ref_s = ref_times[0]
     return {
         "value": round(n_pos / dt, 1),
         "unit": "variants/s",

@@ -585,8 +585,8 @@ struct Solver {
     }
 };
 
-std::vector<int> g_out_nodes;
-std::vector<int64_t> g_out_offsets;
+thread_local std::vector<int> g_out_nodes;
+thread_local std::vector<int64_t> g_out_offsets;
 
 }  // namespace
 

@@ -7,6 +7,7 @@ blocks, run cluster editing -> threading -> reordering per block
 
 import logging
 import multiprocessing
+import os
 from copy import copy
 from itertools import chain
 from math import log
@@ -60,13 +61,49 @@ def solve_polyphase_instance(
     timers.stop("detecting_blocks")
 
     if param.threads == 1:
-        results = []
+        contexts = []
         job_counter = 0
         for block_id, block in enumerate(blocks):
             job_counter += block.length > 1
-            ctx = BlockContext(block_id, job_counter, num_nontrivial, recursion_level)
-            inputs = _block_inputs(allele_matrix, genotypes, partial_phasing, block)
-            results.append(phase_single_block(*inputs, param, timers, ctx))
+            contexts.append(
+                BlockContext(block_id, job_counter, num_nontrivial, recursion_level)
+            )
+        # Host-thread parallelism over independent blocks: the hot stages
+        # (read scoring, cluster editing, threading) run in native engines
+        # that release the GIL, so threads overlap them across blocks —
+        # the host-side analogue of batching blocks across device lanes.
+        # Top level only (sub-instances recurse within a worker), and
+        # results/merge order stay by block id, so output is unchanged.
+        # WHATSHAP_TPU_POLY_HOST_THREADS=0 disables; =N caps the workers.
+        threads_env = os.environ.get("WHATSHAP_TPU_POLY_HOST_THREADS", "")
+        n_workers = min(num_nontrivial, os.cpu_count() or 1, 8)
+        if threads_env.isdigit():
+            n_workers = min(n_workers, int(threads_env))
+        if recursion_level == 0 and num_nontrivial >= 2 and n_workers >= 2:
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _run_block(i: int):
+                sub_timer = StageTimer()
+                inputs = _block_inputs(
+                    allele_matrix, genotypes, partial_phasing, blocks[i]
+                )
+                res = phase_single_block(*inputs, param, sub_timer, contexts[i])
+                return res, sub_timer
+
+            # biggest blocks first: a 4/3-approximation for makespan
+            order = sorted(range(len(blocks)), key=lambda i: -blocks[i].length)
+            with ThreadPoolExecutor(max_workers=n_workers) as ex:
+                outs = list(ex.map(_run_block, order))
+            results = [None] * len(blocks)
+            for i, (res, sub_timer) in zip(order, outs):
+                results[i] = res
+                for stage, seconds in sub_timer._acc.items():
+                    timers._acc[stage] = timers._acc.get(stage, 0.0) + seconds
+        else:
+            results = []
+            for i, block in enumerate(blocks):
+                inputs = _block_inputs(allele_matrix, genotypes, partial_phasing, block)
+                results.append(phase_single_block(*inputs, param, timers, contexts[i]))
     else:
         timers.start("phase_blocks")
         # Biggest blocks first: a 4/3-approximation for makespan scheduling.

@@ -298,17 +298,40 @@ def get_allele_depths(
                     bucket[allele] = bucket.get(allele, 0) + 1
 
     rankings: List[Dict[ClusterId, List[Allele]]] = [{} for _ in range(num_vars)]
-    for pos in range(num_vars):
-        for c_id, counts in depths[pos].items():
-            uses: Dict[Allele, int] = defaultdict(int)
-            order = []
-            for _ in range(ploidy):
-                best_score, best_allele = 0, 0
-                for allele, count in counts.items():
-                    score = count / (1 + uses[allele])
-                    if score > best_score:
-                        best_score, best_allele = score, allele
-                order.append(best_allele)
-                uses[best_allele] += 1
-            rankings[pos][c_id] = order
+    buckets = [
+        (pos, c_id, counts)
+        for pos in range(num_vars)
+        for c_id, counts in depths[pos].items()
+    ]
+    if buckets:
+        # vectorized greedy consensus over all (position, cluster) buckets
+        # at once: score = count / (1 + uses); ties go to the bucket's
+        # FIRST dict entry with the max score (strict > in the scalar
+        # loop), i.e. insertion order — so alleles are laid out in dict
+        # order and argmax's first-max rule reproduces the tie-break
+        import numpy as np
+
+        n_b = len(buckets)
+        width = max(len(c) for _, _, c in buckets)
+        counts_m = np.zeros((n_b, width), dtype=np.float64)
+        allele_m = np.zeros((n_b, width), dtype=np.int64)
+        for b, (_pos, _cid, counts) in enumerate(buckets):
+            for j, (allele, count) in enumerate(counts.items()):
+                counts_m[b, j] = count
+                allele_m[b, j] = allele
+        uses = np.zeros((n_b, width), dtype=np.float64)
+        picks = np.zeros((n_b, ploidy), dtype=np.int64)
+        rows = np.arange(n_b)
+        for step in range(ploidy):
+            scores = counts_m / (1.0 + uses)
+            # scalar rule: best starts at (score 0, allele 0) and only a
+            # strictly greater score replaces it — an all-zero row picks
+            # allele 0, which column 0 of a padded row reproduces only if
+            # its allele is 0; real buckets always have a positive count
+            win = np.argmax(scores, axis=1)
+            picks[:, step] = allele_m[rows, win]
+            uses[rows, win] += 1.0
+        picks_l = picks.tolist()
+        for b, (pos, c_id, _counts) in enumerate(buckets):
+            rankings[pos][c_id] = picks_l[b]
     return depths, rankings
