@@ -308,8 +308,14 @@ def bench_phase_cli():
     long-read data from tests/data), with the reference C++ DP replayed on
     the identical instances as the (conservative) end-to-end baseline."""
     from whatshap_tpu.cli.phase import run_whatshap
+    from whatshap_tpu.io.sam import build_minimal_index
 
     data = Path(__file__).parent / "tests" / "data" / "pacbio"
+    # *.bai is gitignored under tests/data/pacbio; a fresh checkout has no
+    # index (tests regenerate it in conftest — do the same here)
+    for bam in data.glob("*.bam"):
+        if not bam.with_suffix(".bam.bai").exists():
+            build_minimal_index(str(bam))
 
     def run_once():
         out = io.StringIO()
