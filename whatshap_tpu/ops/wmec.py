@@ -88,6 +88,11 @@ class PackedProblem:
     read_first_col: np.ndarray  # (R,) int32 first active column (-1)
     h2p: np.ndarray  # (T, I, 2) int32 haplotype -> partition map
     read_source: np.ndarray  # (R,) int32 individual index per read
+    # Transmission-relabeling symmetries: XOR masks d such that relabeling
+    # one founder's haplotypes maps the DP onto itself with t -> t ^ d and
+    # every cost preserved (see pack_problem).  The seam-matrix pass of the
+    # batched pedigree route seeds one scan per coset instead of per t.
+    t_sym_masks: Tuple[int, ...] = ()
 
 
 def pack_problem(
@@ -249,6 +254,31 @@ def pack_problem(
             h2p[t, i, 0] = pp.haplotype_to_partition(i, 0)
             h2p[t, i, 1] = pp.haplotype_to_partition(i, 1)
 
+    # Transmission-relabeling symmetries.  Relabeling a FOUNDER's two
+    # haplotypes (founder = never a child in a triple; its partition pair is
+    # free, pedigreepartitions.cpp:7-28) and simultaneously flipping the
+    # transmission bit of every triple that selects from it (bit 2t = father
+    # side, 2t+1 = mother side, pedigreepartitions.cpp:39-52) is a
+    # cost-preserving bijection of the whole DP: reads of that founder swap
+    # partition side inside the min-fold, every descendant's h2p entry is
+    # unchanged, genotype/GL costs are symmetric in the haplotype pair, and
+    # recombination cost is Hamming on t (XOR-invariant).  Hence
+    # G[a][b] == G[a^d][b^d] for every d in the XOR-span of these masks.
+    triples = pedigree.triples
+    child_of = {c for _f, _m, c in triples}
+    t_sym_masks = []
+    for i in range(n_ind):
+        if i in child_of:
+            continue
+        mask = 0
+        for ti, (fa, mo, _c) in enumerate(triples):
+            if fa == i:
+                mask |= 1 << (2 * ti)
+            if mo == i:
+                mask |= 1 << (2 * ti + 1)
+        if mask:
+            t_sym_masks.append(mask)
+
     if not emission_tables:
         # caller consumes only the structural arrays (the genotyping HMM
         # builds its own probability-space emission from allele/weight):
@@ -278,6 +308,7 @@ def pack_problem(
             read_first_col=first_col,
             h2p=h2p,
             read_source=read_source,
+            t_sym_masks=tuple(t_sym_masks),
         )
 
     # Column cost weights.
@@ -396,6 +427,7 @@ def pack_problem(
         read_first_col=first_col,
         h2p=h2p,
         read_source=read_source,
+        t_sym_masks=tuple(t_sym_masks),
     )
 
 
@@ -1348,8 +1380,29 @@ def run_dp_batched_pedigree(packed: PackedProblem) -> Optional[DPResult]:
 
     from ..parallel.blocks import stack_blocks
 
-    unit_seeds = np.full((T, T), INF, dtype=np.int32)
-    np.fill_diagonal(unit_seeds, 0)
+    # Transmission-symmetry cosets: for every XOR mask d in the span of
+    # packed.t_sym_masks, G[a][b] == G[a^d][b^d] (founder haplotype
+    # relabeling — see pack_problem).  One seeded scan per coset
+    # representative recovers the full T x T seam matrix:
+    #     G[a][b] = G[rep(a)][b ^ (a ^ rep(a))].
+    # For a single trio that is 1 scan instead of 4; for two disjoint trios
+    # 1 instead of 16.
+    span = {0}
+    for g in packed.t_sym_masks:
+        span |= {d ^ g for d in span}
+    rep_of = np.full(T, -1, dtype=np.int64)  # t -> index into reps
+    reps: List[int] = []
+    for a in range(T):
+        if rep_of[a] >= 0:
+            continue
+        for d in span:
+            if rep_of[a ^ d] < 0:
+                rep_of[a ^ d] = len(reps)
+        reps.append(a)
+    R = len(reps)
+    rep_val = np.asarray(reps, dtype=np.int64)
+    unit_seeds = np.full((R, T), INF, dtype=np.int32)
+    unit_seeds[np.arange(R), rep_val] = 0
 
     # ---- pass 1: unit-seeded forwards -> per-block seam matrices G ----
     # Dispatch all buckets before fetching: each jax.device_get call is one
@@ -1368,11 +1421,11 @@ def run_dp_batched_pedigree(packed: PackedProblem) -> Optional[DPResult]:
         if on_accel:
             # fused repeat+tier-pad in one device program; dp0 pads on the
             # host (numpy, free) to the same tier
-            bt = _b_tier(B * T)
-            rep = _prep_batch(T, bt, *stacked)
-            if bt > B * T:
+            bt = _b_tier(B * R)
+            rep = _prep_batch(R, bt, *stacked)
+            if bt > B * R:
                 dp0 = np.concatenate(
-                    [dp0, np.repeat(dp0[:1], bt - B * T, axis=0)], axis=0
+                    [dp0, np.repeat(dp0[:1], bt - B * R, axis=0)], axis=0
                 )
             kern = (
                 wmec_pallas.forward_m_seeded_pallas
@@ -1380,7 +1433,7 @@ def run_dp_batched_pedigree(packed: PackedProblem) -> Optional[DPResult]:
                 else forward_m_batched
             )
         else:
-            rep = tuple(np.repeat(x, T, axis=0) for x in stacked)
+            rep = tuple(np.repeat(x, R, axis=0) for x in stacked)
             kern = forward_m_batched
         return idxs, _launch_batched(kern, k_b, T, P, rep + (dp0,))
 
@@ -1394,12 +1447,18 @@ def run_dp_batched_pedigree(packed: PackedProblem) -> Optional[DPResult]:
             for (c_pad, k_b), idxs in buckets.items()
         ]
     )
+    # expand coset rows to the full matrix: G[a][b] = Gr[rep_of[a]][b^a^rep(a)]
+    a_idx = np.arange(T)[:, None]
+    b_idx = np.arange(T)[None, :]
+    row_sel = rep_of[a_idx]  # (T, 1)
+    col_sel = b_idx ^ a_idx ^ rep_val[rep_of[a_idx]]  # (T, T)
     for (idxs, _), m_out in zip(
         pending_m, jax.device_get([m for _, m in pending_m])
     ):
-        m_out = np.asarray(m_out, dtype=np.int64)  # (B*T, T)
+        m_out = np.asarray(m_out, dtype=np.int64)  # (B*R, T)
         for bi, ri in enumerate(idxs):
-            G[ri] = m_out[bi * T : (bi + 1) * T]
+            Gr = m_out[bi * R : (bi + 1) * R]  # (R, T)
+            G[ri] = Gr[row_sel, col_sel]
 
     # ---- host chain: incoming seam vector per block (exact min-plus) ----
     m_in = np.zeros((nb, T), dtype=np.int64)  # block 0: uniform zero start
