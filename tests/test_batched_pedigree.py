@@ -129,3 +129,78 @@ def test_pedigree_batched_single_block_returns_none():
     positions = sorted(rs.get_positions())
     packed, _ped = _pack_trio(rs, positions, 7)
     assert wmec.run_dp_batched_pedigree(packed) is None
+
+
+def _seam_matrix_bruteforce(block_arrs, k_b, T, P):
+    """Seam matrix of one block via T independent unit-seeded scans."""
+    from whatshap_tpu.parallel.blocks import stack_blocks
+
+    rep = stack_blocks([block_arrs] * T)
+    dp0 = np.full((T, T), wmec.INF, dtype=np.int32)
+    np.fill_diagonal(dp0, 0)
+    m = wmec._launch_batched(wmec.forward_m_batched, k_b, T, P, rep + (dp0,))
+    return np.asarray(m, dtype=np.int64)
+
+
+@pytest.mark.parametrize(
+    "n_ind,trios",
+    [
+        (3, ((0, 1, 2),)),  # trio: full symmetry, 1 coset
+        (4, ((0, 1, 2), (0, 1, 3))),  # quartet, shared parents: 4 cosets
+        (5, ((0, 1, 2), (2, 3, 4))),  # multi-generation: middle individual
+        # is child AND parent, contributing no generator: 2 cosets
+    ],
+)
+def test_seam_matrix_transmission_symmetry(n_ind, trios):
+    """G[a][b] == G[0-coset rep][b ^ a ^ rep] for every block: the coset
+    expansion used by pass 1 of run_dp_batched_pedigree reproduces the
+    brute-force T-seeded seam matrix exactly."""
+    rs, _ = _trio_multi_block_readset(
+        11, n_blocks=3, cols_per_block=5, reads_per_block=8, n_ind=n_ind
+    )
+    positions = sorted(rs.get_positions())
+    packed, _ped = _pack_trio(rs, positions, 11, n_ind=n_ind, trios=trios)
+    T, P = packed.T, packed.P
+
+    span = {0}
+    for g in packed.t_sym_masks:
+        span |= {d ^ g for d in span}
+    expected_cosets = {
+        3: 1,
+        4: 4,
+        5: 2,
+    }[n_ind]
+    assert T // len(span) == expected_cosets
+
+    ranges = wmec.connected_column_ranges(packed)
+    assert len(ranges) > 1
+    blocks = list(wmec._slice_ranges(packed, ranges, on_accel=False))
+    for c_pad, k_b, arrs in blocks:
+        G = _seam_matrix_bruteforce(arrs, k_b, T, P)
+        for a in range(T):
+            for d in span:
+                np.testing.assert_array_equal(
+                    G[a], G[a ^ d][[b ^ d for b in range(T)]]
+                )
+
+
+def test_multigeneration_batched_equals_monolithic():
+    """Three-generation pedigree (grandparents -> parent -> child): the
+    coset-seeded seam pass must keep the batched route bit-identical."""
+    rs, _ = _trio_multi_block_readset(
+        23, n_blocks=3, cols_per_block=5, reads_per_block=8, n_ind=5
+    )
+    positions = sorted(rs.get_positions())
+    packed, ped = _pack_trio(
+        rs, positions, 23, n_ind=5, trios=((0, 1, 2), (2, 3, 4))
+    )
+    assert packed.T == 16
+
+    mono = wmec.run_dp(packed, backend="numpy")
+    batched = wmec.run_dp_batched_pedigree(packed)
+    assert batched is not None
+    assert batched.optimal_cost == mono.optimal_cost
+    np.testing.assert_array_equal(batched.trans_path, mono.trans_path)
+    assert wmec.extract_partitioning(packed, batched) == wmec.extract_partitioning(
+        packed, mono
+    )
