@@ -164,7 +164,19 @@ struct Heap {
     long long unprocessed = 0;
     std::vector<std::pair<int, int>> edges;  // rank -> (u,v)
     std::vector<float> icf, icp;
-    std::vector<int> forb_rank2edge, perm_rank2edge;
+    // Max-heaps packed as (score, edge) nodes: sift comparisons read the
+    // node-local score copy instead of chasing icf[heap[x]] through two
+    // random accesses (the sift is the hottest memory path of the whole
+    // heuristic).  Every icf/icp mutation refreshes the owning node's copy
+    // — including the bundle merge, which (matching the reference) adjusts
+    // the score WITHOUT re-sifting — so comparison values are always the
+    // fresh scores and the heap layout evolves exactly as with indirect
+    // lookups.
+    struct Node {
+        float s;
+        int e;
+    };
+    std::vector<Node> forb_heap, perm_heap;
     std::vector<int> edge2forb, edge2perm;
     std::vector<int> edgeToBundle;
     std::vector<std::vector<int>> edgeBundles;
@@ -228,17 +240,23 @@ struct Heap {
             }
         }
         size_t n = icf.size();
-        forb_rank2edge.resize(n);
-        perm_rank2edge.resize(n);
-        for (size_t i = 0; i < n; ++i) forb_rank2edge[i] = perm_rank2edge[i] = (int)i;
+        std::vector<int> order(n);
+        for (size_t i = 0; i < n; ++i) order[i] = (int)i;
         // stable sorts to mirror Python's sorted()
-        std::stable_sort(forb_rank2edge.begin(), forb_rank2edge.end(),
+        std::stable_sort(order.begin(), order.end(),
                          [this](int a, int b) { return icf[a] > icf[b]; });
-        std::stable_sort(perm_rank2edge.begin(), perm_rank2edge.end(),
-                         [this](int a, int b) { return icp[a] > icp[b]; });
+        forb_heap.resize(n);
         for (size_t i = 0; i < n; ++i) {
-            edge2forb[forb_rank2edge[i]] = (int)i;
-            edge2perm[perm_rank2edge[i]] = (int)i;
+            forb_heap[i] = {icf[order[i]], order[i]};
+            edge2forb[order[i]] = (int)i;
+        }
+        for (size_t i = 0; i < n; ++i) order[i] = (int)i;
+        std::stable_sort(order.begin(), order.end(),
+                         [this](int a, int b) { return icp[a] > icp[b]; });
+        perm_heap.resize(n);
+        for (size_t i = 0; i < n; ++i) {
+            perm_heap[i] = {icp[order[i]], order[i]};
+            edge2perm[order[i]] = (int)i;
         }
     }
 
@@ -253,14 +271,14 @@ struct Heap {
     }
 
     int maxIcfEdge() const {
-        if (forb_rank2edge.size() <= 1) return -1;
-        int ei = forb_rank2edge[0];
+        if (forb_heap.size() <= 1) return -1;
+        int ei = forb_heap[0].e;
         if (icf[ei] < 0) return -1;
         return ei;
     }
     int maxIcpEdge() const {
-        if (perm_rank2edge.size() <= 1) return -1;
-        int ei = perm_rank2edge[0];
+        if (perm_heap.size() <= 1) return -1;
+        int ei = perm_heap[0].e;
         if (icp[ei] < 0) return -1;
         return ei;
     }
@@ -272,14 +290,14 @@ struct Heap {
         if (rId > 0 && icf[edgeToBundle[rId]] >= 0) {
             int eb = edgeToBundle[rId];
             icf[eb] = std::max(icf[eb] + w, 0.0f);
-            update(forb_rank2edge, eb, w, edge2forb, icf);
+            update(forb_heap, eb, w, edge2forb, icf[eb]);
         }
     }
     void increaseIcp(int rId, float w) {
         if (rId > 0 && icp[edgeToBundle[rId]] >= 0) {
             int eb = edgeToBundle[rId];
             icp[eb] = std::max(icp[eb] + w, 0.0f);
-            update(perm_rank2edge, eb, w, edge2perm, icp);
+            update(perm_heap, eb, w, edge2perm, icp[eb]);
         }
     }
 
@@ -300,8 +318,14 @@ struct Heap {
             edgeToBundle[d] = dst;
         }
         edgeBundles[src].clear();
-        if (icf[src] >= 0.0f) icf[dst] += icf[src];
-        if (icp[src] >= 0.0f) icp[dst] += icp[src];
+        if (icf[src] >= 0.0f) {
+            icf[dst] += icf[src];
+            forb_heap[edge2forb[dst]].s = icf[dst];  // refresh, no sift
+        }
+        if (icp[src] >= 0.0f) {
+            icp[dst] += icp[src];
+            perm_heap[edge2perm[dst]].s = icp[dst];
+        }
         removeEdge(src);
     }
 
@@ -310,22 +334,23 @@ struct Heap {
         if (icf[rId] != FORBIDDEN && icp[rId] != FORBIDDEN) {
             icf[rId] = FORBIDDEN;
             icp[rId] = FORBIDDEN;
-            update(forb_rank2edge, rId, FORBIDDEN, edge2forb, icf);
-            update(perm_rank2edge, rId, FORBIDDEN, edge2perm, icp);
+            update(forb_heap, rId, FORBIDDEN, edge2forb, FORBIDDEN);
+            update(perm_heap, rId, FORBIDDEN, edge2perm, FORBIDDEN);
             --unprocessed;
         }
     }
 
-    void update(std::vector<int>& heap, int e, float change, std::vector<int>& index,
-                const std::vector<float>& score) {
+    void update(std::vector<Node>& heap, int e, float change, std::vector<int>& index,
+                float newScore) {
         size_t pos = index[e];
         size_t n = heap.size();
+        heap[pos].s = newScore;
         if (change > 0) {
             size_t parent = pos > 0 ? (pos - 1) / 2 : 0;
-            while (pos > 0 && score[heap[parent]] < score[heap[pos]]) {
+            while (pos > 0 && heap[parent].s < heap[pos].s) {
                 std::swap(heap[pos], heap[parent]);
-                index[heap[pos]] = (int)pos;
-                index[heap[parent]] = (int)parent;
+                index[heap[pos].e] = (int)pos;
+                index[heap[parent].e] = (int)parent;
                 pos = parent;
                 parent = pos > 0 ? (pos - 1) / 2 : 0;
             }
@@ -333,11 +358,11 @@ struct Heap {
             for (;;) {
                 size_t l = 2 * pos + 1 < n ? 2 * pos + 1 : pos;
                 size_t r = 2 * pos + 2 < n ? 2 * pos + 2 : pos;
-                size_t nxt = score[heap[r]] <= score[heap[l]] ? l : r;
-                if (!(score[heap[pos]] < score[heap[nxt]])) break;
+                size_t nxt = heap[r].s <= heap[l].s ? l : r;
+                if (!(heap[pos].s < heap[nxt].s)) break;
                 std::swap(heap[pos], heap[nxt]);
-                index[heap[pos]] = (int)pos;
-                index[heap[nxt]] = (int)nxt;
+                index[heap[pos].e] = (int)pos;
+                index[heap[nxt].e] = (int)nxt;
                 pos = nxt;
             }
         }
@@ -415,15 +440,24 @@ struct Solver {
         return true;
     }
 
-    void updateTripleForbiddenUW(float uv, int r_uw, float vw) {
+    // The (other-pair, third-edge) induced-cost deltas; the third edge's
+    // rank is looked up only when a delta is nonzero (both deltas vanish
+    // for whole classes of weight-sign pairs — e.g. forbidding over a
+    // negative-negative pair — and the rank lookup plus the two heap-guard
+    // loads are the bulk of the per-triple cost).
+    inline void updateTripleForbidden(float uv, int a, int b, float vw) {
         float icfC = 0.0f - Heap::icf_triple(uv, vw);
         float icpC = (vw > 0 ? vw : 0.0f) - Heap::icp_triple(uv, vw);
+        if (icfC == 0 && icpC == 0) return;
+        int r_uw = g.findIndex(a, b);
         if (icfC != 0) heap.increaseIcf(r_uw, icfC);
         if (icpC != 0) heap.increaseIcp(r_uw, icpC);
     }
-    void updateTriplePermanentUW(float uv, int r_uw, float vw) {
+    inline void updateTriplePermanent(float uv, int a, int b, float vw) {
         float icfC = (vw > 0 ? vw : 0.0f) - Heap::icf_triple(uv, vw);
         float icpC = (vw < 0 ? -vw : 0.0f) - Heap::icp_triple(uv, vw);
+        if (icfC == 0 && icpC == 0) return;
+        int r_uw = g.findIndex(a, b);
         if (icfC != 0) heap.increaseIcf(r_uw, icfC);
         if (icpC != 0) heap.increaseIcp(r_uw, icpC);
     }
@@ -436,13 +470,13 @@ struct Solver {
         for (int w : nb) {
             if (w == v) continue;
             int r = g.findIndex(v, w);
-            if (r > 0) updateTripleForbiddenUW(uv, g.findIndex(u, w), g.weight[r]);
+            if (r > 0) updateTripleForbidden(uv, u, w, g.weight[r]);
         }
         nb.assign(g.unpruned[v].begin(), g.unpruned[v].end());
         for (int w : nb) {
             if (w == u) continue;
             int r = g.findIndex(u, w);
-            if (r > 0) updateTripleForbiddenUW(uv, g.findIndex(v, w), g.weight[r]);
+            if (r > 0) updateTripleForbidden(uv, v, w, g.weight[r]);
         }
         if (uv > 0) totalCost += uv;
         if (rid > 0) g.setForbidden(u, v, rid);
@@ -456,7 +490,7 @@ struct Solver {
         for (int w : nb) {
             if (w == v) continue;
             int r = g.findIndex(v, w);
-            if (r > 0) updateTriplePermanentUW(uv, g.findIndex(u, w), g.weight[r]);
+            if (r > 0) updateTriplePermanent(uv, u, w, g.weight[r]);
         }
         nb.assign(g.unpruned[v].begin(), g.unpruned[v].end());
         for (int w : nb) {
@@ -465,7 +499,7 @@ struct Solver {
             // reference quirk: the second loop checks findIndex of the RANK
             // treated as an edge id
             if (r >= 0 && (size_t)r < g.rank_quirk_hit.size() && g.rank_quirk_hit[r])
-                updateTriplePermanentUW(uv, g.findIndex(v, w), g.weight[r]);
+                updateTriplePermanent(uv, v, w, g.weight[r]);
         }
         if (uv < 0) totalCost -= uv;
         if (rid > 0) g.setPermanent(u, v, rid);
