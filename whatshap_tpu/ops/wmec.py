@@ -1048,6 +1048,12 @@ def _slice_b(out, b):
     return out[:b]
 
 
+#: Pass-2 (seeded solve) bucket shapes already compiled-or-loaded in this
+#: process; guards the run_dp_batched_pedigree warmup launches so warm runs
+#: never pay a redundant zero-seeded solve.
+_PASS2_SHAPES_WARMED: set = set()
+
+
 def _run_bucket_thunks(thunks):
     """Run per-bucket launch thunks, in parallel threads when there are
     several: each first-contact bucket shape pays a compile or a
@@ -1441,12 +1447,50 @@ def run_dp_batched_pedigree(packed: PackedProblem) -> Optional[DPResult]:
         stacked_by_bucket[(c_pad, k_b)] = stack_blocks(
             [blocks[ri][2] for ri in idxs]
         )
-    pending_m = _run_bucket_thunks(
-        [
-            partial(_pass1_thunk, c_pad, k_b, idxs)
-            for (c_pad, k_b), idxs in buckets.items()
-        ]
-    )
+
+    def _pass2_launch(c_pad, k_b, idxs, dp0):
+        stacked = stacked_by_bucket[(c_pad, k_b)]
+        dnext = np.stack([die_next[ri] for ri in idxs])
+        S = 1 << k_b
+        # head + T seam backtraces retire the forward tables per block
+        per_block = c_pad * T * S * 4 * 2
+        kern = (
+            solve_seeded_batched_pallas
+            if on_accel and wmec_pallas.kernel_supported(k_b, T, P)
+            else solve_seeded_batched
+        )
+        return _launch_batched(
+            kern, k_b, T, P, stacked + (dp0, dnext), per_block_bytes=per_block
+        )
+
+    # Pass-2 executable warmups, overlapped with pass 1: the seeded solve's
+    # first contact per bucket shape pays a multi-second compile-or-load
+    # round trip on a tunneled backend, and pass 2's shapes depend only on
+    # the buckets (known now), not on pass 1's results.  Fire a zero-seeded
+    # launch per not-yet-warmed shape alongside the pass-1 thunks, discard
+    # the result; the real pass-2 call then finds the executable loaded.
+    warm_thunks = []
+    if on_accel and not os.environ.get("WHATSHAP_TPU_NO_PASS2_WARMUP"):
+        for (c_pad, k_b), idxs in buckets.items():
+            key = (k_b, T, P, c_pad, _b_tier(len(idxs)))
+            if key in _PASS2_SHAPES_WARMED:
+                continue
+            _PASS2_SHAPES_WARMED.add(key)
+            warm_thunks.append(
+                partial(
+                    _pass2_launch,
+                    c_pad,
+                    k_b,
+                    idxs,
+                    np.zeros((len(idxs), T), dtype=np.int32),
+                )
+            )
+
+    pass1_thunks = [
+        partial(_pass1_thunk, c_pad, k_b, idxs)
+        for (c_pad, k_b), idxs in buckets.items()
+    ]
+    pending_m = _run_bucket_thunks(pass1_thunks + warm_thunks)[: len(pass1_thunks)]
     # expand coset rows to the full matrix: G[a][b] = Gr[rep_of[a]][b^a^rep(a)]
     a_idx = np.arange(T)[:, None]
     b_idx = np.arange(T)[None, :]
@@ -1472,26 +1516,8 @@ def run_dp_batched_pedigree(packed: PackedProblem) -> Optional[DPResult]:
     per_block_out = [None] * nb
 
     def _pass2_thunk(c_pad, k_b, idxs):
-        stacked = stacked_by_bucket[(c_pad, k_b)]
         dp0 = np.stack([m_in[ri].astype(np.int32) for ri in idxs])
-        dnext = np.stack([die_next[ri] for ri in idxs])
-        S = 1 << k_b
-        # head + T seam backtraces retire the forward tables per block
-        per_block = c_pad * T * S * 4 * 2
-        kern = (
-            solve_seeded_batched_pallas
-            if on_accel and wmec_pallas.kernel_supported(k_b, T, P)
-            else solve_seeded_batched
-        )
-        out = _launch_batched(
-            kern,
-            k_b,
-            T,
-            P,
-            stacked + (dp0, dnext),
-            per_block_bytes=per_block,
-        )
-        return idxs, out
+        return idxs, _pass2_launch(c_pad, k_b, idxs, dp0)
 
     pending_out = _run_bucket_thunks(
         [
