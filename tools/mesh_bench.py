@@ -39,7 +39,26 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the virtual CPU platform even if a TPU plugin "
                          "was pre-registered (mechanism check, not a perf claim)")
+    ap.add_argument("--mode", choices=("both", "solo"), default="both",
+                    help="'solo': run only the --devices mesh and print its "
+                         "time + result checksum (lets the caller measure the "
+                         "1-device baseline in a core-pinned subprocess, which "
+                         "a virtual-device host needs for a meaningful "
+                         "per-core scaling number)")
+    ap.add_argument("--pin-cores", type=str, default=None,
+                    help="restrict this process to the given CPU cores "
+                         "(e.g. '0' or '0-1') before any compute")
     args = ap.parse_args()
+
+    if args.pin_cores:
+        cores = set()
+        for part in args.pin_cores.split(","):
+            if "-" in part:
+                a, b = part.split("-")
+                cores |= set(range(int(a), int(b) + 1))
+            else:
+                cores.add(int(part))
+        os.sched_setaffinity(0, cores)
 
     if args.cpu:
         # sitecustomize may have pre-imported jax with a TPU plugin; the
@@ -77,6 +96,24 @@ def main():
             costs = np.asarray(costs)  # host sync
             best = min(best, time.perf_counter() - t0)
         return best, costs
+
+    if args.mode == "solo":
+        import hashlib
+
+        meshn = Mesh(np.array(devices[:n]), ("blocks",))
+        run(meshn)
+        tn, cn = run(meshn)
+        print(json.dumps({
+            "devices": n,
+            "blocks": args.blocks,
+            "cols": args.cols,
+            "K": K,
+            "t": round(tn, 4),
+            "costs_sha": hashlib.sha256(
+                np.ascontiguousarray(cn).tobytes()
+            ).hexdigest(),
+        }))
+        return
 
     mesh1 = Mesh(np.array(devices[:1]), ("blocks",))
     meshn = Mesh(np.array(devices[:n]), ("blocks",))
