@@ -269,12 +269,13 @@ def _parse_typed(value: str, typ: str):
 class VariantRecordSample:
     """Typed access to one sample's FORMAT fields (pysam-compatible API)."""
 
-    __slots__ = ("_record", "_values", "phased")
+    __slots__ = ("_record", "_values", "phased", "_gt_cache")
 
     def __init__(self, record: "VariantRecord", values: Dict[str, str]):
         self._record = record
         self._values = values  # field -> raw string
         self.phased = False
+        self._gt_cache = None  # (raw string, parsed tuple)
         gt_raw = values.get("GT")
         if gt_raw is not None and "|" in gt_raw:
             self.phased = True
@@ -300,10 +301,26 @@ class VariantRecordSample:
         if key == "GT":
             if raw is None:
                 return None
-            alleles = re.split(r"[/|]", raw)
-            return tuple(
-                None if a in (MISSING, "") else int(a) for a in alleles
-            )
+            # hot path: callers re-read GT several times per record (phase
+            # extraction, genotype coding, depth checks) — memoize on the
+            # raw string, and parse the ubiquitous "a/b" / "a|b" diploid
+            # shape without the regex
+            cache = self._gt_cache
+            if cache is not None and cache[0] == raw:
+                return cache[1]
+            if len(raw) == 3 and (raw[1] == "/" or raw[1] == "|"):
+                a, b = raw[0], raw[2]
+                parsed = (
+                    None if a == MISSING else int(a),
+                    None if b == MISSING else int(b),
+                )
+            else:
+                alleles = re.split(r"[/|]", raw)
+                parsed = tuple(
+                    None if a in (MISSING, "") else int(a) for a in alleles
+                )
+            self._gt_cache = (raw, parsed)
+            return parsed
         if raw is None:
             raise KeyError(key)
         header = self._record.header
