@@ -381,12 +381,23 @@ def _format_value(v) -> str:
 
 
 class _SampleMap:
-    """Ordered mapping sample name -> VariantRecordSample."""
+    """Ordered mapping sample name -> VariantRecordSample.  The name index
+    is built lazily: two maps are constructed per parsed record (the empty
+    placeholder plus the real one) and most accesses are positional."""
+
+    __slots__ = ("_names", "_calls", "_index_cache")
 
     def __init__(self, names: List[str], calls: List[VariantRecordSample]):
         self._names = names
         self._calls = calls
-        self._index = {n: i for i, n in enumerate(names)}
+        self._index_cache = None
+
+    @property
+    def _index(self):
+        idx = self._index_cache
+        if idx is None:
+            idx = self._index_cache = {n: i for i, n in enumerate(self._names)}
+        return idx
 
     def __getitem__(self, key):
         if isinstance(key, int):
