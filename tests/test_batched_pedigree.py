@@ -204,3 +204,42 @@ def test_multigeneration_batched_equals_monolithic():
     assert wmec.extract_partitioning(packed, batched) == wmec.extract_partitioning(
         packed, mono
     )
+
+
+def test_device_seam_chain_matches_host_chain():
+    """The on-device min-plus seam chain (R == 1 route) must reproduce the
+    host chain exactly, including INF saturation and bucket reordering."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    T = 4
+    for _trial in range(12):
+        nb = int(rng.randint(2, 40))
+        m_all = rng.randint(0, wmec.INF, size=(nb, T)).astype(np.int64)
+        m_all[rng.rand(nb, T) < 0.2] = wmec.INF
+        G = m_all[np.arange(nb)[:, None, None],
+                  np.arange(T)[:, None] ^ np.arange(T)[None, :]]
+        m_in_host = np.zeros((nb, T), dtype=np.int64)
+        m_cur = np.minimum(G[0].min(axis=0), wmec.INF)
+        for j in range(1, nb):
+            m_in_host[j] = m_cur
+            m_cur = np.minimum((m_cur[:, None] + G[j]).min(axis=0), wmec.INF)
+        # two buckets with interleaved block order, as the launch layer makes
+        split = nb // 2
+        order = list(range(0, nb, 2)) + list(range(1, nb, 2))
+        parts = (
+            jnp.asarray(m_all[order[:split]].astype(np.int32)),
+            jnp.asarray(m_all[order[split:]].astype(np.int32)),
+        )
+        row_of = np.empty(nb, np.int32)
+        for pos, ri in enumerate(order):
+            row_of[ri] = pos
+        nbp = wmec._b_tier(nb)
+        perm = np.full(nbp, nb, np.int32)
+        perm[:nb] = row_of
+        m_in_dev = np.asarray(
+            wmec._seam_chain_device(nbp, parts, jnp.asarray(perm))
+        )
+        np.testing.assert_array_equal(
+            m_in_dev[:nb].astype(np.int64), m_in_host
+        )

@@ -1069,6 +1069,31 @@ def _run_bucket_thunks(thunks):
         return list(ex.map(lambda f: f(), thunks))
 
 
+@partial(jax.jit, static_argnames=("nbp",))
+def _seam_chain_device(nbp, ms, perm):
+    """Min-plus seam chain on the device (single-coset pedigrees, R == 1).
+
+    ms: per-bucket (B_b, T) i32 folded-min vectors in bucket-concat order;
+    perm (nbp,) i32 maps chain position j to its concat row (block order),
+    with padding positions pointing at an appended min-plus identity.
+    Returns m_in (nbp, T): the incoming seam vector of each block, exactly
+    the host chain's values (INF-saturated min-plus, int32-safe since
+    2*INF < 2^31)."""
+    m_all = jnp.concatenate(ms, axis=0)
+    T = m_all.shape[1]
+    col_xor = jnp.arange(T)[:, None] ^ jnp.arange(T)[None, :]
+    g_all = jnp.take(m_all, col_xor, axis=1)  # (nb, T, T): G[a][b] = m[a^b]
+    ident = jnp.where(jnp.eye(T, dtype=bool), 0, INF).astype(jnp.int32)[None]
+    g_chain = jnp.concatenate([g_all, ident], axis=0)[perm]  # (nbp, T, T)
+
+    def step(v, g):
+        nxt = jnp.minimum(jnp.min(v[:, None] + g, axis=0), INF)
+        return nxt, v
+
+    _, m_in = jax.lax.scan(step, jnp.zeros((T,), jnp.int32), g_chain)
+    return m_in
+
+
 @partial(jax.jit, static_argnames=("reps", "bt"))
 def _prep_batch(reps, bt, *arrs):
     """Fused launch-prep program: repeat each array `reps` times along the
@@ -1491,32 +1516,67 @@ def run_dp_batched_pedigree(packed: PackedProblem) -> Optional[DPResult]:
         for (c_pad, k_b), idxs in buckets.items()
     ]
     pending_m = _run_bucket_thunks(pass1_thunks + warm_thunks)[: len(pass1_thunks)]
-    # expand coset rows to the full matrix: G[a][b] = Gr[rep_of[a]][b^a^rep(a)]
-    a_idx = np.arange(T)[:, None]
-    b_idx = np.arange(T)[None, :]
-    row_sel = rep_of[a_idx]  # (T, 1)
-    col_sel = b_idx ^ a_idx ^ rep_val[rep_of[a_idx]]  # (T, T)
-    for (idxs, _), m_out in zip(
-        pending_m, jax.device_get([m for _, m in pending_m])
-    ):
-        m_out = np.asarray(m_out, dtype=np.int64)  # (B*R, T)
-        for bi, ri in enumerate(idxs):
-            Gr = m_out[bi * R : (bi + 1) * R]  # (R, T)
-            G[ri] = Gr[row_sel, col_sel]
 
-    # ---- host chain: incoming seam vector per block (exact min-plus) ----
-    m_in = np.zeros((nb, T), dtype=np.int64)  # block 0: uniform zero start
-    m_cur = np.minimum(G[0].min(axis=0), INF)
-    for j in range(1, nb):
-        m_in[j] = m_cur
-        m_cur = np.minimum((m_cur[:, None] + G[j]).min(axis=0), INF)
+    m_in = None
+    m_in_dev = None
+    if (
+        on_accel
+        and R == 1
+        and not os.environ.get("WHATSHAP_TPU_HOST_SEAM_CHAIN")
+    ):
+        # Device seam chain: keep the per-bucket m vectors on the device,
+        # expand them to seam matrices (G[a][b] = m[a^b] — the single-coset
+        # case), min-plus-chain them in block order with a lax.scan, and
+        # seed pass 2 by device gather.  This removes the host fetch (a
+        # full tunnel round trip, tens of ms) between the two passes: the
+        # whole chromosome queues as one device program chain with a
+        # single fence at the pass-2 fetch.
+        order_row = np.empty(nb, dtype=np.int32)
+        parts = []
+        offset = 0
+        for idxs, m in pending_m:
+            B_b = len(idxs)
+            parts.append(m[:B_b])
+            for pos, ri in enumerate(idxs):
+                order_row[ri] = offset + pos
+            offset += B_b
+        nbp = _b_tier(nb)
+        perm = np.full(nbp, nb, dtype=np.int32)  # padding -> identity row
+        perm[:nb] = order_row
+        m_in_dev = _seam_chain_device(nbp, tuple(parts), jnp.asarray(perm))
+    else:
+        # expand coset rows to the full matrix:
+        # G[a][b] = Gr[rep_of[a]][b^a^rep(a)]
+        a_idx = np.arange(T)[:, None]
+        b_idx = np.arange(T)[None, :]
+        row_sel = rep_of[a_idx]  # (T, 1)
+        col_sel = b_idx ^ a_idx ^ rep_val[rep_of[a_idx]]  # (T, T)
+        for (idxs, _), m_out in zip(
+            pending_m, jax.device_get([m for _, m in pending_m])
+        ):
+            m_out = np.asarray(m_out, dtype=np.int64)  # (B*R, T)
+            for bi, ri in enumerate(idxs):
+                Gr = m_out[bi * R : (bi + 1) * R]  # (R, T)
+                G[ri] = Gr[row_sel, col_sel]
+
+        # ---- host chain: incoming seam vector per block (min-plus) ----
+        m_in = np.zeros((nb, T), dtype=np.int64)  # block 0: uniform zeros
+        m_cur = np.minimum(G[0].min(axis=0), INF)
+        for j in range(1, nb):
+            m_in[j] = m_cur
+            m_cur = np.minimum((m_cur[:, None] + G[j]).min(axis=0), INF)
 
     # ---- pass 2: seeded solves with per-seam backtraces ----
     # Same dispatch-all-then-fetch-once pattern as pass 1.
     per_block_out = [None] * nb
 
     def _pass2_thunk(c_pad, k_b, idxs):
-        dp0 = np.stack([m_in[ri].astype(np.int32) for ri in idxs])
+        if m_in_dev is not None:
+            dp0 = jnp.take(
+                m_in_dev, jnp.asarray(np.asarray(idxs, dtype=np.int32)), axis=0
+            )
+        else:
+            dp0 = np.stack([m_in[ri].astype(np.int32) for ri in idxs])
         return idxs, _pass2_launch(c_pad, k_b, idxs, dp0)
 
     pending_out = _run_bucket_thunks(
