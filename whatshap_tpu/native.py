@@ -193,7 +193,11 @@ def _build_clusterlib() -> bool:
         return True
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", str(_CLUSTER_SO_PATH), str(src)],
+            # -march=native for the heap/scan hot loops; -ffp-contract=off
+            # pins the induced-cost float sums (no FMA contraction, so the
+            # clustering stays bit-identical across arch flags)
+            ["g++", "-O3", "-march=native", "-ffp-contract=off", "-shared",
+             "-fPIC", "-std=c++17", "-o", str(_CLUSTER_SO_PATH), str(src)],
             check=True,
             capture_output=True,
         )
