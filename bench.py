@@ -174,7 +174,7 @@ def _reference_geno_seconds(instances):
     return total
 
 
-def _timed_cli(run_once, instances_ctx, n=3):
+def _timed_cli(run_once, instances_ctx, n=5):
     """One capture/compile-warmup run (cold) under the instance-capture
     hook, then n timed runs.  Returns (cold_s, best_s, median_s, text,
     captured_instances)."""
@@ -1042,7 +1042,7 @@ def bench_mesh_virtual():
 
     cores = os.cpu_count() or 1
     n = max(2, min(4, cores))
-    blocks = 96 * n  # many blocks/device: the model's chr1 regime
+    blocks = 64 * n  # many blocks/device: the model's chr1 regime
 
     def run_solo(devices, pin, extra_env):
         env = dict(os.environ)
@@ -1059,7 +1059,7 @@ def bench_mesh_virtual():
             "--devices", str(devices),
             "--blocks", str(blocks),
             "--cols", "64",
-            "--repeat", "2",
+            "--repeat", "1",
         ]
         if pin is not None:
             cmd += ["--pin-cores", pin]
@@ -1426,6 +1426,12 @@ def main():
         except Exception as e:  # pragma: no cover
             configs[name] = {"error": str(e)[:200]}
         _progress(f"{name}: {configs[name]}")
+        # each leg holds instance captures, readsets and device buffers;
+        # collecting here keeps later legs from timing under the earlier
+        # legs' memory pressure
+        import gc
+
+        gc.collect()
 
     result = {
         "metric": "variants_phased_per_sec_per_chip",
