@@ -55,10 +55,9 @@ struct FlatSet {
 
 struct Graph {
     int n = 0;
-    std::unordered_map<uint64_t, int> rank;  // (u,v) -> rank id (1-based)
-    std::unordered_map<int64_t, int> rank_by_id;  // edge id -> rank (for the quirk)
-    // rank_by_id is only ever probed with a RANK as the key (the reference
-    // quirk in setPermanent's second loop) and never mutated after
+    std::unordered_map<uint64_t, int> rank;  // (u,v) -> rank id (1-based; sparse fallback only)
+    // the reference quirk in setPermanent's second loop probes an
+    // edge-id->rank map with a RANK as the key; it is never mutated after
     // construction, so the probe collapses to a static per-rank boolean
     std::vector<char> rank_quirk_hit;
     std::vector<float> weight;               // rank -> weight; [0] = 0
@@ -67,29 +66,45 @@ struct Graph {
     std::vector<int> cliqueOf;
     std::vector<FlatSet> forbidden;          // ordered for determinism
 
-    // Dense (u, v) -> rank matrix: the edge set is static after
+    // Dense (u, v) -> (rank, weight) matrix: the edge set is static after
     // construction, and findIndex dominates the triangle enumeration in
     // init() and every induced-cost update, so an O(1) array lookup beats
-    // the hash map by a large constant.  Falls back to the hash for node
-    // counts whose n^2 matrix would be unreasonable.
-    std::vector<int> rankMat;
+    // the hash map by a large constant.  Packing the weight next to the
+    // rank makes the triple-update loops one cache access instead of two
+    // (rankMat hit + random weight[] hit).  Falls back to the hash for
+    // node counts whose n^2 matrix would be unreasonable.
+    struct Cell {
+        int r;
+        float w;
+    };
+    std::vector<Cell> cellMat;
     bool dense = false;
 
     void buildIndex() {
-        if ((long long)n * n > (64LL << 20)) return;  // > 256 MB: keep hash
-        rankMat.assign((size_t)n * n, 0);
+        if ((long long)n * n > (64LL << 20)) return;  // > 512 MB: keep hash
+        cellMat.assign((size_t)n * n, {0, 0.0f});
         for (size_t r = 1; r < edges.size(); ++r) {
             int u = edges[r].first, v = edges[r].second;
-            rankMat[(size_t)u * n + v] = (int)r;
-            rankMat[(size_t)v * n + u] = (int)r;
+            Cell c{(int)r, weight[r]};
+            cellMat[(size_t)u * n + v] = c;
+            cellMat[(size_t)v * n + u] = c;
         }
         dense = true;
     }
 
     int findIndex(int u, int v) const {
-        if (dense) return rankMat[(size_t)u * n + v];
+        if (dense) return cellMat[(size_t)u * n + v].r;
         auto it = rank.find(ekey(u, v));
         return it == rank.end() ? 0 : it->second;
+    }
+
+    // (rank, weight) in one lookup; only valid on the dense path
+    Cell cellAt(int u, int v) const { return cellMat[(size_t)u * n + v]; }
+
+    void mirrorWeight(int u, int v, float w) {
+        if (!dense) return;
+        cellMat[(size_t)u * n + v].w = w;
+        cellMat[(size_t)v * n + u].w = w;
     }
 
     static bool removeFromVector(std::vector<int>& vec, int v) {
@@ -146,7 +161,10 @@ struct Graph {
             forbidden[discarded].clear();
         }
         refresh(u, v, weight[r], PERMANENT);
-        if (r > 0) weight[r] = PERMANENT;
+        if (r > 0) {
+            weight[r] = PERMANENT;
+            mirrorWeight(edges[r].first, edges[r].second, PERMANENT);
+        }
     }
 
     void setForbidden(int u, int v, int r) {
@@ -155,7 +173,10 @@ struct Graph {
         forbidden[cu].insert(cv);
         forbidden[cv].insert(cu);
         refresh(u, v, weight[r], FORBIDDEN);
-        if (r > 0) weight[r] = FORBIDDEN;
+        if (r > 0) {
+            weight[r] = FORBIDDEN;
+            mirrorWeight(edges[r].first, edges[r].second, FORBIDDEN);
+        }
     }
 };
 
@@ -216,20 +237,53 @@ struct Heap {
             }
             std::sort(higher[u].begin(), higher[u].end());
         }
+        // bitset mirror of `higher` for the triangle enumeration: the
+        // common-neighbor set of an edge is a word-wise AND, and iterating
+        // its set bits ascending visits exactly the same w's in exactly the
+        // same order as the sorted-vector set_intersection did (so every
+        // float accumulation below happens in the identical order)
+        size_t words = ((size_t)g.n + 63) / 64;
+        std::vector<uint64_t> bits((size_t)g.n * words, 0);
+        for (int u = 0; u < g.n; ++u)
+            for (int v : higher[u]) bits[(size_t)u * words + (size_t)v / 64] |= 1ull << (v % 64);
+        std::vector<int> ws;  // intersection scratch, reused across edges
         for (int u = 0; u < g.n; ++u) {
             auto& hu = higher[u];
+            const uint64_t* bu = &bits[(size_t)u * words];
             for (size_t i = 0; i < hu.size(); ++i) {
                 int v = hu[i];
                 int rUV = g.findIndex(u, v);
                 float w_uv = g.weight[rUV];
-                std::vector<int> ws;
-                std::set_intersection(hu.begin() + i, hu.end(), higher[v].begin(),
-                                      higher[v].end(), std::back_inserter(ws));
+                ws.clear();
+                const uint64_t* bv = &bits[(size_t)v * words];
+                // elements of hu past v intersected with higher[v]; bits
+                // of bv are all > v, so masking bu from bit v+1 up suffices
+                size_t w0 = (size_t)v / 64;
+                uint64_t first_mask = ~0ull << (v % 64) << 1;  // bits > v
+                for (size_t wi = w0; wi < words; ++wi) {
+                    uint64_t m = bu[wi] & bv[wi];
+                    if (wi == w0) m &= first_mask;
+                    while (m) {
+                        int b = __builtin_ctzll(m);
+                        m &= m - 1;
+                        ws.push_back((int)(wi * 64 + b));
+                    }
+                }
                 for (int w : ws) {
-                    int rUW = g.findIndex(u, w);
-                    int rVW = g.findIndex(v, w);
-                    float w_uw = g.weight[rUW];
-                    float w_vw = g.weight[rVW];
+                    int rUW, rVW;
+                    float w_uw, w_vw;
+                    if (g.dense) {
+                        Graph::Cell cu = g.cellAt(u, w), cv = g.cellAt(v, w);
+                        rUW = cu.r;
+                        w_uw = cu.w;
+                        rVW = cv.r;
+                        w_vw = cv.w;
+                    } else {
+                        rUW = g.findIndex(u, w);
+                        rVW = g.findIndex(v, w);
+                        w_uw = g.weight[rUW];
+                        w_vw = g.weight[rVW];
+                    }
                     icf[rUV] += icf_triple(w_uw, w_vw);
                     icp[rUV] += icp_triple(w_uw, w_vw);
                     icf[rUW] += icf_triple(w_uv, w_vw);
@@ -240,23 +294,35 @@ struct Heap {
             }
         }
         size_t n = icf.size();
-        std::vector<int> order(n);
-        for (size_t i = 0; i < n; ++i) order[i] = (int)i;
-        // stable sorts to mirror Python's sorted()
-        std::stable_sort(order.begin(), order.end(),
-                         [this](int a, int b) { return icf[a] > icf[b]; });
+        // descending-by-score with ties in ascending index == what a
+        // stable_sort over `score[a] > score[b]` produces (Python's
+        // sorted()); packing (inverted total-order float bits, index) into
+        // one uint64 gives the identical permutation with a plain sort.
+        // Scores here are never NaN and never -0.0 (they accumulate
+        // non-negative terms from 0.0f, or are the -inf sentinel), so the
+        // bit-level float order coincides with the arithmetic order.
+        auto packDesc = [](float f, uint32_t idx) -> uint64_t {
+            uint32_t b;
+            std::memcpy(&b, &f, 4);
+            uint32_t m = (b & 0x80000000u) ? ~b : (b | 0x80000000u);
+            return ((uint64_t)(~m) << 32) | idx;
+        };
+        std::vector<uint64_t> keys(n);
+        for (size_t i = 0; i < n; ++i) keys[i] = packDesc(icf[i], (uint32_t)i);
+        std::sort(keys.begin(), keys.end());
         forb_heap.resize(n);
         for (size_t i = 0; i < n; ++i) {
-            forb_heap[i] = {icf[order[i]], order[i]};
-            edge2forb[order[i]] = (int)i;
+            int e = (int)(uint32_t)keys[i];
+            forb_heap[i] = {icf[e], e};
+            edge2forb[e] = (int)i;
         }
-        for (size_t i = 0; i < n; ++i) order[i] = (int)i;
-        std::stable_sort(order.begin(), order.end(),
-                         [this](int a, int b) { return icp[a] > icp[b]; });
+        for (size_t i = 0; i < n; ++i) keys[i] = packDesc(icp[i], (uint32_t)i);
+        std::sort(keys.begin(), keys.end());
         perm_heap.resize(n);
         for (size_t i = 0; i < n; ++i) {
-            perm_heap[i] = {icp[order[i]], order[i]};
-            edge2perm[order[i]] = (int)i;
+            int e = (int)(uint32_t)keys[i];
+            perm_heap[i] = {icp[e], e};
+            edge2perm[e] = (int)i;
         }
     }
 
@@ -376,6 +442,8 @@ struct Solver {
     float totalCost = 0.0f;
     bool infeasible = false;
     std::vector<int> nb_scratch;  // snapshot buffer (Python: list(unpruned[x]))
+    std::vector<std::pair<int, int>> impl_scratch, implforb_scratch;
+    std::vector<int> forb_scratch;
 
     Solver(Graph&& graph, bool bundle) : g(std::move(graph)), heap(g), bundleEdges(bundle) {
         heap.init();
@@ -465,18 +533,33 @@ struct Solver {
     void setForbidden(int u, int v) {
         int rid = g.findIndex(u, v);
         float uv = g.weight[rid];
-        std::vector<int>& nb = nb_scratch;
-        nb.assign(g.unpruned[u].begin(), g.unpruned[u].end());
-        for (int w : nb) {
-            if (w == v) continue;
-            int r = g.findIndex(v, w);
-            if (r > 0) updateTripleForbidden(uv, u, w, g.weight[r]);
-        }
-        nb.assign(g.unpruned[v].begin(), g.unpruned[v].end());
-        for (int w : nb) {
-            if (w == u) continue;
-            int r = g.findIndex(u, w);
-            if (r > 0) updateTripleForbidden(uv, v, w, g.weight[r]);
+        // uv == FORBIDDEN makes every triple delta exactly zero (icf_triple
+        // needs uv > 0; icp_triple saturates at vw), so the neighbor scans
+        // are pure no-ops — skip them, keep the clique bookkeeping below
+        if (uv != FORBIDDEN) {
+            std::vector<int>& nb = nb_scratch;
+            nb.assign(g.unpruned[u].begin(), g.unpruned[u].end());
+            for (int w : nb) {
+                if (w == v) continue;
+                if (g.dense) {
+                    Graph::Cell c = g.cellAt(v, w);
+                    if (c.r > 0) updateTripleForbidden(uv, u, w, c.w);
+                } else {
+                    int r = g.findIndex(v, w);
+                    if (r > 0) updateTripleForbidden(uv, u, w, g.weight[r]);
+                }
+            }
+            nb.assign(g.unpruned[v].begin(), g.unpruned[v].end());
+            for (int w : nb) {
+                if (w == u) continue;
+                if (g.dense) {
+                    Graph::Cell c = g.cellAt(u, w);
+                    if (c.r > 0) updateTripleForbidden(uv, v, w, c.w);
+                } else {
+                    int r = g.findIndex(u, w);
+                    if (r > 0) updateTripleForbidden(uv, v, w, g.weight[r]);
+                }
+            }
         }
         if (uv > 0) totalCost += uv;
         if (rid > 0) g.setForbidden(u, v, rid);
@@ -485,40 +568,51 @@ struct Solver {
     void setPermanent(int u, int v) {
         int rid = g.findIndex(u, v);
         float uv = g.weight[rid];
-        std::vector<int>& nb = nb_scratch;
-        nb.assign(g.unpruned[u].begin(), g.unpruned[u].end());
-        for (int w : nb) {
-            if (w == v) continue;
-            int r = g.findIndex(v, w);
-            if (r > 0) updateTriplePermanent(uv, u, w, g.weight[r]);
-        }
-        nb.assign(g.unpruned[v].begin(), g.unpruned[v].end());
-        for (int w : nb) {
-            if (w == u) continue;
-            int r = g.findIndex(u, w);
-            // reference quirk: the second loop checks findIndex of the RANK
-            // treated as an edge id
-            if (r >= 0 && (size_t)r < g.rank_quirk_hit.size() && g.rank_quirk_hit[r])
-                updateTriplePermanent(uv, v, w, g.weight[r]);
+        // uv == PERMANENT: every triple delta is exactly zero (both
+        // *_triple saturate at the finite vw term) — skip the scans
+        if (uv != PERMANENT) {
+            std::vector<int>& nb = nb_scratch;
+            nb.assign(g.unpruned[u].begin(), g.unpruned[u].end());
+            for (int w : nb) {
+                if (w == v) continue;
+                if (g.dense) {
+                    Graph::Cell c = g.cellAt(v, w);
+                    if (c.r > 0) updateTriplePermanent(uv, u, w, c.w);
+                } else {
+                    int r = g.findIndex(v, w);
+                    if (r > 0) updateTriplePermanent(uv, u, w, g.weight[r]);
+                }
+            }
+            nb.assign(g.unpruned[v].begin(), g.unpruned[v].end());
+            for (int w : nb) {
+                if (w == u) continue;
+                int r = g.dense ? g.cellAt(u, w).r : g.findIndex(u, w);
+                // reference quirk: the second loop checks findIndex of the
+                // RANK treated as an edge id
+                if (r >= 0 && (size_t)r < g.rank_quirk_hit.size() && g.rank_quirk_hit[r])
+                    updateTriplePermanent(uv, v, w, g.weight[r]);
+            }
         }
         if (uv < 0) totalCost -= uv;
         if (rid > 0) g.setPermanent(u, v, rid);
     }
 
     void choosePermanentEdge(int u, int v) {
-        std::vector<std::pair<int, int>> implications;
+        std::vector<std::pair<int, int>>& implications = impl_scratch;
+        implications.clear();
         for (int x : g.cliques[g.cliqueOf[u]])
             for (int y : g.cliques[g.cliqueOf[v]]) {
                 if (x == y) continue;
                 if (g.findIndex(x, y) == 0 || (x == u && y == v)) continue;
                 implications.push_back({std::min(x, y), std::max(x, y)});
             }
-        std::vector<std::pair<int, int>> implForb;
-        auto forbNbrs = [this](int node) {
-            std::vector<int> out;
+        std::vector<std::pair<int, int>>& implForb = implforb_scratch;
+        implForb.clear();
+        auto forbNbrs = [this](int node) -> const std::vector<int>& {
+            forb_scratch.clear();
             for (int fc : g.forbidden[g.cliqueOf[node]])
-                for (int fn : g.cliques[fc]) out.push_back(fn);
-            return out;
+                for (int fn : g.cliques[fc]) forb_scratch.push_back(fn);
+            return forb_scratch;
         };
         for (int f : forbNbrs(u)) {
             if (g.forbidden[g.cliqueOf[v]].count(g.cliqueOf[f])) continue;
@@ -572,7 +666,8 @@ struct Solver {
     }
 
     void chooseForbiddenEdge(int u, int v) {
-        std::vector<std::pair<int, int>> implications;
+        std::vector<std::pair<int, int>>& implications = impl_scratch;
+        implications.clear();
         for (int x : g.cliques[g.cliqueOf[u]])
             for (int y : g.cliques[g.cliqueOf[v]]) {
                 if (x == y) continue;
@@ -631,6 +726,8 @@ long long wh_cluster_run(int n_nodes, long long n_edges, const int* us, const in
                          const float* ws, int bundle_edges) {
     Graph g;
     g.n = n_nodes;
+    g.weight.reserve((size_t)n_edges + 1);
+    g.edges.reserve((size_t)n_edges + 1);
     g.weight.push_back(0.0f);
     g.edges.push_back({-1, -1});
     g.unpruned.resize(n_nodes);
@@ -643,15 +740,23 @@ long long wh_cluster_run(int n_nodes, long long n_edges, const int* us, const in
         g.cliques[i] = {i};
     }
     // edges must arrive in ascending edge-id order (the caller sorts), like
-    // the Python graph built from m.getIndices()
+    // the Python graph built from m.getIndices().  When the dense cell
+    // matrix will serve every findIndex, the hash maps are never probed:
+    // skip building them and derive the rank quirk table directly (its map
+    // was only ever probed with a rank as the key, i.e. hit iff that rank
+    // value equals some edge's triangular edge id).
+    bool will_dense = (long long)n_nodes * n_nodes <= (64LL << 20);
+    g.rank_quirk_hit.assign((size_t)n_edges + 1, 0);
     for (long long i = 0; i < n_edges; ++i) {
         int u = us[i], v = vs[i];
         if (u > v) std::swap(u, v);
         float w = ws[i];
         int r = (int)g.weight.size();
-        g.rank[ekey(u, v)] = r;
         int64_t eid = (int64_t)v * (v - 1) / 2 + u;
-        g.rank_by_id[eid] = r;
+        if (!will_dense) {
+            g.rank[ekey(u, v)] = r;
+        }
+        if (eid >= 1 && eid <= n_edges) g.rank_quirk_hit[(size_t)eid] = 1;
         g.weight.push_back(w);
         g.edges.push_back({u, v});
         if (w == FORBIDDEN)
@@ -661,11 +766,6 @@ long long wh_cluster_run(int n_nodes, long long n_edges, const int* us, const in
         g.refresh(u, v, 0.0f, w);
     }
     g.buildIndex();
-    g.rank_quirk_hit.assign(g.weight.size(), 0);
-    for (size_t r = 1; r < g.weight.size(); ++r) {
-        auto it = g.rank_by_id.find((int64_t)r);
-        if (it != g.rank_by_id.end() && it->second > 0) g.rank_quirk_hit[r] = 1;
-    }
     Solver solver(std::move(g), bundle_edges != 0);
     auto clusters = solver.run();
     g_out_nodes.clear();

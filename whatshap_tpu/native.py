@@ -179,9 +179,10 @@ class _ClusterLib:
         )
         nodes_p = self._lib.wh_cluster_nodes()
         offs_p = self._lib.wh_cluster_offsets()
-        offs = [offs_p[i] for i in range(k + 1)]
-        total = offs[k] if k > 0 else 0
-        nodes = [nodes_p[j] for j in range(total)]
+        if k <= 0:
+            return []
+        offs = np.ctypeslib.as_array(offs_p, shape=(k + 1,))
+        nodes = np.ctypeslib.as_array(nodes_p, shape=(int(offs[k]),)).tolist()
         return [nodes[offs[i] : offs[i + 1]] for i in range(k)]
 
 
@@ -191,13 +192,16 @@ def _build_clusterlib() -> bool:
         return False
     if _CLUSTER_SO_PATH.exists() and _CLUSTER_SO_PATH.stat().st_mtime >= src.stat().st_mtime:
         return True
+    # -march=native for the heap/scan hot loops; -ffp-contract=off pins the
+    # induced-cost float sums (no FMA contraction, so the clustering stays
+    # bit-identical across arch flags)
+    # (A PGO variant trained on synthetic instances was tried here and
+    # measured SLOWER than the plain -O3 build on real pipeline inputs —
+    # the profile did not transfer across -fPIC codegen; keep it simple.)
+    flags = ["-O3", "-march=native", "-ffp-contract=off", "-std=c++17"]
     try:
         subprocess.run(
-            # -march=native for the heap/scan hot loops; -ffp-contract=off
-            # pins the induced-cost float sums (no FMA contraction, so the
-            # clustering stays bit-identical across arch flags)
-            ["g++", "-O3", "-march=native", "-ffp-contract=off", "-shared",
-             "-fPIC", "-std=c++17", "-o", str(_CLUSTER_SO_PATH), str(src)],
+            ["g++", *flags, "-shared", "-fPIC", "-o", str(_CLUSTER_SO_PATH), str(src)],
             check=True,
             capture_output=True,
         )
@@ -251,11 +255,21 @@ class _ThreadLib:
         cov_ids,
         cov_totals,
     ):
-        bs = (ctypes.c_int32 * len(block_starts))(*block_starts)
-        co = (ctypes.c_int32 * len(cov_offsets))(*cov_offsets)
-        ci = (ctypes.c_int32 * max(len(cov_ids), 1))(*cov_ids)
-        ct = (ctypes.c_int32 * max(len(cov_totals), 1))(*cov_totals)
-        out = (ctypes.c_int32 * (num_vars * ploidy))()
+        import numpy as np
+
+        p32 = ctypes.POINTER(ctypes.c_int32)
+
+        def _arr(seq):
+            a = np.ascontiguousarray(
+                seq if isinstance(seq, np.ndarray) else np.fromiter(seq, np.int32, count=len(seq)),
+                dtype=np.int32,
+            )
+            if a.size == 0:
+                a = np.zeros(1, np.int32)
+            return a
+
+        bs, co, ci, ct = _arr(block_starts), _arr(cov_offsets), _arr(cov_ids), _arr(cov_totals)
+        out = np.empty(num_vars * ploidy, np.int32)
         n = self._lib.wh_thread_paths(
             num_vars,
             ploidy,
@@ -263,18 +277,16 @@ class _ThreadLib:
             affine_switch_cost,
             max_cluster_gap,
             row_limit,
-            bs,
+            bs.ctypes.data_as(p32),
             len(block_starts),
-            co,
-            ci,
-            ct,
-            out,
+            co.ctypes.data_as(p32),
+            ci.ctypes.data_as(p32),
+            ct.ctypes.data_as(p32),
+            out.ctypes.data_as(p32),
         )
         if n < 0:
             return None
-        return [
-            [out[i * ploidy + j] for j in range(ploidy)] for i in range(n)
-        ]
+        return out[: n * ploidy].reshape(n, ploidy).tolist()
 
 
 def _build_threadlib() -> bool:

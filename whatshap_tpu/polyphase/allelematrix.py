@@ -94,6 +94,55 @@ class AlleleMatrix:
         am._init_from_lists(read_list, pos_list, id_list)
         return am
 
+    @classmethod
+    def _from_flat(cls, new_off, pos_k, all_k, pos_list, id_list) -> "AlleleMatrix":
+        """Array-native constructor: rows as CSR (new_off int64, pos_k/all_k
+        int32, per-row ascending positions keyed like _init_from_lists'
+        read_list rows).  Produces the identical field state — including
+        depth-table shape and dict insertion order — without per-entry
+        Python loops."""
+        import numpy as np
+
+        am = cls.__new__(cls)
+        am._rowCache = None
+        am.genPos = sorted(pos_list)
+        am.posIdx = {p: i for i, p in enumerate(am.genPos)}
+        n = len(new_off) - 1
+        am.globalReadIds = list(id_list)
+        pos_l = pos_k.tolist()
+        all_l = all_k.tolist()
+        off_l = new_off.tolist()
+        am.m = [
+            dict(zip(pos_l[off_l[i] : off_l[i + 1]], all_l[off_l[i] : off_l[i + 1]]))
+            for i in range(n)
+        ]
+        starts = np.full(n, _U32_MAX, dtype=np.int64)
+        ends = np.zeros(n, dtype=np.int64)
+        lens = new_off[1:] - new_off[:-1]
+        nz = lens > 0
+        if pos_k.size:
+            starts[nz] = pos_k[new_off[:-1][nz]]
+            ends[nz] = pos_k[new_off[1:][nz] - 1]
+        am.starts = starts.tolist()
+        am.ends = ends.tolist()
+        if pos_k.size:
+            am.maxAllele = int(all_k.max()) + 1
+            n_depth = max(len(am.genPos), int(pos_k.max()) + 1)
+            counts = np.bincount(
+                pos_k.astype(np.int64) * am.maxAllele + all_k,
+                minlength=n_depth * am.maxAllele,
+            ).reshape(n_depth, am.maxAllele)
+            am.depths = counts.tolist()
+        else:
+            am.maxAllele = 0
+            am.depths = [[] for _ in am.genPos]
+        am._flatRows = (
+            np.ascontiguousarray(new_off, dtype=np.int64),
+            np.ascontiguousarray(pos_k, dtype=np.int32),
+            np.ascontiguousarray(all_k, dtype=np.int32),
+        )
+        return am
+
     # --- accessors (solver.pyx AlleleMatrix wrapper) ---
 
     def size(self) -> int:
@@ -128,7 +177,15 @@ class AlleleMatrix:
             cache = self._rowCache = {}
         row = cache.get(readId)
         if row is None:
-            row = cache[readId] = sorted(self.m[readId].items())
+            flat = getattr(self, "_flatRows", None)
+            if flat is not None:
+                # rows in the flat store are already position-sorted
+                off, pos, allele = flat
+                lo, hi = int(off[readId]), int(off[readId + 1])
+                row = list(zip(pos[lo:hi].tolist(), allele[lo:hi].tolist()))
+            else:
+                row = sorted(self.m[readId].items())
+            cache[readId] = row
         return row
 
     def flatRows(self):
@@ -179,21 +236,44 @@ class AlleleMatrix:
     # --- extraction (allelematrix.cpp:153-216) ---
 
     def extractInterval(self, start: int, end: int, removeEmpty: bool = True) -> "AlleleMatrix":
-        newReads: List[Dict[int, int]] = []
-        defPos = set()
-        idList: List[int] = []
-        for i in range(len(self.m)):
-            if removeEmpty and (self.starts[i] >= end or self.ends[i] < start):
-                continue
-            newRead = {}
-            for p, a in self.m[i].items():
-                if start <= p < end:
-                    newRead[p - start] = a
-                    defPos.add(self.localToGlobal(p))
-            idList.append(self.globalReadIds[i])
-            newReads.append(newRead)
-        posList = sorted(defPos)
-        return AlleleMatrix._from_lists(newReads, posList, idList)
+        import numpy as np
+
+        off, row_pos, row_allele = self.flatRows()
+        n = len(self.m)
+        starts = np.fromiter(self.starts, dtype=np.int64, count=n)
+        ends = np.fromiter(self.ends, dtype=np.int64, count=n)
+        if removeEmpty:
+            keep = np.nonzero((starts < end) & (ends >= start))[0]
+        else:
+            keep = np.arange(n, dtype=np.int64)
+        lens = off[keep + 1] - off[keep]
+        total = int(lens.sum())
+        if total:
+            # grouped arange: every entry of every kept row, in row order
+            csum = np.cumsum(lens)
+            gather = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(csum - lens, lens)
+                + np.repeat(off[keep], lens)
+            )
+            pos_t = row_pos[gather].astype(np.int64)
+            in_range = (pos_t >= start) & (pos_t < end)
+            rid_t = np.repeat(np.arange(len(keep), dtype=np.int64), lens)
+            pos_sel = pos_t[in_range]
+            pos_k = (pos_sel - start).astype(np.int32)
+            all_k = row_allele[gather][in_range]
+            new_lens = np.bincount(rid_t[in_range], minlength=len(keep))
+            genPosArr = np.fromiter(self.genPos, dtype=np.int64, count=len(self.genPos))
+            posList = genPosArr[np.unique(pos_sel)].tolist()
+        else:
+            pos_k = np.empty(0, np.int32)
+            all_k = np.empty(0, np.int32)
+            new_lens = np.zeros(len(keep), np.int64)
+            posList = []
+        new_off = np.zeros(len(keep) + 1, np.int64)
+        np.cumsum(new_lens, out=new_off[1:])
+        idList = [self.globalReadIds[i] for i in keep.tolist()]
+        return AlleleMatrix._from_flat(new_off, pos_k, all_k, posList, idList)
 
     def extractSubMatrix(
         self,
