@@ -890,6 +890,13 @@ def run_whatshap(
     logger.info(
         f"This is whatshap-tpu {__version__} running under Python {platform.python_version()}"
     )
+    if ped is not None:
+        # pedigree runs always reach the device solvers and take far longer
+        # than backend bring-up: start the tunnel handshake now so it
+        # overlaps the host-only BAM/VCF/selection stages
+        from ..utils.jaxcache import warm_backend_async
+
+        warm_backend_async()
     numeric_sample_ids = NumericSampleIds()
     command_line = (
         "(whatshap {}) {}".format(__version__, " ".join(sys.argv[1:]))

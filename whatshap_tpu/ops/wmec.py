@@ -1125,6 +1125,16 @@ def _launch_batched(kernel, K, T, P, arrays, per_block_bytes=0):
     on_accel = jax.default_backend() != "cpu"
     if n_dev > 1 and B > 1:
         launch_raw = partial(_launch_sharded, kernel, n_dev=n_dev)
+    elif on_accel:
+        n_dev = 1
+
+        def launch_raw(K_, T_, P_, *arrs):
+            # route through the AOT trace cache: a cold process deserializes
+            # the kernel's saved StableHLO instead of re-tracing the
+            # column-unrolled Pallas body (~10 s for a trio bucket)
+            from ..utils.aotcache import aot_call
+
+            return aot_call(kernel, (K_, T_, P_), arrs)
     else:
         n_dev = 1
 

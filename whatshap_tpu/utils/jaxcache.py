@@ -55,3 +55,42 @@ def enable_persistent_cache() -> None:
         logger.debug("persistent compilation cache at %s", cache_dir)
     except Exception as exc:  # pragma: no cover - cache is best-effort
         logger.debug("persistent compilation cache unavailable: %s", exc)
+
+
+_warm_thread = None
+
+
+def warm_backend_async() -> None:
+    """Start backend + tunnel initialization in a daemon thread.
+
+    Cold accelerator bring-up (client handshake, platform registration,
+    first tiny executable) costs ~1-2 s on a tunneled backend and needs no
+    Python state from the caller, while the CLI's first pipeline stages
+    (BAM read, VCF parse, read selection) are host-only — kicking the
+    device bring-up off first overlaps the two.  Idempotent; never raises.
+    """
+    global _warm_thread
+    if _warm_thread is not None or os.environ.get("WHATSHAP_TPU_NO_BACKEND_WARM"):
+        return
+    import threading
+
+    def _warm():
+        try:
+            import jax
+
+            if jax.default_backend() == "cpu":
+                return
+            enable_persistent_cache()
+            import jax.numpy as jnp
+
+            # one trivial executable forces the full client handshake and
+            # primes the compile-cache read path
+            jax.device_get(jnp.zeros((1,), jnp.int32) + 1)
+        except Exception as exc:  # pragma: no cover - purely opportunistic
+            logger.debug("backend warm-up failed: %s", exc)
+
+    # non-daemon: a process exiting mid-handshake/mid-compile can wedge the
+    # shared compile service, so the interpreter must wait the ~1 s out;
+    # callers only warm on pipelines whose own work dwarfs that anyway
+    _warm_thread = threading.Thread(target=_warm, name="wh-backend-warm", daemon=False)
+    _warm_thread.start()
