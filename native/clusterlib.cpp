@@ -49,6 +49,14 @@ struct FlatSet {
         if (it != v.end() && *it == x) v.erase(it);
     }
     void clear() { v.clear(); }
+    void merge_from(const FlatSet& other) {
+        if (other.v.empty()) return;
+        std::vector<int> out;
+        out.reserve(v.size() + other.v.size());
+        std::set_union(v.begin(), v.end(), other.v.begin(), other.v.end(),
+                       std::back_inserter(out));
+        v.swap(out);
+    }
     std::vector<int>::const_iterator begin() const { return v.begin(); }
     std::vector<int>::const_iterator end() const { return v.end(); }
 };
@@ -101,6 +109,27 @@ struct Graph {
     // (rank, weight) in one lookup; only valid on the dense path
     Cell cellAt(int u, int v) const { return cellMat[(size_t)u * n + v]; }
 
+    // static adjacency (rank != 0 neighbors) in CSR form, built once: the
+    // edge set never grows, so "does an edge exist between x and y" scans
+    // can iterate deg(x) neighbors instead of probing every clique pair
+    std::vector<int64_t> adjOff;
+    std::vector<int> adjNb;
+
+    void buildAdj() {
+        adjOff.assign((size_t)n + 1, 0);
+        for (size_t r = 1; r < edges.size(); ++r) {
+            ++adjOff[(size_t)edges[r].first + 1];
+            ++adjOff[(size_t)edges[r].second + 1];
+        }
+        for (int i = 0; i < n; ++i) adjOff[i + 1] += adjOff[i];
+        adjNb.resize(adjOff[n]);
+        std::vector<int64_t> cur(adjOff.begin(), adjOff.end() - 1);
+        for (size_t r = 1; r < edges.size(); ++r) {
+            adjNb[cur[edges[r].first]++] = edges[r].second;
+            adjNb[cur[edges[r].second]++] = edges[r].first;
+        }
+    }
+
     void mirrorWeight(int u, int v, float w) {
         if (!dense) return;
         cellMat[(size_t)u * n + v].w = w;
@@ -148,16 +177,17 @@ struct Graph {
             discarded = cv;
         }
         if (merged != discarded) {
-            for (int d : cliques[discarded]) {
-                cliqueOf[d] = merged;
-                cliques[merged].push_back(d);
-            }
-            cliques[discarded].clear();
+            auto& cd = cliques[discarded];
+            for (int d : cd) cliqueOf[d] = merged;
+            cliques[merged].insert(cliques[merged].end(), cd.begin(), cd.end());
+            cd.clear();
             for (int f : forbidden[discarded]) {
-                forbidden[merged].insert(f);
                 forbidden[f].insert(merged);
                 forbidden[f].erase(discarded);
             }
+            // both sides are sorted: one-pass union instead of per-element
+            // binary-search inserts
+            forbidden[merged].merge_from(forbidden[discarded]);
             forbidden[discarded].clear();
         }
         refresh(u, v, weight[r], PERMANENT);
@@ -441,11 +471,58 @@ struct Solver {
     bool bundleEdges;
     float totalCost = 0.0f;
     bool infeasible = false;
-    std::vector<int> nb_scratch;  // snapshot buffer (Python: list(unpruned[x]))
     std::vector<std::pair<int, int>> impl_scratch, implforb_scratch;
     std::vector<int> forb_scratch;
+    // clique-membership stamps for the adjacency-driven implication scan
+    std::vector<int> stamp_ver_, stamp_pos_;
+    int ver_ = 0;
+    std::vector<std::pair<int, int>> match_scratch;
+
+    // All existing edges {x, y} with x in CU, y in CV, emitted in exactly
+    // the order of the nested clique loops (x in CU order, y in CV order).
+    // Small cross-products probe the dense cell matrix directly; large
+    // ones (end-game cliques) switch to scanning each x's static adjacency
+    // against CV membership stamps — sum(deg(x)) + |CV| work instead of
+    // |CU| * |CV| probes.  Skips the (u, v) pair itself like the original.
+    void collectImplications(const std::vector<int>& CU, const std::vector<int>& CV,
+                             int u, int v, std::vector<std::pair<int, int>>& out) {
+        size_t nested_cost = CU.size() * CV.size();
+        size_t adj_cost = CV.size();
+        for (int x : CU) adj_cost += (size_t)(g.adjOff[x + 1] - g.adjOff[x]);
+        if (nested_cost <= adj_cost || g.adjOff.empty()) {
+            for (int x : CU)
+                for (int y : CV) {
+                    if (x == y) continue;
+                    if (g.findIndex(x, y) == 0 || (x == u && y == v)) continue;
+                    out.push_back({std::min(x, y), std::max(x, y)});
+                }
+            return;
+        }
+        ++ver_;
+        for (size_t j = 0; j < CV.size(); ++j) {
+            stamp_ver_[CV[j]] = ver_;
+            stamp_pos_[CV[j]] = (int)j;
+        }
+        for (int x : CU) {
+            auto& matches = match_scratch;
+            matches.clear();
+            for (int64_t e = g.adjOff[x]; e < g.adjOff[x + 1]; ++e) {
+                int y = g.adjNb[e];
+                if (stamp_ver_[y] == ver_) matches.push_back({stamp_pos_[y], y});
+            }
+            std::sort(matches.begin(), matches.end());
+            for (auto& m : matches) {
+                int y = m.second;
+                if (x == u && y == v) continue;
+                out.push_back({std::min(x, y), std::max(x, y)});
+            }
+        }
+    }
 
     Solver(Graph&& graph, bool bundle) : g(std::move(graph)), heap(g), bundleEdges(bundle) {
+        stamp_ver_.assign(g.n, 0);
+        stamp_pos_.assign(g.n, 0);
+        if (g.adjOff.empty()) g.buildAdj();
         heap.init();
         if (!resolvePermanentForbidden()) infeasible = true;
     }
@@ -535,11 +612,12 @@ struct Solver {
         float uv = g.weight[rid];
         // uv == FORBIDDEN makes every triple delta exactly zero (icf_triple
         // needs uv > 0; icp_triple saturates at vw), so the neighbor scans
-        // are pure no-ops — skip them, keep the clique bookkeeping below
+        // are pure no-ops — skip them, keep the clique bookkeeping below.
+        // Iterating unpruned[...] directly is safe: nothing below mutates
+        // the graph until g.setForbidden after both loops (the heap updates
+        // only touch icf/icp), so no snapshot copy is needed.
         if (uv != FORBIDDEN) {
-            std::vector<int>& nb = nb_scratch;
-            nb.assign(g.unpruned[u].begin(), g.unpruned[u].end());
-            for (int w : nb) {
+            for (int w : g.unpruned[u]) {
                 if (w == v) continue;
                 if (g.dense) {
                     Graph::Cell c = g.cellAt(v, w);
@@ -549,8 +627,7 @@ struct Solver {
                     if (r > 0) updateTripleForbidden(uv, u, w, g.weight[r]);
                 }
             }
-            nb.assign(g.unpruned[v].begin(), g.unpruned[v].end());
-            for (int w : nb) {
+            for (int w : g.unpruned[v]) {
                 if (w == u) continue;
                 if (g.dense) {
                     Graph::Cell c = g.cellAt(u, w);
@@ -569,11 +646,10 @@ struct Solver {
         int rid = g.findIndex(u, v);
         float uv = g.weight[rid];
         // uv == PERMANENT: every triple delta is exactly zero (both
-        // *_triple saturate at the finite vw term) — skip the scans
+        // *_triple saturate at the finite vw term) — skip the scans.
+        // Direct iteration is safe for the same reason as in setForbidden.
         if (uv != PERMANENT) {
-            std::vector<int>& nb = nb_scratch;
-            nb.assign(g.unpruned[u].begin(), g.unpruned[u].end());
-            for (int w : nb) {
+            for (int w : g.unpruned[u]) {
                 if (w == v) continue;
                 if (g.dense) {
                     Graph::Cell c = g.cellAt(v, w);
@@ -583,8 +659,7 @@ struct Solver {
                     if (r > 0) updateTriplePermanent(uv, u, w, g.weight[r]);
                 }
             }
-            nb.assign(g.unpruned[v].begin(), g.unpruned[v].end());
-            for (int w : nb) {
+            for (int w : g.unpruned[v]) {
                 if (w == u) continue;
                 int r = g.dense ? g.cellAt(u, w).r : g.findIndex(u, w);
                 // reference quirk: the second loop checks findIndex of the
@@ -600,12 +675,8 @@ struct Solver {
     void choosePermanentEdge(int u, int v) {
         std::vector<std::pair<int, int>>& implications = impl_scratch;
         implications.clear();
-        for (int x : g.cliques[g.cliqueOf[u]])
-            for (int y : g.cliques[g.cliqueOf[v]]) {
-                if (x == y) continue;
-                if (g.findIndex(x, y) == 0 || (x == u && y == v)) continue;
-                implications.push_back({std::min(x, y), std::max(x, y)});
-            }
+        collectImplications(g.cliques[g.cliqueOf[u]], g.cliques[g.cliqueOf[v]], u, v,
+                            implications);
         std::vector<std::pair<int, int>>& implForb = implforb_scratch;
         implForb.clear();
         auto forbNbrs = [this](int node) -> const std::vector<int>& {
@@ -668,12 +739,8 @@ struct Solver {
     void chooseForbiddenEdge(int u, int v) {
         std::vector<std::pair<int, int>>& implications = impl_scratch;
         implications.clear();
-        for (int x : g.cliques[g.cliqueOf[u]])
-            for (int y : g.cliques[g.cliqueOf[v]]) {
-                if (x == y) continue;
-                if (g.findIndex(x, y) == 0 || (x == u && y == v)) continue;
-                implications.push_back({std::min(x, y), std::max(x, y)});
-            }
+        collectImplications(g.cliques[g.cliqueOf[u]], g.cliques[g.cliqueOf[v]], u, v,
+                            implications);
         setForbidden(u, v);
         heap.removeEdge(g.findIndex(u, v));
         for (auto& e : implications) {
